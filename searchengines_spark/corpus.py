@@ -1,0 +1,196 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` corpus.
+
+Schema is exactly BASELINE.json's input_hint:
+``pages(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Generation is distributed (``spark.range`` + ``mapInPandas``) and seeded *per
+docid*, so the corpus is byte-identical regardless of partitioning or
+parallelism — which is what makes the local[8]-vs-local[32] scaling runs and
+the resumable-build test meaningful. ``text`` is produced by running the same
+``extract_text`` function the engine uses on ``html`` (the
+byte-identical-per-url invariant).
+
+The vocabulary is Zipfian (~10k terms) so hot-term skew is real: the top term
+appears in nearly every document, exercising the salted build path.
+
+Field model mirrors the reference's five fields body/title/url/keywords/inlink
+(/root/reference/QryEval/QryParser.java:159-163): title and keywords/inlink
+are embedded in the HTML head, body in <body>, and the url field is tokenized
+from the url string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tokenizer import extract_text
+
+VOCAB_SIZE = 10_000
+_SYL = ["ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne",
+        "pa", "qi", "ro", "su", "ta", "ve", "wo", "xu", "ya", "zo"]
+
+
+def _vocab() -> list[str]:
+    """Deterministic pronounceable vocabulary, id -> word."""
+    words = []
+    n = len(_SYL)
+    for i in range(VOCAB_SIZE):
+        a, b, c = i % n, (i // n) % n, (i // (n * n)) % n
+        words.append(_SYL[a] + _SYL[b] + _SYL[c] + str(i % 7))
+    return words
+
+VOCAB = _vocab()
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("lang", T.StringType(), False),
+])
+
+_ZIPF_S = 1.1  # exponent; head term lands in most docs
+
+
+def _zipf_cdf() -> np.ndarray:
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    w = ranks ** (-_ZIPF_S)
+    return np.cumsum(w / w.sum())
+
+
+def make_page(doc_i: int, seed: int = 42) -> tuple[str, int, bytes, str, str]:
+    """Build one page deterministically from (doc_i, seed).
+    Returns (url, warc_ts_epoch_us, html, text, lang)."""
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(doc_i))
+    cdf = _ZIPF_CDF
+    def sample(n: int) -> list[str]:
+        idx = np.searchsorted(cdf, rng.random(n))
+        return [VOCAB[i] for i in idx]
+
+    title = " ".join(sample(int(rng.integers(3, 9))))
+    n_body = int(rng.integers(40, 260))
+    body_tokens = sample(n_body)
+    # sprinkle stopwords so stopword-position semantics are exercised
+    stop_picks = ["the", "of", "and", "to", "in", "a"]
+    for j in range(0, len(body_tokens), 7):
+        body_tokens[j] = stop_picks[int(rng.integers(0, len(stop_picks)))]
+    body = " ".join(body_tokens)
+    keywords = " ".join(sample(5))
+    inlink = " ".join(sample(int(rng.integers(2, 6))))
+    url = f"https://www{doc_i % 7}.example.org/{VOCAB[doc_i % VOCAB_SIZE]}/p{doc_i:010d}.html"
+    lang = "en" if rng.random() < 0.95 else ["fr", "de", "es"][int(rng.integers(0, 3))]
+    html = (
+        "<html><head>"
+        f"<title>{title}</title>"
+        f'<meta name="keywords" content="{keywords}">'
+        f'<meta name="inlink" content="{inlink}">'
+        "<style>body{margin:0}</style>"
+        "</head><body>"
+        f"<p>{body}</p>"
+        "<script>var x=1;</script>"
+        "</body></html>"
+    ).encode("utf-8")
+    text = extract_text(html)
+    warc_us = 1_600_000_000_000_000 + doc_i * 1_000_000  # deterministic micros
+    return url, warc_us, html, text, lang
+
+_ZIPF_CDF = _zipf_cdf()
+
+
+def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
+                   partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages corpus."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(8, n_docs // 20_000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            out = pd.DataFrame(rows, columns=["url", "warc_us", "html", "text", "lang"])
+            out["warc_ts"] = pd.to_datetime(out.pop("warc_us"), unit="us")
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# --- field extraction (deterministic, html -> five reference fields) -------
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_META_RE = {
+    "keywords": re.compile(r'<meta name="keywords" content="(.*?)"'),
+    "inlink": re.compile(r'<meta name="inlink" content="(.*?)"'),
+}
+_BODY_RE = re.compile(r"<body>(.*?)</body>", re.S)
+
+FIELDS = ["body", "title", "url", "keywords", "inlink"]
+
+
+def extract_fields(url: str, html_bytes: bytes) -> dict[str, str]:
+    """html -> the reference's five fields (QryParser.java:159-163)."""
+    s = html_bytes.decode("utf-8", errors="replace")
+    m = _TITLE_RE.search(s)
+    title = m.group(1) if m else ""
+    out = {"title": title, "url": re.sub(r"[^a-zA-Z0-9]+", " ", url)}
+    for f, rx in _META_RE.items():
+        m = rx.search(s)
+        out[f] = m.group(1) if m else ""
+    m = _BODY_RE.search(s)
+    out["body"] = extract_text((m.group(1) if m else "").encode("utf-8"))
+    return out
+
+
+FIELD_DOCS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("field", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.StringType(), containsNull=True), False),
+])
+
+
+def pages_to_field_docs(pages: DataFrame) -> DataFrame:
+    """pages -> long (url, field, tokens) with FULL-mode tokenization.
+    Non-'en' pages are filtered before indexing (engine policy)."""
+    import pandas as pd
+
+    from .tokenizer import tokenize_full
+
+    def explode_fields(batches):
+        for pdf in batches:
+            recs = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                fields = extract_fields(url, bytes(html))
+                for f in FIELDS:
+                    recs.append((url, f, tokenize_full(fields[f])))
+            yield pd.DataFrame(recs, columns=["url", "field", "tokens"])
+
+    return (
+        pages.filter(F.col("lang") == "en")
+        .select("url", "html")
+        .mapInPandas(explode_fields, FIELD_DOCS_SCHEMA)
+    )
+
+
+def assign_docids(pages: DataFrame) -> DataFrame:
+    """Deterministic dense docid: rank of url in sorted order (url IS the
+    external id, as in the reference's internal/external docid split,
+    Idx.java:87-144). Zero-based.
+
+    Scale note: a global sort of just (url) — a narrow column — then
+    zipWithIndex-free dense numbering via window is acceptable at 10^12 only
+    if done once at build; we use row_number over a global sort which Spark
+    executes as a range-partitioned sort (no single-node bottleneck except
+    the final rank offsets, which AQE handles via range exchange).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("url")
+    return pages.select("url").distinct().withColumn(
+        "docid", F.row_number().over(w).cast("long") - F.lit(1)
+    )

@@ -1,0 +1,294 @@
+"""Inverted-index build: pages -> term-partitioned, docid-sorted,
+delta+varint-compressed posting blocks with per-block max-score metadata.
+
+This is the capability the reference *lacks* (it reads a prebuilt Lucene
+index, /root/reference/QryEval/Idx.java:236-259); the north rule mandates we
+own it, at 10^12-doc scale, with explicit partitioning of both the document
+space (docid ranges) and the term space (md5 term buckets), salted
+repartition for hot-term skew, resumable stages, and per-partition lineage.
+
+Layout under ``index_dir/`` (parquet; on a real cluster these would be
+Iceberg tables — same layout, plus snapshot metadata):
+
+- ``docids/``      (url, docid)                     — dense docid = rank(url)
+- ``doc_lens/``    (docid, field, len)              — len incl. stopword slots
+- ``doc_terms/``   (docid, field, term, tf, positions) — forward/analytic path
+- ``blocks/bucket=NN/`` (field, term, salt, blk, n, max_docid, min_docid,
+                    max_score, docids_z, tfs_z, doclens_z, positions_z)
+- ``term_stats/``  (field, term, df, ctf, bucket)
+- ``field_stats/`` (field, doc_count, sum_len)      + row field='__docs__'
+                    carrying the global doc count N (Idx.getNumDocs analog)
+- ``lineage/``     per term-bucket build metrics (rows, postings, bytes)
+- ``MANIFEST.json`` stage ledger -> resumability
+
+Scale notes (how this holds at 1000 executors / 100 TB):
+- one shuffle tokenize->explode->aggregate per (docid,field,term) with
+  map-side partial aggregation;
+- the block encode groups by (field, term, salt) where salt is a *docid
+  range* stripe: the hottest term (df ~= N) is split across
+  ``n_salts`` groups, so no single task ever holds more than
+  ``salt_range`` postings. Concatenating stripes in salt order preserves
+  global docid order — merge is concatenation, never re-sort;
+- output partitioned by md5 term bucket -> query-time scans prune to the
+  buckets of the query's terms.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus import assign_docids, pages_to_field_docs
+from . import codec
+
+N_BUCKETS = 64
+
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("salt", T.IntegerType(), False),
+    T.StructField("blk", T.IntegerType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("min_docid", T.LongType(), False),
+    T.StructField("max_docid", T.LongType(), False),
+    T.StructField("max_score", T.DoubleType(), False),
+    T.StructField("docids_z", T.BinaryType(), False),
+    T.StructField("tfs_z", T.BinaryType(), False),
+    T.StructField("doclens_z", T.BinaryType(), False),
+    T.StructField("positions_z", T.BinaryType(), False),
+])
+
+
+def term_bucket_col(term_col):
+    """Portable md5-based term bucket (same value computable in Python and
+    DuckDB): int(md5(term)[:8], 16) % N_BUCKETS. JVM-side expression."""
+    return (F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long") % N_BUCKETS).cast("int")
+
+
+def term_bucket_py(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % N_BUCKETS
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, "_stages", stage + ".json"))
+
+
+def _mark_stage(index_dir: str, stage: str, **meta) -> None:
+    d = os.path.join(index_dir, "_stages")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, stage + ".json"), "w") as f:
+        json.dump({"stage": stage, "ts": time.time(), **meta}, f)
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    n_docs_hint: int | None = None,
+    n_salts: int = 32,
+    resume: bool = False,
+    bm25_k1: float = 1.2,
+    bm25_b: float = 0.75,
+) -> dict:
+    """Build (or resume) the full index. Returns build metrics."""
+    os.makedirs(index_dir, exist_ok=True)
+    t0 = time.time()
+    metrics: dict = {}
+
+    # -- stage 1: deterministic docids -------------------------------------
+    docids_path = os.path.join(index_dir, "docids")
+    if not (resume and _stage_done(index_dir, "docids")):
+        assign_docids(pages.filter(F.col("lang") == "en")).write.mode("overwrite").parquet(docids_path)
+        _mark_stage(index_dir, "docids")
+    docids = spark.read.parquet(docids_path)
+
+    n_docs = n_docs_hint or docids.count()
+    salt_range = max(1, math.ceil(n_docs / n_salts))
+    metrics["n_docs"] = n_docs
+
+    # -- stage 2: tokenized postings long table + doc_lens ------------------
+    # tokens arrays keep stopword slots as NULL so len(tokens) == field
+    # length incl. stopwords (reference Idx.getFieldLength semantics,
+    # Idx.java:99-115).
+    doc_terms_path = os.path.join(index_dir, "doc_terms")
+    doc_lens_path = os.path.join(index_dir, "doc_lens")
+    if not (resume and _stage_done(index_dir, "doc_terms")):
+        field_docs = pages_to_field_docs(pages).join(docids, "url")
+        lens = field_docs.select(
+            "docid", "field", F.size("tokens").cast("int").alias("len")
+        )
+        lens.write.mode("overwrite").parquet(doc_lens_path)
+
+        exploded = (
+            field_docs.select(
+                "docid", "field", F.size("tokens").alias("len"),
+                F.posexplode("tokens").alias("pos", "term"),
+            )
+            .filter(F.col("term").isNotNull())
+        )
+        doc_terms = exploded.groupBy("docid", "field", "term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.first("len").cast("int").alias("doclen"),
+        )
+        doc_terms.write.mode("overwrite").parquet(doc_terms_path)
+        _mark_stage(index_dir, "doc_terms")
+    doc_terms = spark.read.parquet(doc_terms_path)
+
+    # -- stage 3: stats tables ----------------------------------------------
+    term_stats_path = os.path.join(index_dir, "term_stats")
+    field_stats_path = os.path.join(index_dir, "field_stats")
+    if not (resume and _stage_done(index_dir, "stats")):
+        term_stats = doc_terms.groupBy("field", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("ctf"),
+        ).withColumn("bucket", term_bucket_col(F.col("term")))
+        term_stats.write.mode("overwrite").parquet(term_stats_path)
+
+        doc_lens = spark.read.parquet(doc_lens_path)
+        field_stats = doc_lens.filter(F.col("len") > 0).groupBy("field").agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("len").cast("long").alias("sum_len"),
+        )
+        meta_row = spark.createDataFrame(
+            [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"]
+        )
+        field_stats.unionByName(meta_row).write.mode("overwrite").parquet(field_stats_path)
+        _mark_stage(index_dir, "stats")
+
+    term_stats = spark.read.parquet(term_stats_path)
+    field_stats = spark.read.parquet(field_stats_path)
+
+    # -- stage 4: salted block encode ---------------------------------------
+    blocks_path = os.path.join(index_dir, "blocks")
+    if not (resume and _stage_done(index_dir, "blocks")):
+        fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
+        avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
+        b_n_docs = int(n_docs)
+        b_avg = spark.sparkContext.broadcast(avg_len)
+        k1, b_ = bm25_k1, bm25_b
+
+        with_df = doc_terms.join(
+            F.broadcast(term_stats.select("field", "term", "df")), ["field", "term"]
+        ).withColumn("salt", (F.col("docid") / F.lit(salt_range)).cast("int"))
+
+        def encode_group(key, pdf):
+            import pandas as pd
+
+            field, term, salt = key
+            pdf = pdf.sort_values("docid")
+            docids = pdf["docid"].to_numpy(np.uint64)
+            tfs = pdf["tf"].to_numpy(np.uint64)
+            doclens = pdf["doclen"].to_numpy(np.uint64)
+            df_val = int(pdf["df"].iloc[0])
+            avg = b_avg.value.get(field, 1.0)
+            rows = []
+            for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
+                e = s + codec.BLOCK_SIZE
+                d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
+                dz, tz, lz = codec.encode_block(d, t, dl)
+                pz = codec.encode_positions(
+                    [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].iloc[s:e]]
+                )
+                ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b_)
+                rows.append((field, term, int(salt), blk_i, len(d),
+                             int(d[0]), int(d[-1]), ms, dz, tz, lz, pz))
+            return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+        blocks = (
+            with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
+                                "field", "term", "salt")
+            .groupBy("field", "term", "salt")
+            .applyInPandas(encode_group, BLOCKS_SCHEMA)
+            .withColumn("bucket", term_bucket_col(F.col("term")))
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+        _mark_stage(index_dir, "blocks")
+
+    # -- stage 5: lineage / metrics ------------------------------------------
+    lineage_path = os.path.join(index_dir, "lineage")
+    if not (resume and _stage_done(index_dir, "lineage")):
+        blocks_df = spark.read.parquet(blocks_path)
+        lineage = blocks_df.groupBy("bucket", "field").agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(F.length("docids_z") + F.length("tfs_z")
+                  + F.length("doclens_z") + F.length("positions_z")).alias("bytes_compressed"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
+        _mark_stage(index_dir, "lineage")
+
+    elapsed = time.time() - t0
+    lineage_rows = spark.read.parquet(lineage_path).agg(
+        F.sum("n_postings").alias("p"), F.sum("bytes_compressed").alias("b")
+    ).collect()[0]
+    metrics.update(
+        build_secs=elapsed,
+        docs_per_sec=(n_docs / elapsed if elapsed > 0 else 0.0),
+        postings=int(lineage_rows["p"] or 0),
+        postings_per_sec=(int(lineage_rows["p"] or 0) / elapsed if elapsed > 0 else 0.0),
+        bytes_compressed=int(lineage_rows["b"] or 0),
+    )
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+class IndexReader:
+    """Query-side handle: broadcast stats + pruned block scans."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
+        self.field_stats = {r["field"]: (int(r["doc_count"]), int(r["sum_len"])) for r in fs}
+        self.n_docs = self.field_stats.pop("__docs__")[0]
+        self._blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._docids = None
+
+    def avg_doclen(self, field: str) -> float:
+        c, s = self.field_stats[field]
+        return s / c if c else 1.0
+
+    def doc_count(self, field: str) -> int:
+        return self.field_stats[field][0]
+
+    def term_stats(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+        """(field, term) -> (df, ctf); missing terms absent."""
+        buckets = sorted({term_bucket_py(t) for _, t in terms})
+        conds = F.col("bucket").isin(buckets) & F.struct("field", "term").isin(
+            [F.struct(F.lit(f), F.lit(t)) for f, t in terms]
+        )
+        rows = self._term_stats.filter(conds).collect()
+        return {(r["field"], r["term"]): (int(r["df"]), int(r["ctf"])) for r in rows}
+
+    def blocks_for(self, terms: list[tuple[str, str]]) -> DataFrame:
+        """Pruned scan: bucket partition filter + term filter."""
+        buckets = sorted({term_bucket_py(t) for _, t in terms})
+        return self._blocks.filter(
+            F.col("bucket").isin(buckets)
+            & F.struct("field", "term").isin([F.struct(F.lit(f), F.lit(t)) for f, t in terms])
+        )
+
+    def docid_url_map(self) -> DataFrame:
+        if self._docids is None:
+            self._docids = self.spark.read.parquet(os.path.join(self.index_dir, "docids"))
+        return self._docids
+
+    def doc_terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_terms"))
+
+    def doc_lens(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_lens"))

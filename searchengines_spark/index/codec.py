@@ -1,0 +1,130 @@
+"""Delta + varint block codec for posting lists (numpy-vectorized).
+
+The reference keeps postings as uncompressed boxed ``Vector<Integer>`` in RAM
+(/root/reference/QryEval/InvList.java:44-85). At 10^12-doc scale that is not
+viable; per the north rule we add classic delta + LEB128-varint block
+compression with per-block metadata (max docid for skipping, max-score for
+block-max WAND pruning).
+
+Everything here is pure numpy (no Python-per-int loops): encode/decode run a
+small fixed number of vectorized passes (<= 10, one per varint byte width),
+so they are safe to call inside Arrow-batched pandas UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per block (docids/tfs/doclens arrays)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128 encode a uint64 array. Vectorized: one pass per output byte
+    position (max 10 for 64-bit)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value
+    sizes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        sizes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros(int(sizes.sum()), dtype=np.uint8)
+    maxs = int(sizes.max())
+    for k in range(maxs):
+        mask = sizes > k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (sizes[mask] - 1 > k).astype(np.uint8) << 7
+        out[offsets[mask] + k] = byte | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes -> uint64 array. Vectorized via reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    starts = np.empty(int(is_end.sum()), dtype=np.int64)
+    starts[0] = 0
+    if starts.size > 1:
+        starts[1:] = np.flatnonzero(is_end)[:-1] + 1
+    # position of each byte within its value
+    idx = np.arange(b.size, dtype=np.int64)
+    group = np.cumsum(is_end) - is_end  # group id per byte
+    pos = idx - starts[group]
+    vals = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(vals, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    d = np.empty_like(v)
+    d[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+    """Encode per-doc position lists as: varint(count), then delta+varint
+    positions — concatenated across docs in docid order."""
+    parts: list[np.ndarray] = []
+    for p in positions_per_doc:
+        p = np.ascontiguousarray(p, dtype=np.uint64)
+        parts.append(np.array([p.size], dtype=np.uint64))
+        if p.size:
+            parts.append(delta_encode(p))
+    if not parts:
+        return b""
+    return encode_varint(np.concatenate(parts))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
+    flat = decode_varint(buf)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_docs):
+        n = int(flat[i]); i += 1
+        out.append(np.cumsum(flat[i : i + n], dtype=np.uint64))
+        i += n
+    return out
+
+
+def encode_block(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """One posting block: docids delta+varint; tfs varint; doclens varint.
+    Doclens are stored inline so BM25 scoring needs NO join against a
+    doc-length table at query time (a deliberate departure from the
+    reference, which looks doclen up per doc: Idx.java:99-115)."""
+    return (
+        encode_varint(delta_encode(docids)),
+        encode_varint(np.ascontiguousarray(tfs, dtype=np.uint64)),
+        encode_varint(np.ascontiguousarray(doclens, dtype=np.uint64)),
+    )
+
+
+def decode_block(docids_b: bytes, tfs_b: bytes, doclens_b: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        delta_decode(decode_varint(docids_b)),
+        decode_varint(tfs_b),
+        decode_varint(doclens_b),
+    )
+
+
+def bm25_upper_bound(tfs: np.ndarray, doclens: np.ndarray, df: int, n_docs: int,
+                     avg_doclen: float, k1: float = 1.2, b: float = 0.75) -> float:
+    """Per-block BM25 max-score (for block-max WAND). Formula matches the
+    reference scorer exactly (QrySopScore.java:78-90)."""
+    idf = max(0.0, np.log((n_docs - df + 0.5) / (df + 0.5)))
+    tfs = tfs.astype(np.float64)
+    dl = doclens.astype(np.float64)
+    tfw = tfs / (tfs + k1 * ((1.0 - b) + b * (dl / avg_doclen)))
+    return float(idf * tfw.max()) if tfs.size else 0.0
