@@ -1,0 +1,378 @@
+"""Analytic (driver-checkable) query layer over the test tables.
+
+Every function here is the Spark half of a (Spark, DuckDB-SQL) pair wired in
+``__spark_entry__.py`` — the driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hashes. So each function:
+
+- uses SIMPLE tokenization (split on ' ', matching DuckDB string_split);
+- uses only built-in pyspark.sql.functions (JVM-side, codegen) — no UDFs;
+- aliases every computed column to the exact name the SQL uses;
+- rounds floating-point outputs (ROUND_DP) so both engines hash identically;
+- breaks ties deterministically (doc_id asc) before any LIMIT.
+
+Search ops implement the reference formulas (BM25 QrySopScore.java:78-90,
+Indri 64-76, ranked-boolean AND=min/OR=max QrySopAnd/Or) in SIMPLE mode.
+The dedup / similarity / text-quality ops are the training-data-pipeline
+extensions; portable hashing is md5-prefix -> uint32 so Spark and DuckDB
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+# fixed query-term sets (chosen from the synthetic docs vocabulary: 'dup' is
+# rare -> positive idf; the rest are common)
+Q_BM25 = ["dup", "spark", "query"]
+Q_BOOL = ["spark", "query", "table"]
+Q_PAIR = ("spark", "query")
+BM25_K1, BM25_B = 1.2, 0.75
+INDRI_MU, INDRI_LAM = 300.0, 0.4
+HASH_P = 4294967311  # prime > 2^32
+MINHASH_AB = [(1000003, 12345), (999983, 54321), (906061, 7), (777767, 999)]
+STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos [1-based], term) — mirrors DuckDB unnest+generate_subscripts."""
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term"))
+        .filter(F.col("term") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+
+
+def _doclens(tok: DataFrame) -> DataFrame:
+    return tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+
+
+def md5hash32(col) -> F.Column:
+    """Portable uint32 hash: int(md5(s)[:8], 16). DuckDB equivalent:
+    CAST(('0x' || substr(md5(s),1,8)) AS UBIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------- stats
+def q_term_stats(spark, sf_dir):
+    tok = tokens(load(spark, sf_dir, "documents"))
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("ctf"),
+    )
+
+
+def q_doc_lens(spark, sf_dir):
+    return _doclens(tokens(load(spark, sf_dir, "documents")))
+
+
+def q_corpus_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dl = _doclens(tokens(docs))
+    n = docs.count()
+    return dl.agg(
+        F.lit(n).cast("long").alias("n_docs"),
+        F.sum("len").cast("long").alias("sum_len"),
+        F.round(F.sum("len") / F.lit(n), ROUND_DP).alias("avg_len"),
+    )
+
+
+# ---------------------------------------------------------------- retrieval
+def _tf(tok: DataFrame, terms: list[str]) -> DataFrame:
+    return (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """#SUM of BM25 term scores (QrySopScore.java:78-90, QrySopSum.java:59-80),
+    SIMPLE mode, top-20 by (score desc, doc_id asc)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    n_docs = docs.count()
+    dl = _doclens(tok)
+    avg = dl.agg(F.avg("len")).collect()[0][0]
+    tf = _tf(tok, Q_BM25)
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "s",
+            F.greatest(F.lit(0.0), F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+            * F.col("tf")
+            / (F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("len") / F.lit(float(avg)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), ROUND_DP).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q_indri_topk(spark, sf_dir):
+    """Indri #SUM with two-state smoothing incl. default scores for docs
+    missing a term (QrySopScore.java:64-76,13-26): candidates = docs matching
+    >= 1 term (matchMin)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    dl = _doclens(tok)
+    sum_len = dl.agg(F.sum("len")).collect()[0][0]
+    tf = _tf(tok, Q_BM25)
+    ctf = {r["term"]: int(r["ctf"]) for r in
+           tok.filter(F.col("term").isin(Q_BM25)).groupBy("term").agg(F.count(F.lit(1)).alias("ctf")).collect()}
+    cand = tf.select("doc_id").distinct().join(dl, "doc_id")
+    parts = []
+    for t in Q_BM25:
+        tft = tf.filter(F.col("term") == t).select("doc_id", F.col("tf").alias(f"tf_{t}"))
+        cand = cand.join(tft, "doc_id", "left")
+        pqc = (ctf.get(t, 0) if ctf.get(t, 0) != 0 else 0.5) / float(sum_len)
+        tcol = F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("double")
+        parts.append(
+            F.lit(1.0 - INDRI_LAM) * (tcol + F.lit(INDRI_MU * pqc)) / (F.col("len") + F.lit(INDRI_MU))
+            + F.lit(INDRI_LAM * pqc)
+        )
+    score = F.round(reduce(lambda a, b: a + b, parts), ROUND_DP).alias("score")
+    return cand.select("doc_id", score).orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q_and_ranked(spark, sf_dir):
+    """RankedBoolean #AND = min tf over all terms, match-ALL
+    (QrySopAnd.java:146-169)."""
+    tf = _tf(tokens(load(spark, sf_dir, "documents")), Q_BOOL)
+    agg = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"), F.min("tf").cast("long").alias("score")
+    )
+    return agg.filter(F.col("nt") == len(Q_BOOL)).select("doc_id", "score")
+
+
+def q_or_ranked(spark, sf_dir):
+    """RankedBoolean #OR = max tf over matching terms (QrySopOr.java:81-151)."""
+    tf = _tf(tokens(load(spark, sf_dir, "documents")), ["dup", "spark"])
+    return tf.groupBy("doc_id").agg(F.max("tf").cast("long").alias("score"))
+
+
+def q_syn_tf(spark, sf_dir):
+    """#SYN union: per-doc tf = sum of member tfs (QryIopSyn.java:17-71)."""
+    tf = _tf(tokens(load(spark, sf_dir, "documents")), list(Q_PAIR))
+    return tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("tf"))
+
+
+def q_near_pairs(spark, sf_dir):
+    """Ordered proximity pair count: #NEAR/3-style (non-consuming variant:
+    every (p1,p2) with 0 < p2-p1 <= 3; the consuming pointer semantics of
+    QryIopNear.java:60-110 are covered by the pytest oracle)."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    a = tok.filter(F.col("term") == Q_PAIR[0]).select("doc_id", F.col("pos").alias("p1"))
+    b = tok.filter(F.col("term") == Q_PAIR[1]).select("doc_id", F.col("pos").alias("p2"))
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("p2") > F.col("p1")) & (F.col("p2") - F.col("p1") <= 3))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def q_window_pairs(spark, sf_dir):
+    """Unordered window pair count: |p1-p2| < 4 (#WINDOW/4-style,
+    QryIopWindow.java:159-166 non-consuming variant)."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    a = tok.filter(F.col("term") == Q_PAIR[0]).select("doc_id", F.col("pos").alias("p1"))
+    b = tok.filter(F.col("term") == Q_PAIR[1]).select("doc_id", F.col("pos").alias("p2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("p1") - F.col("p2")) < 4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# ----------------------------------------------------------- dedup / simhash
+def _shingles(tok: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc via window lead (portable to SQL)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "term", F.lead("term", 1).over(w), F.lead("term", 2).over(w)).alias("shingle"),
+        F.lead("term", 2).over(w).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull()).drop("_ok")
+    return sh.distinct()
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) group sizes + canonical (min) doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signatures (4 permutations) over distinct 3-shingles."""
+    sh = _shingles(tokens(load(spark, sf_dir, "documents"))).withColumn("h", md5hash32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_lsh_dup_pairs(spark, sf_dir):
+    """LSH banding: candidate pairs sharing band (mh0, mh1), verified with
+    true 3-shingle Jaccard >= 0.5."""
+    mh = q_minhash(spark, sf_dir)
+    a = mh.select(F.col("doc_id").alias("a_id"), "mh0", "mh1")
+    b = mh.select(F.col("doc_id").alias("b_id"), "mh0", "mh1")
+    cand = a.join(b, ["mh0", "mh1"]).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+    jac = q_jaccard_pairs(spark, sf_dir)
+    return cand.join(jac, ["a_id", "b_id"]).filter(F.col("jaccard") >= 0.5)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """All-pairs 3-shingle Jaccard (intersection self-join)."""
+    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), ROUND_DP).alias("jaccard"),
+        )
+    )
+
+
+def q_jaccard_topk(spark, sf_dir):
+    return q_jaccard_pairs(spark, sf_dir).orderBy(
+        F.desc("jaccard"), F.asc("a_id"), F.asc("b_id")
+    ).limit(15)
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash over tf-weighted term hashes."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("h", md5hash32(F.col("term")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    g = tf.groupBy("doc_id").agg(*aggs)
+    sim = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, 16),
+        F.when(F.col("b0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------------------- embeddings
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 (exact ANN baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: restrict search to the query's coarse cell (label
+    column = precomputed quantizer cell), then exact cosine top-10. The
+    scale path: cells partition the corpus, a query probes 1..n cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------ text quality
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language heuristic."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    g = tok.groupBy("doc_id").agg(
+        F.round(F.avg(F.col("term").isin(STOP_EN).cast("double")), ROUND_DP).alias("stop_ratio")
+    )
+    return g.select(
+        "doc_id", "stop_ratio", (F.col("stop_ratio") >= 0.05).alias("pred_en")
+    )
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: token count, type/token ratio, mean token length."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_distinct"),
+        F.round(F.countDistinct("term") / F.count(F.lit(1)), ROUND_DP).alias("ttr"),
+        F.round(F.avg(F.length("term")), ROUND_DP).alias("avg_tok_len"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    tok = tokens(load(spark, sf_dir, "documents"))
+    return tok.agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.countDistinct("term").cast("long").alias("distinct_terms"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Winnowing-style doc fingerprint: min 5-shingle hash per doc."""
+    from pyspark.sql import Window
+
+    tok = tokens(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "term", F.lead("term", 1).over(w), F.lead("term", 2).over(w),
+                    F.lead("term", 3).over(w), F.lead("term", 4).over(w)).alias("shingle"),
+        F.lead("term", 4).over(w).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull())
+    return sh.select("doc_id", md5hash32(F.col("shingle")).alias("h")).groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint")
+    )

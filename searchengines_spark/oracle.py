@@ -184,6 +184,170 @@ def topk(scores: dict[int, float], ext_ids: dict[int, str], k: int) -> list[tupl
     return rows[:k]
 
 
+# --- full query-tree evaluation (all four retrieval models) ----------------
+
+def evaluate(idx: OracleIndex, root, model) -> dict[int, float]:
+    """Evaluate a parsed AST (query.ast nodes) -> {docid: score}, mirroring
+    the reference's recursive getScore/getDefaultScore dispatch. Arithmetic
+    fold order = child order (float-shape parity with the engine)."""
+    from .query import ast as A
+    from .query.models import BM25, Indri, RankedBoolean, UnrankedBoolean
+
+    def iop(node) -> tuple[dict, str]:
+        if isinstance(node, A.Term):
+            return dict(idx.postings.get((node.field, node.term), {})), node.field
+        kids = [iop(a) for a in node.args]
+        field = kids[0][1]
+        pls = [k[0] for k in kids]
+        if isinstance(node, A.Syn):
+            return iop_syn(pls), field
+        if isinstance(node, A.Near):
+            return iop_near(pls, node.n), field
+        if isinstance(node, A.Window):
+            return iop_window(pls, node.n), field
+        raise TypeError(node)
+
+    def sop(node):
+        """-> (matches: {docid: score}, default_fn(docid) -> float)"""
+        if isinstance(node, A.Score):
+            pl, field = iop(node.arg)
+            df_ = len(pl)
+            ctf_ = sum(len(p) for p in pl.values())
+            if isinstance(model, BM25):
+                n, avg = idx.n_docs, idx.avg_len(field)
+                idf = max(0.0, math.log((n - df_ + 0.5) / (df_ + 0.5)))
+                matches = {
+                    d: idf * len(ps) / (len(ps) + model.k1 * ((1.0 - model.b)
+                        + model.b * idx.get_len(field, d) / avg))
+                    for d, ps in pl.items()
+                }
+                return matches, lambda d: 0.0
+            if isinstance(model, Indri):
+                matches = {
+                    d: indri_term_score(idx, field, len(ps), idx.get_len(field, d),
+                                        ctf_, model.mu, model.lam)
+                    for d, ps in pl.items()
+                }
+                return matches, lambda d: indri_term_score(
+                    idx, field, 0, idx.get_len(field, d), ctf_, model.mu, model.lam)
+            if isinstance(model, RankedBoolean):
+                return {d: float(len(ps)) for d, ps in pl.items()}, lambda d: 0.0
+            return {d: 1.0 for d in pl}, lambda d: 0.0
+
+        kids = [sop(a) for a in node.args]
+        weights = getattr(node, "weights", None)
+        W = sum(weights) if weights else None
+        indri = isinstance(model, Indri)
+        if isinstance(node, A.And) and not indri:
+            docs = set(kids[0][0])
+            for mt, _ in kids[1:]:
+                docs &= set(mt)
+        else:
+            docs = set()
+            for mt, _ in kids:
+                docs |= set(mt)
+
+        def val(i, d):
+            mt, df_fn = kids[i]
+            return mt[d] if d in mt else df_fn(d)
+
+        out = {}
+        for d in docs:
+            if isinstance(node, A.And):
+                if isinstance(model, UnrankedBoolean):
+                    out[d] = 1.0
+                elif indri:
+                    p = None
+                    for i in range(len(kids)):
+                        v = val(i, d)
+                        p = v if p is None else p * v
+                    out[d] = p ** (1.0 / len(kids))
+                else:
+                    out[d] = min(kids[i][0][d] for i in range(len(kids)))
+            elif isinstance(node, A.Or):
+                if isinstance(model, UnrankedBoolean):
+                    out[d] = 1.0
+                elif indri:
+                    p = None
+                    for i in range(len(kids)):
+                        v = 1.0 - val(i, d)
+                        p = v if p is None else p * v
+                    out[d] = 1.0 - p
+                else:
+                    out[d] = max(kids[i][0][d] for i in range(len(kids)) if d in kids[i][0])
+            elif isinstance(node, A.Sum):
+                if isinstance(model, UnrankedBoolean):
+                    out[d] = 1.0
+                else:
+                    s = 0.0
+                    for i in range(len(kids)):
+                        if indri:
+                            s += val(i, d)
+                        elif d in kids[i][0]:
+                            s += kids[i][0][d]
+                    out[d] = s
+            elif isinstance(node, A.Wand):
+                p = None
+                for i in range(len(kids)):
+                    if indri:
+                        v = val(i, d) ** (weights[i] / W)
+                    else:
+                        v = (kids[i][0].get(d, 1.0)) ** (weights[i] / W)
+                    p = v if p is None else p * v
+                out[d] = p
+            elif isinstance(node, A.Wsum):
+                s = 0.0
+                for i in range(len(kids)):
+                    if indri:
+                        s += val(i, d) * (weights[i] / W)
+                    elif isinstance(model, BM25):
+                        if d in kids[i][0]:
+                            s += kids[i][0][d] * ((model.k3 + 1.0) * weights[i]
+                                                  / (model.k3 + weights[i]))
+                    elif d in kids[i][0]:
+                        s += kids[i][0][d] * (weights[i] / W)
+                out[d] = s
+            else:
+                raise TypeError(node)
+        # defaults for the parent
+        if isinstance(node, A.And) and indri:
+            def dft(d, kids=kids, n=len(kids)):
+                p = None
+                for i in range(n):
+                    v = kids[i][1](d)
+                    p = v if p is None else p * v
+                return p ** (1.0 / n)
+        elif isinstance(node, A.Wand) and indri:
+            def dft(d, kids=kids, weights=weights, W=W):
+                p = None
+                for i in range(len(kids)):
+                    v = kids[i][1](d) ** (weights[i] / W)
+                    p = v if p is None else p * v
+                return p
+        elif isinstance(node, A.Wsum) and indri:
+            def dft(d, kids=kids, weights=weights, W=W):
+                return sum(kids[i][1](d) * (weights[i] / W) for i in range(len(kids)))
+        else:
+            def dft(d):
+                return 0.0
+        return out, dft
+
+    return sop(root)[0]
+
+
+def search(idx: OracleIndex, query: str, model_name: str = "bm25", k: int = 100,
+           **model_kw) -> list[tuple[str, float]]:
+    """Parse + evaluate + reference top-k sort."""
+    from .query.models import make_model
+    from .query.parser import QueryParser
+
+    m = make_model(model_name, **model_kw)
+    root = QueryParser(m.name).parse(query)
+    if root is None:
+        return []
+    return topk(evaluate(idx, root, m), idx.ext_ids, k)
+
+
 def bm25_bow_query(idx: OracleIndex, terms: list[str], f: str = "body", k: int = 100,
                    k1: float = 1.2, b: float = 0.75) -> list[tuple[str, float]]:
     """#SUM of #SCORE(term): the BM25 bag-of-words path (QrySopSum.java:59-80;

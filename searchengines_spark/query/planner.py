@@ -1,0 +1,308 @@
+"""AST -> DataFrame planner: compiles a structured query tree into a
+Catalyst logical plan producing (docid, score).
+
+Design (Spark-first, not a port):
+
+- ONE pruned index scan fetches the posting blocks for every term in the
+  query (bucket partition filter + term filter), decoded in one vectorized
+  pass. Each Term leaf is then a cheap filter on that cached DataFrame.
+- IOP operators (#SYN #NEAR #WINDOW) are DataFrame compositions: conjunctive
+  docid inner-joins followed by an Arrow-batched positional kernel
+  (positional.py). Their df/ctf stats are computed from the derived list —
+  same semantics as the reference's eager QryIop.evaluate()
+  (QryIop.java:186-212).
+- SOP operators join their children's score DataFrames ON docid (inner join
+  for match-ALL, full outer for match-MIN — the set-at-a-time equivalents of
+  docIteratorHasMatchAll/Min, Qry.java:247-347) and fold per-child score
+  columns IN QUERY ORDER with exactly the reference's arithmetic shape, so
+  floating-point results are bit-comparable to the single-node oracle.
+- Indri default scores (two-state smoothing, QrySopScore.java:13-26) are
+  column expressions over per-field doclen columns joined from doc_lens;
+  recursion follows QrySop*.getDefaultScore (AND: geo-mean of child
+  defaults; OR/SUM: 0.0; WAND: weighted geo-mean; WSUM: weighted sum).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import reduce
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..index.build import IndexReader
+from . import ast
+from .models import BM25, Indri, RankedBoolean, UnrankedBoolean
+from .positional import near_positions, syn_positions, window_positions
+from .postings import decode_postings
+
+
+@dataclass
+class Scored:
+    """A compiled SOP node: docs it matches (docid, score) + its Indri
+    default-score column (a function of len_<field> columns)."""
+
+    matches: DataFrame
+    default_col: Column
+
+
+@dataclass
+class IopResult:
+    df: DataFrame  # (docid, tf, doclen, positions)
+    field: str
+    df_stat: int
+    ctf_stat: int
+
+
+def _collect_terms(node: ast.Node) -> list[tuple[str, str]]:
+    if isinstance(node, ast.Term):
+        return [(node.field, node.term)]
+    if isinstance(node, ast.Score):
+        return _collect_terms(node.arg)
+    out: list[tuple[str, str]] = []
+    for a in node.args:
+        out.extend(_collect_terms(a))
+    return out
+
+
+def _collect_fields(node: ast.Node) -> set[str]:
+    return {f for f, _ in _collect_terms(node)}
+
+
+class Planner:
+    def __init__(self, reader: IndexReader, model):
+        self.reader = reader
+        self.model = model
+
+    # ------------------------------------------------------------------ api
+    def plan(self, root: ast.Node) -> DataFrame:
+        """Compile to a DataFrame (docid, score). Caller applies top-k."""
+        terms = sorted(set(_collect_terms(root)))
+        need_pos = self._needs_positions(root)
+        if terms:
+            self._postings = decode_postings(
+                self.reader.blocks_for(terms), with_positions=need_pos
+            ).cache()
+        else:
+            self._postings = None
+        self._stats = self.reader.term_stats(terms) if terms else {}
+        self._doclens = None
+        if isinstance(self.model, Indri):
+            fields = sorted(_collect_fields(root))
+            dl = (
+                self.reader.doc_lens()
+                .filter(F.col("field").isin(fields))
+                .groupBy("docid")
+                .pivot("field", fields)
+                .agg(F.first("len"))
+            )
+            for f in fields:
+                dl = dl.withColumnRenamed(f, f"len_{f}")
+            self._doclens = dl.cache()
+        scored = self._sop(root)
+        return scored.matches.select("docid", "score")
+
+    # ------------------------------------------------------------- helpers
+    def _needs_positions(self, node: ast.Node) -> bool:
+        if isinstance(node, ast.Near | ast.Window | ast.Syn):
+            return True
+        if isinstance(node, ast.Term):
+            return False
+        kids = [node.arg] if isinstance(node, ast.Score) else node.args
+        return any(self._needs_positions(a) for a in kids)
+
+    def _len_col(self, field: str) -> Column:
+        return F.coalesce(F.col(f"len_{field}").cast("double"), F.lit(0.0))
+
+    # ----------------------------------------------------------------- IOP
+    def _iop(self, node: ast.Node) -> IopResult:
+        if isinstance(node, ast.Term):
+            df_, ctf_ = self._stats.get((node.field, node.term), (0, 0))
+            pdf = self._postings.filter(
+                (F.col("field") == node.field) & (F.col("term") == node.term)
+            ).drop("field", "term")
+            return IopResult(pdf, node.field, df_, ctf_)
+
+        children = [self._iop(a) for a in node.args]
+        field = children[0].field
+        if isinstance(node, ast.Syn):
+            merged = reduce(
+                lambda a, b: a.unionByName(b),
+                [c.df.select("docid", "doclen", "positions") for c in children],
+            )
+            out = merged.groupBy("docid").agg(
+                F.first("doclen").alias("doclen"),
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"),
+            ).withColumn("tf", F.size("positions"))
+        else:
+            n = node.n
+            fn = near_positions if isinstance(node, ast.Near) else window_positions
+            joined = children[0].df.select(
+                "docid", "doclen", F.col("positions").alias("p0")
+            )
+            for i, c in enumerate(children[1:], start=1):
+                joined = joined.join(
+                    c.df.select("docid", F.col("positions").alias(f"p{i}")), "docid"
+                )
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def match_udf(plists: pd.Series) -> pd.Series:
+                return plists.map(lambda pls: fn([list(p) for p in pls], n))
+
+            out = (
+                joined.withColumn(
+                    "positions",
+                    match_udf(F.array(*[f"p{i}" for i in range(len(children))])),
+                )
+                .withColumn("tf", F.size("positions"))
+                .filter(F.col("tf") > 0)
+                .select("docid", "tf", "doclen", "positions")
+            )
+        out = out.cache()
+        # derived-list stats, same semantics as eager QryIop evaluation
+        row = out.agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")).collect()[0]
+        return IopResult(out, field, int(row["df"] or 0), int(row["ctf"] or 0))
+
+    # ----------------------------------------------------------------- SOP
+    def _sop(self, node: ast.Node) -> Scored:
+        m = self.model
+        if isinstance(node, ast.Score):
+            return self._score_leaf(node)
+
+        children = [self._sop(a) for a in node.args]
+        k = len(children)
+        weights = getattr(node, "weights", None)
+        total_w = sum(weights) if weights else None
+
+        # join type: match-ALL (#AND under unranked/ranked/bm25,
+        # Qry.java:247-294) vs match-MIN (everything else, Qry.java:324-347)
+        inner = isinstance(node, ast.And) and not isinstance(m, Indri)
+        how = "inner" if inner else "full"
+        dfs = [c.matches.withColumnRenamed("score", f"s{i}") for i, c in enumerate(children)]
+        joined = reduce(lambda a, b: a.join(b, "docid", how), dfs)
+        if isinstance(m, Indri) and self._doclens is not None:
+            joined = joined.join(self._doclens, "docid", "left")
+
+        s = [F.col(f"s{i}") for i in range(k)]
+        d = [c.default_col for c in children]
+        sv = [F.coalesce(s[i], d[i]) for i in range(k)]  # score-or-default
+
+        if isinstance(node, ast.And):
+            if isinstance(m, UnrankedBoolean):
+                score = F.lit(1.0)
+                default = F.lit(0.0)
+            elif isinstance(m, Indri):
+                # (prod s_i)^(1/n): QrySopAnd.java:83-118
+                prod = reduce(lambda a, b: a * b, sv)
+                score = F.pow(prod, F.lit(1.0 / k))
+                dprod = reduce(lambda a, b: a * b, d)
+                default = F.pow(dprod, F.lit(1.0 / k))
+            else:  # ranked boolean & bm25: min (QrySopAnd.java:121-169)
+                score = F.least(*s) if k > 1 else s[0]
+                default = F.lit(0.0)
+        elif isinstance(node, ast.Or):
+            if isinstance(m, UnrankedBoolean):
+                score = F.lit(1.0)
+            elif isinstance(m, Indri):
+                # 1 - prod(1 - s_i) with defaults (QrySopOr.java:46-79)
+                prod = reduce(lambda a, b: a * b, [F.lit(1.0) - x for x in sv])
+                score = F.lit(1.0) - prod
+            else:
+                # max over matching children (QrySopOr.java:81-151);
+                # greatest() skips NULLs = non-matching children
+                score = F.greatest(*s) if k > 1 else s[0]
+            default = F.lit(0.0)  # QrySopOr.java:12-14
+        elif isinstance(node, ast.Sum):
+            if isinstance(m, UnrankedBoolean):
+                score = F.lit(1.0)
+            elif isinstance(m, Indri):
+                score = reduce(lambda a, b: a + b, sv)
+            else:
+                # BM25: k3 factor with qtf=1 is exactly 1.0
+                # (QrySopSum.java:59-80); ranked: sum of matching
+                score = reduce(lambda a, b: a + b, [F.coalesce(x, F.lit(0.0)) for x in s])
+            default = F.lit(0.0)  # QrySopSum.java:13-15
+        elif isinstance(node, ast.Wand):
+            if isinstance(m, Indri):
+                # prod s_i^(w_i/W) (QrySopWAnd.java:86-121)
+                parts = [F.pow(sv[i], F.lit(weights[i] / total_w)) for i in range(k)]
+                score = reduce(lambda a, b: a * b, parts)
+                dparts = [F.pow(d[i], F.lit(weights[i] / total_w)) for i in range(k)]
+                default = reduce(lambda a, b: a * b, dparts)
+            else:
+                # reference's BM25 branch is broken (inits at MAX_VALUE,
+                # QrySopWAnd.java:123-147); we use the sane weighted
+                # geo-mean over matching children
+                parts = [
+                    F.pow(F.coalesce(s[i], F.lit(1.0)), F.lit(weights[i] / total_w))
+                    for i in range(k)
+                ]
+                score = reduce(lambda a, b: a * b, parts)
+                default = F.lit(0.0)
+        elif isinstance(node, ast.Wsum):
+            if isinstance(m, Indri):
+                parts = [sv[i] * F.lit(weights[i] / total_w) for i in range(k)]
+                score = reduce(lambda a, b: a + b, parts)
+                dparts = [d[i] * F.lit(weights[i] / total_w) for i in range(k)]
+                default = reduce(lambda a, b: a + b, dparts)
+            elif isinstance(m, BM25):
+                # sum s_i * (k3+1)w_i/(k3+w_i) over matching
+                # (QrySopWSum.java:107-128)
+                parts = [
+                    F.coalesce(s[i], F.lit(0.0))
+                    * F.lit((m.k3 + 1.0) * weights[i] / (m.k3 + weights[i]))
+                    for i in range(k)
+                ]
+                score = reduce(lambda a, b: a + b, parts)
+                default = F.lit(0.0)
+            else:
+                parts = [F.coalesce(s[i], F.lit(0.0)) * F.lit(weights[i] / total_w) for i in range(k)]
+                score = reduce(lambda a, b: a + b, parts)
+                default = F.lit(0.0)
+        else:
+            raise TypeError(f"not a SOP node: {node}")
+
+        matches = joined.select("docid", score.alias("score"))
+        return Scored(matches, default)
+
+    def _score_leaf(self, node: ast.Score) -> Scored:
+        m = self.model
+        iop = self._iop(node.arg)
+        pdf = iop.df
+        tf = F.col("tf").cast("double")
+        dl = F.col("doclen").cast("double")
+
+        if isinstance(m, BM25):
+            n_docs = self.reader.n_docs
+            avg = self.reader.avg_doclen(iop.field)
+            idf = max(0.0, math.log((n_docs - iop.df_stat + 0.5) / (iop.df_stat + 0.5)))
+            score = F.lit(idf) * tf / (
+                tf + F.lit(m.k1) * (F.lit(1.0 - m.b) + F.lit(m.b) * dl / F.lit(avg))
+            )
+            default = F.lit(0.0)
+        elif isinstance(m, Indri):
+            ctf = iop.ctf_stat if iop.ctf_stat != 0 else 0.5
+            pqc = ctf / self.reader.field_stats[iop.field][1]
+            score = (
+                F.lit(1.0 - m.lam) * (tf + F.lit(m.mu * pqc)) / (dl + F.lit(m.mu))
+                + F.lit(m.lam * pqc)
+            )
+            # default: same with tf=0 over the doc's field length
+            # (QrySopScore.java:13-26)
+            dlen = self._len_col(iop.field)
+            default = (
+                F.lit(1.0 - m.lam) * F.lit(m.mu * pqc) / (dlen + F.lit(m.mu))
+                + F.lit(m.lam * pqc)
+            )
+        elif isinstance(m, RankedBoolean):
+            score = tf
+            default = F.lit(0.0)
+        else:
+            score = F.lit(1.0)
+            default = F.lit(0.0)
+
+        return Scored(pdf.select("docid", score.alias("score")), default)
