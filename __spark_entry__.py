@@ -1,38 +1,265 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship BM25 top-k at sf0.001.
+``queries`` — one entry per implemented operator (SURVEY.md §2 + the
+              training-data-pipeline extensions), each the Spark half of a
+              (Spark, DuckDB) pair from searchengines_spark.analytic.
+``oracle_sql`` — the DuckDB half. Column names/aliases match exactly;
+              floating-point outputs rounded to 6dp on both sides;
+              LIMIT queries tie-break on ids deterministically.
+
+The compressed-index serving path (build + block-max WAND + Indri defaults +
+positional operators with consuming semantics) is not SQL-expressible; it is
+covered by the pytest oracle suite (tests/test_rank_identity.py etc.).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from searchengines_spark import analytic as A  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+_TOK = """
+tok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) WHERE term <> ''
+)"""
+
+_DL = "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id)"
+
+_TERMS_BM25 = "('dup','spark','query')"
+_TERMS_BOOL = "('spark','query','table')"
+
+_H32 = "CAST(CAST(('0x' || substr(md5({col}),1,8)) AS UBIGINT) AS BIGINT)"
+
+_SH3 = """
+sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w AS shingle,
+         lead(term,2) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE _ok IS NOT NULL)"""
+
+_MH = ",\nmh AS (SELECT doc_id, " + ", ".join(
+    f"MIN(({a}*h + {b}) % {A.HASH_P}) AS mh{i}" for i, (a, b) in enumerate(A.MINHASH_AB)
+) + f" FROM (SELECT doc_id, {_H32.format(col='shingle')} AS h FROM sh) GROUP BY doc_id)"
+
+_JAC = """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+)"""
+
+
+def _indri_sql() -> str:
+    mu, lam = A.INDRI_MU, A.INDRI_LAM
+    parts = []
+    for t in A.Q_BM25:
+        p = f"(CASE WHEN ctf_{t} = 0 THEN 0.5 ELSE CAST(ctf_{t} AS DOUBLE) END / sum_len)"
+        parts.append(
+            f"(({1.0 - lam}) * (CAST(COALESCE(tf_{t}, 0) AS DOUBLE) + ({mu} * {p})) / (CAST(len AS DOUBLE) + {mu}) + ({lam} * {p}))"
+        )
+    score = " + ".join(parts)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN tf END) AS tf_{t}" for t in A.Q_BM25
+    )
+    ctfs = ", ".join(
+        f"(SELECT COUNT(*) FROM tok WHERE term = '{t}') AS ctf_{t}" for t in A.Q_BM25
+    )
+    return f"""
+WITH {_TOK}, {_DL},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN {_TERMS_BM25} GROUP BY 1,2),
+wide AS (SELECT doc_id, {pivots} FROM tf GROUP BY doc_id),
+const AS (SELECT CAST((SELECT SUM(len) FROM dl) AS DOUBLE) AS sum_len, {ctfs})
+SELECT w.doc_id, ROUND({score}, 6) AS score
+FROM wide w JOIN dl USING(doc_id), const
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+
+def _simhash_sql() -> str:
+    bits = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}" for b in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH {_TOK},
+tfh AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1,2),
+hh AS (SELECT doc_id, tf, {_H32.format(col='term')} AS h FROM tfh),
+bits AS (SELECT doc_id, {bits} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits"""
+
+
+_COS_NRM = """
+qx AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id, label, generate_subscripts(embedding,1) AS i,
+       CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return A.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_stats": A.q_term_stats,
+        "doc_lens": A.q_doc_lens,
+        "corpus_stats": A.q_corpus_stats,
+        "bm25_topk": A.q_bm25_topk,
+        "indri_topk": A.q_indri_topk,
+        "and_ranked": A.q_and_ranked,
+        "or_ranked": A.q_or_ranked,
+        "syn_tf": A.q_syn_tf,
+        "near_pairs": A.q_near_pairs,
+        "window_pairs": A.q_window_pairs,
+        "dedup_exact": A.q_dedup_exact,
+        "minhash": A.q_minhash,
+        "lsh_dup_pairs": A.q_lsh_dup_pairs,
+        "jaccard_topk": A.q_jaccard_topk,
+        "simhash": A.q_simhash,
+        "cosine_topk": A.q_cosine_topk,
+        "ann_ivf_topk": A.q_ann_ivf_topk,
+        "lang_id": A.q_lang_id,
+        "quality": A.q_quality,
+        "token_stats": A.q_token_stats,
+        "fingerprint": A.q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k1, b = A.BM25_K1, A.BM25_B
+    return {
+        "term_stats": f"""
+WITH {_TOK}
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS ctf
+FROM tok GROUP BY term""",
+        "doc_lens": f"WITH {_TOK} SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id",
+        "corpus_stats": f"""
+WITH {_TOK}, {_DL}
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       ROUND(CAST(SUM(len) AS DOUBLE) / (SELECT COUNT(*) FROM documents), 6) AS avg_len
+FROM dl""",
+        "bm25_topk": f"""
+WITH {_TOK}, {_DL},
+const AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+                 (SELECT AVG(CAST(len AS DOUBLE)) FROM dl) AS avg_len),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN {_TERMS_BM25} GROUP BY 1,2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+  ROUND(SUM(GREATEST(0.0, LN((n_docs - df + 0.5)/(df + 0.5)))
+        * tf / (tf + {k1}*({1.0 - b} + {b}*CAST(len AS DOUBLE)/avg_len))), 6) AS score
+FROM tf JOIN df USING(term) JOIN dl USING(doc_id), const
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "indri_topk": _indri_sql(),
+        "and_ranked": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN {_TERMS_BOOL} GROUP BY 1,2)
+SELECT doc_id, CAST(MIN(tf) AS BIGINT) AS score FROM tf GROUP BY doc_id HAVING COUNT(*) = 3""",
+        "or_ranked": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN ('dup','spark') GROUP BY 1,2)
+SELECT doc_id, CAST(MAX(tf) AS BIGINT) AS score FROM tf GROUP BY doc_id""",
+        "syn_tf": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN ('spark','query') GROUP BY 1,2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf FROM tf GROUP BY doc_id""",
+        "near_pairs": f"""
+WITH {_TOK}
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT doc_id, pos FROM tok WHERE term = 'spark') a
+JOIN (SELECT doc_id, pos FROM tok WHERE term = 'query') b USING(doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos <= 3
+GROUP BY a.doc_id""",
+        "window_pairs": f"""
+WITH {_TOK}
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT doc_id, pos FROM tok WHERE term = 'spark') a
+JOIN (SELECT doc_id, pos FROM tok WHERE term = 'query') b USING(doc_id)
+WHERE ABS(a.pos - b.pos) < 4
+GROUP BY a.doc_id""",
+        "dedup_exact": """
+SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY md5(text)""",
+        "minhash": f"WITH {_TOK}, {_SH3} {_MH} SELECT * FROM mh",
+        "lsh_dup_pairs": f"""
+WITH {_TOK}, {_SH3} {_MH} {_JAC},
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id, j.jaccard FROM cand c JOIN jac j ON c.a_id = j.a_id AND c.b_id = j.b_id
+WHERE j.jaccard >= 0.5""",
+        "jaccard_topk": f"""
+WITH {_TOK}, {_SH3} {_JAC}
+SELECT a_id, b_id, jaccard FROM jac ORDER BY jaccard DESC, a_id ASC, b_id ASC LIMIT 15""",
+        "simhash": _simhash_sql(),
+        "cosine_topk": f"""
+WITH {_COS_NRM},
+dots AS (
+  SELECT e.vec_id, SUM(e.x * q.x) AS dot, SQRT(SUM(e.x * e.x)) AS ne, SQRT(SUM(q.x * q.x)) AS nq
+  FROM ex e JOIN qx q USING(i) WHERE e.vec_id <> 0 GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot/(ne*nq), 6) AS cos FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "ann_ivf_topk": f"""
+WITH {_COS_NRM},
+qlab AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id, SUM(e.x * q.x) AS dot, SQRT(SUM(e.x * e.x)) AS ne, SQRT(SUM(q.x * q.x)) AS nq
+  FROM ex e JOIN qx q USING(i), qlab WHERE e.vec_id <> 0 AND e.label = qlabel
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot/(ne*nq), 6) AS cos FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "lang_id": f"""
+WITH {_TOK}
+SELECT doc_id,
+       ROUND(AVG(CASE WHEN term IN ('the','a','of','and','to','in','is','it') THEN 1.0 ELSE 0.0 END), 6) AS stop_ratio,
+       ROUND(AVG(CASE WHEN term IN ('the','a','of','and','to','in','is','it') THEN 1.0 ELSE 0.0 END), 6) >= 0.05 AS pred_en
+FROM tok GROUP BY doc_id""",
+        "quality": f"""
+WITH {_TOK}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE)/COUNT(*), 6) AS ttr,
+       ROUND(AVG(CAST(LENGTH(term) AS DOUBLE)), 6) AS avg_tok_len
+FROM tok GROUP BY doc_id""",
+        "token_stats": f"""
+WITH {_TOK}
+SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok""",
+        "fingerprint": f"""
+WITH {_TOK},
+sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w || ' ' ||
+         lead(term,3) OVER w || ' ' || lead(term,4) OVER w AS shingle,
+         lead(term,4) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id, shingle FROM sh0 WHERE _ok IS NOT NULL)
+SELECT doc_id, MIN({_H32.format(col='shingle')}) AS fingerprint FROM sh GROUP BY doc_id""",
+    }

@@ -1,0 +1,112 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Phases:
+  build   — inverted-index build over the deterministic synthetic pages
+            corpus (north-star metric: docs/sec); corpus size scales with sf.
+  serve   — BM25 / structured / WAND query latency against the built index.
+  analytic— driver-table queries (bm25, dedup, similarity) at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_PAGES (override corpus size),
+     BENCH_PHASES (csv subset, default all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = SF_DIR.rstrip("/").split("sf")[-1]
+N_PAGES = int(os.environ.get("BENCH_N_PAGES", "0")) or max(2000, int(float(SF) * 100_000))
+PHASES = os.environ.get("BENCH_PHASES", "build,serve,analytic").split(",")
+
+SERVE_QUERIES = {
+    "bm25_bow": ("cebaba1 dibaba2 fobaba3 gubaba4", "bm25"),
+    "bm25_and": ("#AND( cebaba1 dibaba2 )", "bm25"),
+    "indri_wand": ("#WAND( 0.6 cebaba1 0.4 #AND( dibaba2 fobaba3 ) )", "indri"),
+    "near": ("#NEAR/4( cebaba1 dibaba2 )", "bm25"),
+    "ranked_or": ("#OR( dibaba2 fobaba3 )", "rankedboolean"),
+}
+
+ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk", "simhash",
+            "cosine_topk", "near_pairs", "quality"]
+
+
+def main():
+    from searchengines_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    queries: dict[str, float] = {}
+    extra: dict = {"n_pages": N_PAGES, "cpus": CPUS}
+    t_all = time.time()
+    idx_dir = tempfile.mkdtemp(prefix="benchidx_")
+    try:
+        if "build" in PHASES or "serve" in PHASES:
+            from searchengines_spark.corpus import generate_pages
+            from searchengines_spark.index import IndexReader, build_index
+
+            pages_path = os.path.join(idx_dir, "pages_parquet")
+            t0 = time.time()
+            generate_pages(spark, N_PAGES, seed=42,
+                           partitions=max(CPUS, N_PAGES // 5000)).write.parquet(pages_path)
+            queries["gen_pages"] = round(time.time() - t0, 3)
+            pages = spark.read.parquet(pages_path)
+
+            t0 = time.time()
+            m = build_index(spark, pages, os.path.join(idx_dir, "idx"),
+                            n_salts=max(CPUS, 16))
+            queries["index_build"] = round(time.time() - t0, 3)
+            extra["build_docs_per_sec"] = round(m["docs_per_sec"], 1)
+            extra["build_postings_per_sec"] = round(m["postings_per_sec"], 1)
+            extra["bytes_compressed"] = m["bytes_compressed"]
+
+        if "serve" in PHASES:
+            from searchengines_spark.engine import Engine
+
+            reader = IndexReader(spark, os.path.join(idx_dir, "idx"))
+            eng = Engine(reader)
+            lat = []
+            for name, (q, model) in SERVE_QUERIES.items():
+                t0 = time.time()
+                eng.search(q, model=model, k=100).collect()
+                dt = time.time() - t0
+                queries[f"serve_{name}"] = round(dt, 3)
+                lat.append(dt)
+            lat.sort()
+            extra["serve_p95_sec"] = round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
+
+        if "analytic" in PHASES:
+            import __spark_entry__ as E
+
+            qs = E.queries()
+            for name in ANALYTIC:
+                t0 = time.time()
+                qs[name](spark, SF_DIR).collect()
+                queries[f"analytic_{name}"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+    total = round(time.time() - t_all, 3)
+    print(json.dumps({
+        "metric": "index-build+serve+analytic wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF),
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
