@@ -1,0 +1,283 @@
+"""Block-max WAND top-k serving path for BM25 bag-of-words queries.
+
+The reference evaluates exhaustively — its DAAT loop visits every matching
+doc (QryEval.java:1172-1178) with no pruning. Per the north rule we add
+block-max WAND [Ding & Suel, SIGIR 2011 — public algorithm]: per-block
+max-score metadata lets the scorer skip (never even varint-decode) blocks
+that cannot contribute a top-k document. Results are score-identical to the
+exhaustive path — pruning only skips docs that cannot enter the top k
+(tie-safe: upper-bound comparisons evaluate on equality, since an equal
+score with a smaller docid still wins under the reference tie rule).
+
+Two-level pruning, classic BMW:
+1. pivot selection over GLOBAL per-term upper bounds (max block max in the
+   stripe) — sound for any doc position;
+2. at the pivot, a second check over CURRENT block maxes after a *shallow*
+   block advance (block pointers move, nothing decodes).
+
+Distribution story (how this runs on 1000 executors): the index's ``salt``
+is a *docid-range stripe* (build.py), so all blocks of one salt cover a
+disjoint docid range. groupBy(salt) -> each task runs an independent WAND
+over its docid slice with a local threshold and emits its local top-k; a
+tiny global merge (k rows per stripe) finishes. Threshold sharing across
+stripes is impossible in one pass — pruning is per-stripe, still sound.
+
+Tie-break: docid asc == url asc (docids are ranks of sorted urls), matching
+the reference sort rule (ScoreList.java:90-105).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..index import codec
+from ..index.build import IndexReader
+
+
+class _TermCursor:
+    """Lazy cursor over one term's blk-ordered blocks within a salt stripe.
+    Blocks decode only when entered; shallow moves never decode."""
+
+    __slots__ = ("blocks", "bi", "docids", "tfs", "doclens", "pi",
+                 "idf", "k1", "b", "avg", "decodes", "global_ub")
+
+    def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float):
+        # blocks: [(max_docid, max_score, docids_z, tfs_z, doclens_z)] blk-ordered
+        self.blocks = blocks
+        self.bi = 0
+        self.docids = None
+        self.pi = 0
+        self.idf = idf
+        self.k1 = k1
+        self.b = b
+        self.avg = avg
+        self.decodes = 0
+        self.global_ub = max(b_[1] for b_ in blocks) if blocks else 0.0
+
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.blocks)
+
+    def _decode(self):
+        if self.docids is None:
+            _, _, dz, tz, lz = self.blocks[self.bi]
+            self.docids, self.tfs, self.doclens = codec.decode_block(dz, tz, lz)
+            self.decodes += 1
+
+    def cur_doc(self) -> int:
+        self._decode()
+        return int(self.docids[self.pi])
+
+    def block_max(self) -> float:
+        return self.blocks[self.bi][1]
+
+    def score_cur(self) -> float:
+        tf = float(self.tfs[self.pi])
+        dl = float(self.doclens[self.pi])
+        return self.idf * tf / (tf + self.k1 * ((1.0 - self.b) + self.b * dl / self.avg))
+
+    def shallow_advance(self, target: int):
+        """Move the block pointer until current block may contain docids >=
+        target. No decode."""
+        while self.bi < len(self.blocks) and self.blocks[self.bi][0] < target:
+            self.bi += 1
+            self.docids = None
+            self.pi = 0
+
+    def advance_to(self, target: int):
+        """First posting with docid >= target."""
+        start_bi = self.bi
+        self.shallow_advance(target)
+        if self.exhausted():
+            return
+        self._decode()
+        base = self.pi if self.bi == start_bi else 0
+        self.pi = base + int(np.searchsorted(self.docids[base:], target))
+        if self.pi >= len(self.docids):
+            self.bi += 1
+            self.docids = None
+            self.pi = 0
+
+    def advance(self):
+        self._decode()
+        self.pi += 1
+        if self.pi >= len(self.docids):
+            self.bi += 1
+            self.docids = None
+            self.pi = 0
+
+
+def _push(heap, k, score, docid):
+    # min-heap of (score, -docid): among equal scores the LARGEST docid is
+    # weakest (reference tie rule prefers smaller external id)
+    item = (score, -docid)
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+
+
+def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
+                 k1: float, b: float, avg: float, require_all: bool) -> tuple[list, int]:
+    """Block-max WAND over one salt stripe.
+    term_blocks: query-term-index -> block tuples. Returns (top-k, decodes)."""
+    n_terms = len(idfs)
+    cursors: list[tuple[int, _TermCursor]] = []
+    for i in range(n_terms):
+        blks = term_blocks.get(i)
+        if blks:
+            cursors.append((i, _TermCursor(blks, idfs[i], k1, b, avg)))
+    if require_all and len(cursors) < n_terms:
+        return [], 0
+    heap: list[tuple[float, int]] = []
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -math.inf
+
+    live = [c for c in cursors if not c[1].exhausted()]
+    while live:
+        if require_all and len(live) < n_terms:
+            break
+        live.sort(key=lambda c: c[1].cur_doc())
+
+        if require_all:
+            hi = live[-1][1].cur_doc()
+            if live[0][1].cur_doc() != hi:
+                for _, cur in live:
+                    if cur.cur_doc() < hi:
+                        cur.advance_to(hi)
+                live = [c for c in live if not c[1].exhausted()]
+                continue
+            ub = sum(cur.block_max() for _, cur in live)
+            if ub < theta():  # tie-safe: evaluate on equality
+                for _, cur in live:
+                    cur.advance_to(hi + 1)
+            else:
+                score = 0.0
+                for _, cur in sorted(live, key=lambda c: c[0]):  # query order
+                    score += cur.score_cur()
+                _push(heap, k, score, hi)
+                for _, cur in live:
+                    cur.advance()
+            live = [c for c in live if not c[1].exhausted()]
+            continue
+
+        # --- disjunctive: level-1 pivot over GLOBAL upper bounds ----------
+        acc = 0.0
+        pivot_j = None
+        for j, (_, cur) in enumerate(live):
+            acc += cur.global_ub
+            if acc >= theta():  # >= : ties must be evaluated
+                pivot_j = j
+                break
+        if pivot_j is None:
+            break  # nothing anywhere can reach the threshold
+        pivot_doc = live[pivot_j][1].cur_doc()
+
+        # --- level-2: block-max check at the pivot -----------------------
+        # head = every cursor that can contribute to pivot_doc, i.e.
+        # cur_doc <= pivot_doc (cursors after pivot_j may sit exactly AT it)
+        n_head = pivot_j + 1
+        while n_head < len(live) and live[n_head][1].cur_doc() <= pivot_doc:
+            n_head += 1
+        head = live[:n_head]
+        for _, cur in head:
+            cur.shallow_advance(pivot_doc)
+        head = [c for c in head if not c[1].exhausted()]
+        block_ub = sum(cur.block_max() for _, cur in head)
+        if block_ub < theta():
+            # Docs in [pivot_doc, nxt) contain only head terms (everyone
+            # else's cur_doc is larger), and their block-UB sum stays below
+            # the threshold until a head block ends — so skip to
+            # nxt = min(head block boundaries)+1, capped at the next
+            # non-head cursor's docid (BMW "next shallow" move).
+            nxt = min(cur.blocks[cur.bi][0] for _, cur in head) + 1 if head else pivot_doc + 1
+            if n_head < len(live):
+                nxt = min(nxt, live[n_head][1].cur_doc())
+            nxt = max(nxt, pivot_doc + 1)
+            for _, cur in head:
+                cur.advance_to(nxt)
+            live = [c for c in live if not c[1].exhausted()]
+            continue
+
+        # shallow advances may have exhausted or moved cursors — re-derive
+        live = [c for c in live if not c[1].exhausted()]
+        if not live:
+            break
+        lo = min(cur.cur_doc() for _, cur in live)
+        if lo == pivot_doc:
+            at = [(i, cur) for i, cur in live if cur.cur_doc() == pivot_doc]
+            score = 0.0
+            for _, cur in sorted(at, key=lambda c: c[0]):  # query order
+                score += cur.score_cur()
+            _push(heap, k, score, pivot_doc)
+            for _, cur in at:
+                cur.advance()
+        elif lo < pivot_doc:
+            nxt_cur = min((c for c in live), key=lambda c: c[1].cur_doc())
+            nxt_cur[1].advance_to(pivot_doc)
+        # lo > pivot_doc: pivot_doc vanished via shallow moves; just re-loop
+        live = [c for c in live if not c[1].exhausted()]
+
+    decodes = sum(cur.decodes for _, cur in cursors)
+    ranked = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(d, s) for s, d in ranked], decodes
+
+
+WAND_SCHEMA = T.StructType([
+    T.StructField("docid", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("decodes", T.LongType(), False),
+])
+
+
+def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
+              k: int = 100, k1: float = 1.2, b: float = 0.75,
+              require_all: bool = False, debug: bool = False) -> DataFrame:
+    """Distributed block-max WAND top-k over the compressed index.
+    Score-identical to the exhaustive #SUM/#AND-conjunctive BM25 path.
+    NOTE: block max_score metadata is computed at build time with the
+    build's (k1, b); this path requires matching params (default match)."""
+    pairs = [(field, t) for t in terms]
+    stats = reader.term_stats(pairs)
+    n_docs, avg = reader.n_docs, reader.avg_doclen(field)
+    idfs = []
+    for t in terms:
+        df_ = stats.get((field, t), (0, 0))[0]
+        idfs.append(max(0.0, math.log((n_docs - df_ + 0.5) / (df_ + 0.5))) if df_ else 0.0)
+    term_ix = {t: i for i, t in enumerate(terms)}
+
+    blocks = reader.blocks_for(pairs).select(
+        "term", "salt", "blk", "max_docid", "max_score", "docids_z", "tfs_z", "doclens_z"
+    )
+
+    def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tb: dict[int, list] = {}
+        for term, g in pdf.groupby("term"):
+            g = g.sort_values("blk")
+            tb[term_ix[term]] = list(zip(
+                g["max_docid"].astype(int), g["max_score"].astype(float),
+                [bytes(x) for x in g["docids_z"]], [bytes(x) for x in g["tfs_z"]],
+                [bytes(x) for x in g["doclens_z"]],
+            ))
+        top, dec = _wand_stripe(tb, idfs, k, k1, b, avg, require_all)
+        return pd.DataFrame([(d, s, dec) for d, s in top],
+                            columns=["docid", "score", "decodes"])
+
+    local = blocks.groupBy("salt").applyInPandas(run_stripe, WAND_SCHEMA)
+    if debug:
+        return local
+    urls = reader.docid_url_map()
+    return (
+        local.join(urls, "docid")
+        .select("url", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )

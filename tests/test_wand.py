@@ -1,0 +1,115 @@
+"""Block-max WAND exactness: kernel top-k must equal exhaustive evaluation
+(scores identical, reference tie rule), with pruning only skipping
+non-top-k docs."""
+
+import math
+
+import numpy as np
+import pytest
+
+from searchengines_spark.index import codec
+from searchengines_spark.query.wand import _wand_stripe
+
+K1, B = 1.2, 0.75
+
+
+def make_stripe(rng, n_terms=4, n_docs=400, block=16, density=0.3):
+    """Random postings -> block tuples + brute-force data."""
+    avg = 0.0
+    doclens = rng.integers(20, 300, n_docs).astype(np.uint64)
+    avg = float(doclens.mean())
+    term_blocks, postings, idfs = {}, {}, []
+    for t in range(n_terms):
+        mask = rng.random(n_docs) < density * (0.3 + rng.random())
+        docids = np.flatnonzero(mask).astype(np.uint64)
+        tfs = rng.integers(1, 9, len(docids)).astype(np.uint64)
+        df = len(docids)
+        idf = max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5))) if df else 0.0
+        idfs.append(idf)
+        postings[t] = {int(d): int(tf) for d, tf in zip(docids, tfs)}
+        blks = []
+        for s in range(0, len(docids), block):
+            d, tf = docids[s:s + block], tfs[s:s + block]
+            dl = doclens[d.astype(np.int64)]
+            dz, tz, lz = codec.encode_block(d, tf, dl)
+            ms = codec.bm25_upper_bound(tf, dl, df, n_docs, avg, K1, B)
+            blks.append((int(d[-1]), ms, dz, tz, lz))
+        if blks:
+            term_blocks[t] = blks
+    return term_blocks, postings, idfs, doclens, avg, n_docs
+
+
+def brute_force(postings, idfs, doclens, avg, n_docs, k, require_all):
+    n_terms = len(idfs)
+    docs = set()
+    for pl in postings.values():
+        docs |= set(pl)
+    out = []
+    for d in docs:
+        present = [t for t in range(n_terms) if d in postings[t]]
+        if require_all and len(present) < n_terms:
+            continue
+        s = 0.0
+        for t in present:  # query-term order
+            tf = float(postings[t][d])
+            dl = float(doclens[d])
+            s += idfs[t] * tf / (tf + K1 * ((1.0 - B) + B * dl / avg))
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("require_all", [False, True])
+@pytest.mark.parametrize("k", [3, 10, 1000])
+def test_wand_exact(seed, require_all, k):
+    rng = np.random.default_rng(seed)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    got, decodes = _wand_stripe(tb, idfs, k, K1, B, avg, require_all)
+    want = brute_force(postings, idfs, doclens, avg, n_docs, k, require_all)
+    assert [d for d, _ in got] == [d for d, _ in want], (seed, require_all, k)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (seed, gd, gs, ws)
+
+
+def test_wand_actually_prunes():
+    """With small k and many blocks, some blocks must never decode."""
+    rng = np.random.default_rng(123)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(
+        rng, n_terms=3, n_docs=5000, block=16, density=0.5
+    )
+    total_blocks = sum(len(b) for b in tb.values())
+    _, decodes = _wand_stripe(tb, idfs, 3, K1, B, avg, False)
+    assert decodes < total_blocks, f"no pruning: {decodes} >= {total_blocks}"
+
+
+def test_wand_missing_term_disjunctive():
+    rng = np.random.default_rng(7)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng, n_terms=3)
+    tb.pop(1, None)
+    postings[1] = {}
+    idfs = list(idfs)
+    got, _ = _wand_stripe(tb, idfs, 10, K1, B, avg, False)
+    want = brute_force(postings, idfs, doclens, avg, n_docs, 10, False)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_wand_spark_end_to_end(spark, tiny_index):
+    """Distributed WAND == planner #SUM path on the tiny index."""
+    from searchengines_spark.engine import Engine
+    from searchengines_spark.query.wand import wand_topk
+
+    terms = ["cebaba1", "dibaba2", "fobaba3"]
+    eng = Engine(tiny_index)
+    want = [(r["url"], r["score"]) for r in
+            eng.search(" ".join(terms), "bm25", 20).collect()]
+    got = [(r["url"], r["score"]) for r in
+           wand_topk(tiny_index, terms, k=20).collect()]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
+
+    # conjunctive: equals #AND doc set scored as sum
+    got_and = [r["url"] for r in wand_topk(tiny_index, terms[:2], k=20, require_all=True).collect()]
+    and_docs = {r["url"] for r in eng.search(f"#AND( {terms[0]} {terms[1]} )", "bm25", 300).collect()}
+    assert set(got_and) <= and_docs and len(got_and) == min(20, len(and_docs))
