@@ -177,6 +177,52 @@ def pages_to_field_docs(pages: DataFrame) -> DataFrame:
     )
 
 
+TOKENIZED_SCHEMA = T.StructType([
+    T.StructField("docid", T.LongType(), False),
+    T.StructField("field", T.StringType(), False),
+    T.StructField("term", T.StringType(), False),  # '' = doclen sentinel row
+    T.StructField("tf", T.IntegerType(), False),
+    T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    T.StructField("doclen", T.IntegerType(), False),
+])
+
+
+def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
+    """One tokenize pass -> per-(doc, field, term) postings rows WITH
+    positions, tf and inline doclen, aggregated doc-locally inside the Arrow
+    batch (a document's postings never cross a partition boundary, so the
+    (docid, field, term) groupBy needs NO shuffle — the scale win over
+    explode->groupBy at 10^12 docs). One sentinel row per (doc, field) with
+    term='' carries the field length (incl. stopword slots) even when every
+    token is a stopword."""
+    import pandas as pd
+
+    from .tokenizer import tokenize_full
+
+    def explode(batches):
+        for pdf in batches:
+            recs = []
+            for url, html, docid in zip(pdf["url"], pdf["html"], pdf["docid"]):
+                d = int(docid)
+                fields = extract_fields(url, bytes(html))
+                for f in FIELDS:
+                    toks = tokenize_full(fields[f])
+                    recs.append((d, f, "", 0, [], len(toks)))
+                    acc: dict[str, list[int]] = {}
+                    for i, t in enumerate(toks):
+                        if t is not None:
+                            acc.setdefault(t, []).append(i)
+                    for t, ps in acc.items():
+                        recs.append((d, f, t, len(ps), ps, len(toks)))
+            yield pd.DataFrame(
+                recs, columns=["docid", "field", "term", "tf", "positions", "doclen"]
+            )
+
+    return pages_with_docid.select("url", "html", "docid").mapInPandas(
+        explode, TOKENIZED_SCHEMA
+    )
+
+
 def assign_docids(pages: DataFrame) -> DataFrame:
     """Deterministic dense docid: rank of url in sorted order (url IS the
     external id, as in the reference's internal/external docid split,

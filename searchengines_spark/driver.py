@@ -1,0 +1,190 @@
+"""Batch run driver — the equivalent of the reference's QryEval.main
+(QryEval.java:45-92): a parameter dict selects retrieval model / PRF / LTR /
+diversification, queries stream from a ``qid:querytext`` file, output is
+TREC-format lines (``qid Q0 extid rank score runid``).
+
+Parameter keys mirror the reference param files (PARAM_DIR/*.param):
+  retrievalAlgorithm  UnrankedBoolean | RankedBoolean | BM25 | Indri | ltr
+  trecEvalOutputLength, trecEvalOutputPath
+  BM25:k_1 BM25:b BM25:k_3 / Indri:mu Indri:lambda
+  prf, prf:numDocs, prf:numTerms, prf:Indri:mu, prf:expansionField,
+  prf:Indri:origWeight
+  diversity, diversity:algorithm (xQuAD|PM2), diversity:lambda,
+  diversity:maxInputRankingsLength, diversity:maxResultRankingLength,
+  diversity:intentsFile
+  ltr:trainingQueryFile, ltr:trainingQrelsFile (qid 0 extid rel)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .engine import Engine
+from .index.build import IndexReader
+
+
+def parse_queries(path_or_lines) -> dict[str, str]:
+    """``qid:querytext`` lines (QryEval.java:1381-1386)."""
+    if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
+        with open(path_or_lines) as f:
+            lines = f.readlines()
+    else:
+        lines = list(path_or_lines)
+    out = {}
+    for ln in lines:
+        ln = ln.strip()
+        if not ln:
+            continue
+        qid, _, q = ln.partition(":")
+        out[qid.strip()] = q.strip()
+    return out
+
+
+def parse_intents(path_or_lines) -> dict[str, list[tuple[int, str]]]:
+    """``qid.i:intent text`` lines (QryEval.java:319-334)."""
+    if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
+        with open(path_or_lines) as f:
+            lines = f.readlines()
+    else:
+        lines = list(path_or_lines)
+    out: dict[str, list[tuple[int, str]]] = {}
+    for ln in lines:
+        ln = ln.strip()
+        if not ln:
+            continue
+        head, _, text = ln.partition(":")
+        qid, _, i = head.partition(".")
+        out.setdefault(qid, []).append((int(i), text.strip()))
+    return out
+
+
+def parse_qrels(path_or_lines) -> list[tuple[str, str, int]]:
+    """``qid 0 extdocid rel`` (QryEval.java:520-544); rel<0 -> 0."""
+    if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
+        with open(path_or_lines) as f:
+            lines = f.readlines()
+    else:
+        lines = list(path_or_lines)
+    out = []
+    for ln in lines:
+        parts = ln.split()
+        if len(parts) >= 4:
+            out.append((parts[0], parts[2], max(0, int(parts[3]))))
+    return out
+
+
+def _model_kw(params: dict) -> tuple[str, dict]:
+    algo = params.get("retrievalAlgorithm", "BM25").lower()
+    if algo == "bm25":
+        return "bm25", {
+            "k1": float(params.get("BM25:k_1", 1.2)),
+            "b": float(params.get("BM25:b", 0.75)),
+            "k3": float(params.get("BM25:k_3", 0.0)),
+        }
+    if algo == "indri":
+        return "indri", {
+            "mu": float(params.get("Indri:mu", 2500)),
+            "lam": float(params.get("Indri:lambda", 0.4)),
+        }
+    return algo, {}
+
+
+def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
+              run_id: str = "run") -> list[str]:
+    """EP1/EP3 (+PRF): returns TREC output lines for every query."""
+    eng = Engine(reader)
+    k = int(params.get("trecEvalOutputLength", 100))
+    model, kw = _model_kw(params)
+
+    if str(params.get("diversity", "false")).lower() == "true":
+        return _run_diversity(eng, params, queries, run_id, k, model, kw)
+
+    use_prf = params.get("prf", "").lower() in ("indri", "true")
+    lines: list[str] = []
+    for qid, q in queries.items():
+        if use_prf:
+            from .prf import prf_search
+
+            final, _, _ = prf_search(
+                eng, q, model=model, k=k,
+                num_docs=int(params.get("prf:numDocs", 10)),
+                num_terms=int(params.get("prf:numTerms", 10)),
+                mu=float(params.get("prf:Indri:mu", 0.0)),
+                orig_weight=float(params.get("prf:Indri:origWeight", 0.5)),
+                field=params.get("prf:expansionField", "body"),
+                **kw,
+            )
+            ranking = [(r["url"], r["score"]) for r in final.collect()]
+        else:
+            ranking = [(r["url"], r["score"]) for r in eng.search(q, model, k, **kw).collect()]
+        lines.extend(Engine.trec_lines(qid, ranking, run_id))
+    return lines
+
+
+def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[str]:
+    """EP3 (QryEval.java:231-487): query + per-intent rankings -> greedy
+    re-rank via xQuAD/PM2."""
+    from .diversify import diversify_df
+
+    intents = parse_intents(params["diversity:intentsFile"])
+    max_in = int(params.get("diversity:maxInputRankingsLength", 100))
+    max_out = int(params.get("diversity:maxResultRankingLength", 100))
+    lam = float(params.get("diversity:lambda", 0.5))
+    algo = params.get("diversity:algorithm", "xQuAD")
+
+    spark = eng.reader.spark
+    url_ids = eng.reader.docid_url_map()
+    rows = []
+    for qid, q in queries.items():
+        rankings = [(0, q)] + [(i, text) for i, text in intents.get(qid, [])]
+        for intent_no, text in rankings:
+            res = eng.search(text, model, max_in, **kw)
+            for r in res.join(url_ids, "url").collect():
+                rows.append((qid, intent_no, int(r["docid"]), float(r["score"])))
+    rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
+    out = diversify_df(rdf, algo, lam, max_in, max_out).join(url_ids, "docid")
+    lines = []
+    for qid in queries:
+        rs = sorted(
+            [(r["rank"], r["url"], r["score"]) for r in out.filter(F.col("qid") == qid).collect()]
+        )[: k]
+        lines.extend(Engine.trec_lines(qid, [(u, s) for _, u, s in rs], run_id))
+    return lines
+
+
+def run_ltr(reader: IndexReader, params: dict, train_queries: dict[str, str],
+            test_queries: dict[str, str], qrels: list[tuple[str, str, int]],
+            run_id: str = "run") -> list[str]:
+    """EP2 (QryEval.java:951-1057): train features on qrels, initial BM25
+    top-100 for test queries, feature-score rerank, TREC output."""
+    from .ltr import extract_features, minmax_normalize, rerank, train_ridge
+
+    spark = reader.spark
+    eng = Engine(reader)
+    k = int(params.get("trecEvalOutputLength", 100))
+    url_ids = reader.docid_url_map()
+    url2id = {r["url"]: int(r["docid"]) for r in url_ids.collect()}
+
+    train_rows = [(qid, url2id[u], rel) for qid, u, rel in qrels if u in url2id]
+    cand_train = spark.createDataFrame(train_rows, ["qid", "docid", "rel"])
+    feats = minmax_normalize(extract_features(reader, cand_train, train_queries))
+    w = train_ridge(feats)
+
+    test_rows = []
+    for qid, q in test_queries.items():
+        top = eng.search(q, "bm25", 100)
+        for r in top.join(url_ids, "url").collect():
+            test_rows.append((qid, int(r["docid"]), 0))
+    cand_test = spark.createDataFrame(test_rows, ["qid", "docid", "rel"])
+    tfeats = minmax_normalize(extract_features(reader, cand_test, test_queries))
+    ranked = rerank(tfeats, w, url_ids, k=k)
+    lines = []
+    for qid in test_queries:
+        rs = sorted(
+            [(r["rank"], r["url"], r["ltr_score"]) for r in
+             ranked.filter(F.col("qid") == qid).collect()]
+        )
+        lines.extend(Engine.trec_lines(qid, [(u, s) for _, u, s in rs], run_id))
+    return lines

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..corpus import assign_docids, pages_to_field_docs
+from ..corpus import assign_docids, pages_to_tokenized
 from . import codec
 
 N_BUCKETS = 64
@@ -112,6 +112,22 @@ def build_index(
         _mark_stage(index_dir, "docids")
     docids = spark.read.parquet(docids_path)
 
+    # per-doc metadata attributes (reference: spamScore/rawUrl/PageRank via
+    # Idx.getAttribute, Idx.java:47-52; QryEval.java:822-829). The synthetic
+    # corpus has no crawl-time metadata, so spam/pagerank are deterministic
+    # md5-derived stand-ins; raw_url is real.
+    attrs_path = os.path.join(index_dir, "attrs")
+    if not (resume and _stage_done(index_dir, "attrs")):
+        docids.select(
+            "docid",
+            F.col("url").alias("raw_url"),
+            (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
+            .cast("double").alias("spam_score"),
+            ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
+            .alias("page_rank"),
+        ).write.mode("overwrite").parquet(attrs_path)
+        _mark_stage(index_dir, "attrs")
+
     n_docs = n_docs_hint or docids.count()
     salt_range = max(1, math.ceil(n_docs / n_salts))
     metrics["n_docs"] = n_docs
@@ -123,25 +139,18 @@ def build_index(
     doc_terms_path = os.path.join(index_dir, "doc_terms")
     doc_lens_path = os.path.join(index_dir, "doc_lens")
     if not (resume and _stage_done(index_dir, "doc_terms")):
-        field_docs = pages_to_field_docs(pages).join(docids, "url")
-        lens = field_docs.select(
-            "docid", "field", F.size("tokens").cast("int").alias("len")
-        )
-        lens.write.mode("overwrite").parquet(doc_lens_path)
-
-        exploded = (
-            field_docs.select(
-                "docid", "field", F.size("tokens").alias("len"),
-                F.posexplode("tokens").alias("pos", "term"),
-            )
-            .filter(F.col("term").isNotNull())
-        )
-        doc_terms = exploded.groupBy("docid", "field", "term").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.first("len").cast("int").alias("doclen"),
-        )
-        doc_terms.write.mode("overwrite").parquet(doc_terms_path)
+        # one tokenize pass; (docid, field, term) aggregation happens
+        # doc-locally inside the Arrow batch -> NO groupBy shuffle here
+        # no broadcast hint: docids is O(n_docs) — AQE broadcasts when small,
+        # sort-merge joins at 10^12 scale
+        with_ids = pages.filter(F.col("lang") == "en").join(docids, "url")
+        tokenized_path = os.path.join(index_dir, "tokenized")
+        pages_to_tokenized(with_ids).write.mode("overwrite").parquet(tokenized_path)
+        tokenized = spark.read.parquet(tokenized_path)
+        tokenized.filter(F.col("term") == "").select(
+            "docid", "field", F.col("doclen").cast("int").alias("len")
+        ).write.mode("overwrite").parquet(doc_lens_path)
+        tokenized.filter(F.col("term") != "").write.mode("overwrite").parquet(doc_terms_path)
         _mark_stage(index_dir, "doc_terms")
     doc_terms = spark.read.parquet(doc_terms_path)
 
@@ -292,3 +301,6 @@ class IndexReader:
 
     def doc_lens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "doc_lens"))
+
+    def attrs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "attrs"))

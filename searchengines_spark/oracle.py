@@ -348,6 +348,45 @@ def search(idx: OracleIndex, query: str, model_name: str = "bm25", k: int = 100,
     return topk(evaluate(idx, root, m), idx.ext_ids, k)
 
 
+def prf_expansion(idx: OracleIndex, initial: list[tuple[int, float]],
+                  num_docs: int, num_terms: int, mu: float,
+                  field: str = "body") -> list[tuple[str, float]]:
+    """Faithful sequential replica of getExpansionTermIndri
+    (QryEval.java:1218-1306), incl. incremental unseen-term mass."""
+    fieldlen = float(idx.sum_len(field))
+    seen: dict[str, float] = {}
+    sum_prev = 0.0
+    for d, score in initial[:num_docs]:
+        dl = float(idx.get_len(field, d))
+        if dl == 0.0 and mu == 0.0:
+            continue
+        doc_terms = {
+            t: len(pl[d])
+            for (f_, t), pl in idx.postings.items()
+            if f_ == field and d in pl
+        }
+        unseen = set(seen)
+        for t in sorted(doc_terms):
+            if "." in t or "," in t or not t.isascii():
+                continue
+            unseen.discard(t)
+            tf = float(doc_terms[t])
+            ctf = float(idx.ctf(field, t))
+            idf = math.log(fieldlen / ctf)
+            ptc = ctf / fieldlen
+            prev = seen.get(t, ptc * sum_prev * idf)
+            ptd = (tf + mu * ptc) / (dl + mu)
+            seen[t] = prev + score * idf * ptd
+        for t in unseen:
+            ctf = float(idx.ctf(field, t))
+            idf = math.log(fieldlen / ctf)
+            ptc = ctf / fieldlen
+            seen[t] = seen[t] + score * ((mu * ptc) / (dl + mu)) * idf
+        sum_prev += (mu * score) / (dl + mu)
+    out = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out[:num_terms]
+
+
 def bm25_bow_query(idx: OracleIndex, terms: list[str], f: str = "body", k: int = 100,
                    k1: float = 1.2, b: float = 0.75) -> list[tuple[str, float]]:
     """#SUM of #SCORE(term): the BM25 bag-of-words path (QrySopSum.java:59-80;

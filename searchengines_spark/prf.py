@@ -94,6 +94,11 @@ def prf_search(engine, query: str, model: str = "indri", k: int = 100,
     """Full PRF loop: initial ranking -> expansion -> rewritten query -> final
     ranking (QryEval.java:1388-1416). Returns (final_df, expansion_terms,
     expanded_query_string)."""
+    # the rewritten #WAND embeds the original query as ONE operand, so a bare
+    # bag-of-words query must be wrapped in the model default op first
+    # (the reference's .qry inputs are always operator-wrapped in PRF runs)
+    if not query.strip().startswith("#"):
+        query = ("#SUM( " if model == "bm25" else "#AND( ") + query + " )"
     initial = engine.search(query, model=model, k=num_docs, **model_kw)
     urls = [(r["url"], r["score"]) for r in initial.collect()]
     url_df = engine.reader.docid_url_map()

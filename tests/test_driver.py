@@ -1,0 +1,69 @@
+"""Batch driver: param-dict dispatch -> TREC lines, for EP1 (retrieval),
+PRF, EP3 (diversity) and EP2 (LTR)."""
+
+import re
+
+import pytest
+
+from searchengines_spark.driver import (
+    parse_intents,
+    parse_queries,
+    parse_qrels,
+    run_batch,
+    run_ltr,
+)
+
+TREC_RE = re.compile(r"^\S+ Q0 \S+ \d+ \S+ \S+$")
+
+
+def test_parsers(tmp_path):
+    qf = tmp_path / "q.qry"
+    qf.write_text("188:internet phone service\n140:#AND( east.title ridge.title )\n")
+    qs = parse_queries(str(qf))
+    assert qs["188"] == "internet phone service"
+    assert qs["140"].startswith("#AND")
+
+    it = parse_intents(["185.1:credit report", "185.2:annual report", "7.1:x"])
+    assert it["185"] == [(1, "credit report"), (2, "annual report")]
+
+    qr = parse_qrels(["1 0 doc-a 2", "1 0 doc-b -2"])
+    assert qr == [("1", "doc-a", 2), ("1", "doc-b", 0)]
+
+
+def test_run_batch_bm25(spark, tiny_index):
+    params = {"retrievalAlgorithm": "BM25", "BM25:k_1": 1.2, "BM25:b": 0.75,
+              "trecEvalOutputLength": 10}
+    lines = run_batch(tiny_index, params, {"1": "cebaba1 dibaba2", "2": "zzznope"})
+    assert all(TREC_RE.match(ln) for ln in lines)
+    q1 = [ln for ln in lines if ln.startswith("1 ")]
+    assert len(q1) == 10 and " 1 " in q1[0]
+    # no-match query emits the dummy row (QryEval.java:1444-1449)
+    q2 = [ln for ln in lines if ln.startswith("2 ")]
+    assert len(q2) == 1 and "dummy" in q2[0]
+
+
+def test_run_batch_diversity(spark, tiny_index, tmp_path):
+    intents = tmp_path / "i.txt"
+    intents.write_text("1.1:cebaba1\n1.2:dibaba2\n")
+    params = {
+        "retrievalAlgorithm": "BM25",
+        "diversity": "true",
+        "diversity:algorithm": "PM2",
+        "diversity:lambda": 0.5,
+        "diversity:maxInputRankingsLength": 20,
+        "diversity:maxResultRankingLength": 10,
+        "diversity:intentsFile": str(intents),
+        "trecEvalOutputLength": 10,
+    }
+    lines = run_batch(tiny_index, params, {"1": "cebaba1 dibaba2"})
+    assert len(lines) == 10 and all(TREC_RE.match(ln) for ln in lines)
+
+
+def test_run_ltr(spark, tiny_index):
+    urls = [r["url"] for r in tiny_index.docid_url_map().limit(30).collect()]
+    qrels = [("1", u, i % 3) for i, u in enumerate(urls)]
+    params = {"trecEvalOutputLength": 10}
+    lines = run_ltr(tiny_index, params, {"1": "cebaba1 dibaba2"},
+                    {"9": "fobaba3 cebaba1"}, qrels)
+    assert len(lines) == 10
+    assert all(ln.startswith("9 Q0 ") for ln in lines)

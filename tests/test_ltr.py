@@ -1,0 +1,159 @@
+"""LTR feature extraction: Spark extractor vs a pure-Python replica of the
+reference featurePair (QryEval.java:553-890)."""
+
+import hashlib
+import math
+
+import pytest
+
+from searchengines_spark.corpus import FIELDS, extract_fields, make_page
+from searchengines_spark.ltr import (
+    FEATURE_FIELDS,
+    extract_features,
+    minmax_normalize,
+    query_vectors,
+    rerank,
+    train_ridge,
+)
+from searchengines_spark.oracle import OracleIndex
+from searchengines_spark.tokenizer import tokenize_full
+
+K1, B, MU, LAM = 1.2, 0.75, 2500.0, 0.4
+
+
+@pytest.fixture(scope="module")
+def oracle_idx():
+    docs = []
+    for i in range(300):
+        url, _, html, _, lang = make_page(i, seed=42)
+        if lang != "en":
+            continue
+        f = extract_fields(url, html)
+        docs.append((url, {k: tokenize_full(f[k]) for k in FIELDS}))
+    return OracleIndex.from_docs(docs)
+
+
+def oracle_features(idx, query, docid):
+    """Faithful featurePair + f1-f4/f17-f20 assembly."""
+    qv = {}
+    for t in tokenize_full(query):
+        if t is not None:
+            qv[t] = qv.get(t, 0) + 1
+    nq = float(len(qv))
+    qlen = math.sqrt(sum(v * v for v in qv.values()))
+    url = idx.ext_ids[docid]
+    h = hashlib.md5(url.encode()).hexdigest()
+    num_words = float(sum(idx.sum_len(f) for f in FEATURE_FIELDS))
+    N = float(idx.n_docs)
+
+    feats = {
+        1: float(int(h[:4], 16) % 100),
+        2: float(url.count("/")),
+        3: 1.0 if "wikipedia.org" in url else 0.0,
+        4: (int(h[4:8], 16) % 10000) / 100.0,
+    }
+
+    base = {"body": 5, "title": 8, "url": 11, "inlink": 14}
+    for field in FEATURE_FIELDS:
+        fi = base[field]
+        dl = float(idx.get_len(field, docid))
+        stems = {t: len(pl[docid]) for (f_, t), pl in idx.postings.items()
+                 if f_ == field and docid in pl}
+        if dl == 0.0 and not stems:
+            feats[fi] = feats[fi + 1] = feats[fi + 2] = None
+            if field == "url":
+                feats[17] = None
+            if field == "title":
+                feats[18] = feats[19] = None
+            if field == "body":
+                feats[20] = None
+            continue
+        total = float(idx.sum_len(field))
+        cnt_docs, _ = idx.field_stats[field]
+        avg = total / cnt_docs
+        bm25 = 0.0
+        indri = 1.0
+        count = 0
+        widf = 0.0
+        iprod = 0.0
+        zipf = 0.0
+        dvm = sum(tf * tf for tf in stems.values())
+        matches = set()
+        for t in sorted(stems):
+            tf = float(stems[t])
+            if t not in qv:
+                continue
+            matches.add(t)
+            df = float(idx.df(field, t))
+            ctf = float(idx.ctf(field, t))
+            bm25 += max(0.0, math.log((N - df + 0.5) / (df + 0.5))) * tf / (
+                tf + K1 * ((1.0 - B) + B * dl / avg))
+            pqc = (0.5 / total) if ctf == 0.0 else ctf / total
+            s_ind = (1.0 - LAM) * (tf + MU * pqc) / (dl + MU) + LAM * pqc
+            indri *= s_ind ** (1.0 / nq)
+            count += 1
+            widf += math.log(N / df) * tf
+            iprod += tf * qv[t]
+            zipf = max(zipf, math.log(tf * 0.1 * num_words / ctf))
+        mind = None
+        if count == 0:
+            indri, zipf = 0.0, None
+        elif field == "title":
+            pos = sorted(
+                p for t in matches for p in idx.postings[(field, t)][docid]
+            )
+            mind = 0.0 if len(pos) == 1 else 1.0 / min(
+                b_ - a_ for a_, b_ in zip(pos, pos[1:]))
+        elif field == "body":
+            zipf = zipf / dl
+        feats[fi] = bm25
+        feats[fi + 1] = indri
+        feats[fi + 2] = float(count)
+        if field == "url":
+            feats[17] = widf
+        if field == "title":
+            feats[18] = (iprod / (dvm * qlen)) if dvm > 0 else 0.0
+            feats[19] = mind
+        if field == "body":
+            feats[20] = zipf
+    return feats
+
+
+def test_feature_parity(spark, tiny_index, oracle_idx):
+    queries = {"q1": "cebaba1 dibaba2", "q2": "fobaba3 gubaba4 cebaba1"}
+    # candidates: first 25 docids, alternating rel labels
+    cand = spark.createDataFrame(
+        [(qid, d, (d % 3)) for qid in queries for d in range(25)],
+        ["qid", "docid", "rel"],
+    )
+    feats = extract_features(tiny_index, cand, queries, K1, B, MU, LAM)
+    rows = {(r["qid"], r["docid"]): r for r in feats.collect()}
+    assert len(rows) == 50
+    for (qid, docid), r in sorted(rows.items()):
+        want = oracle_features(oracle_idx, queries[qid], docid)
+        for i in range(1, 21):
+            g, w = r[f"f{i}"], want[i]
+            if w is None:
+                assert g is None, (qid, docid, i, g)
+            else:
+                assert g is not None and math.isclose(g, w, rel_tol=1e-9), (
+                    qid, docid, i, g, w)
+
+
+def test_normalize_and_rerank(spark, tiny_index):
+    queries = {"q1": "cebaba1 dibaba2"}
+    cand = spark.createDataFrame(
+        [("q1", d, d % 2) for d in range(20)], ["qid", "docid", "rel"]
+    )
+    feats = extract_features(tiny_index, cand, queries)
+    norm = minmax_normalize(feats)
+    import pyspark.sql.functions as F
+    stats = norm.agg(*[F.max(f"f{i}").alias(f"mx{i}") for i in (1, 5, 7)]).collect()[0]
+    for i in (1, 5, 7):
+        assert stats[f"mx{i}"] is None or stats[f"mx{i}"] <= 1.0 + 1e-12
+    w = train_ridge(norm)
+    assert w.shape == (20,)
+    ranked = rerank(norm, w, tiny_index.docid_url_map(), k=10)
+    out = ranked.collect()
+    assert len(out) == 10
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 11))
