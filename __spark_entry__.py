@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
         "fingerprint": A.q_fingerprint,
+        "binary_meta": A.q_binary_meta,
     }
 
 
@@ -262,4 +263,11 @@ sh0 AS (
 ),
 sh AS (SELECT doc_id, shingle FROM sh0 WHERE _ok IS NOT NULL)
 SELECT doc_id, MIN({_H32.format(col='shingle')}) AS fingerprint FROM sh GROUP BY doc_id""",
+        "binary_meta": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS h,
+       CAST((ascii(substr(text,1,1)) % 32) + 1 AS INTEGER) AS width,
+       CAST((ascii(substr(text,2,1)) % 32) + 1 AS INTEGER) AS height
+FROM documents""",
     }

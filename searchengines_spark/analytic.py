@@ -361,6 +361,22 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing, SQL-checkable slice: documents' text as an opaque
+    binary payload -> typed metadata (bytes, md5, fake-decoded width/height
+    from the first two bytes). The full feature kernel (mapInPandas) is
+    covered by pytest (multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("h"),
+        (F.ascii(F.substring("text", 1, 1)) % 32 + 1).cast("int").alias("width"),
+        (F.ascii(F.substring("text", 2, 1)) % 32 + 1).cast("int").alias("height"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style doc fingerprint: min 5-shingle hash per doc."""
     from pyspark.sql import Window

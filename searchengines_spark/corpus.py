@@ -228,15 +228,15 @@ def assign_docids(pages: DataFrame) -> DataFrame:
     external id, as in the reference's internal/external docid split,
     Idx.java:87-144). Zero-based.
 
-    Scale note: a global sort of just (url) — a narrow column — then
-    zipWithIndex-free dense numbering via window is acceptable at 10^12 only
-    if done once at build; we use row_number over a global sort which Spark
-    executes as a range-partitioned sort (no single-node bottleneck except
-    the final rank offsets, which AQE handles via range exchange).
+    Scale note: a row_number window over an un-partitioned ORDER BY would
+    funnel every url through ONE task. Instead: distributed range-partitioned
+    sort of the narrow url column, then RDD zipWithIndex (two passes: count
+    per partition, then offset locally) — fully parallel, still a dense
+    deterministic rank. This is the one justified RDD use in the engine.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy("url")
-    return pages.select("url").distinct().withColumn(
-        "docid", F.row_number().over(w).cast("long") - F.lit(1)
+    spark = pages.sparkSession
+    sorted_urls = pages.select("url").distinct().orderBy("url")
+    rdd = sorted_urls.rdd.map(lambda r: r["url"]).zipWithIndex()
+    return spark.createDataFrame(rdd, ["url", "docid"]).select(
+        "url", F.col("docid").cast("long")
     )

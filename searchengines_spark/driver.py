@@ -60,6 +60,24 @@ def parse_intents(path_or_lines) -> dict[str, list[tuple[int, str]]]:
     return out
 
 
+def parse_ranking(path_or_lines) -> dict[str, list[tuple[str, float]]]:
+    """TREC ranking file ``qid Q0 extdocid rank score runid`` -> qid ->
+    [(url, score)] in rank order (initial-ranking source for PRF and
+    diversity, QryEval.java:1333-1368 / 247-305). Intent rankings use
+    ``qid.i`` as the qid column."""
+    if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
+        with open(path_or_lines) as f:
+            lines = f.readlines()
+    else:
+        lines = list(path_or_lines)
+    out: dict[str, list[tuple[str, float]]] = {}
+    for ln in lines:
+        parts = ln.split()
+        if len(parts) >= 5:
+            out.setdefault(parts[0], []).append((parts[2], float(parts[4])))
+    return out
+
+
 def parse_qrels(path_or_lines) -> list[tuple[str, str, int]]:
     """``qid 0 extdocid rel`` (QryEval.java:520-544); rel<0 -> 0."""
     if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
@@ -107,8 +125,11 @@ def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
         if use_prf:
             from .prf import prf_search
 
+            init = None
+            if "prf:initialRankingFile" in params:
+                init = parse_ranking(params["prf:initialRankingFile"]).get(qid)
             final, _, _ = prf_search(
-                eng, q, model=model, k=k,
+                eng, q, model=model, k=k, initial_ranking=init,
                 num_docs=int(params.get("prf:numDocs", 10)),
                 num_terms=int(params.get("prf:numTerms", 10)),
                 mu=float(params.get("prf:Indri:mu", 0.0)),
@@ -128,7 +149,6 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
     re-rank via xQuAD/PM2."""
     from .diversify import diversify_df
 
-    intents = parse_intents(params["diversity:intentsFile"])
     max_in = int(params.get("diversity:maxInputRankingsLength", 100))
     max_out = int(params.get("diversity:maxResultRankingLength", 100))
     lam = float(params.get("diversity:lambda", 0.5))
@@ -137,12 +157,27 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
     spark = eng.reader.spark
     url_ids = eng.reader.docid_url_map()
     rows = []
-    for qid, q in queries.items():
-        rankings = [(0, q)] + [(i, text) for i, text in intents.get(qid, [])]
-        for intent_no, text in rankings:
-            res = eng.search(text, model, max_in, **kw)
-            for r in res.join(url_ids, "url").collect():
-                rows.append((qid, intent_no, int(r["docid"]), float(r["score"])))
+    if "diversity:initialRankingFile" in params:
+        # rankings supplied as a TREC file: qid rows = query ranking,
+        # qid.i rows = intent rankings (QryEval.java:247-305)
+        ranked = parse_ranking(params["diversity:initialRankingFile"])
+        url2id = {r["url"]: int(r["docid"]) for r in url_ids.collect()}
+        for key, ranking in ranked.items():
+            qid, _, i = key.partition(".")
+            if qid not in queries:
+                continue
+            intent_no = int(i) if i else 0
+            for u, s in ranking:
+                if u in url2id:
+                    rows.append((qid, intent_no, url2id[u], float(s)))
+    else:
+        intents = parse_intents(params["diversity:intentsFile"])
+        for qid, q in queries.items():
+            rankings = [(0, q)] + [(i, text) for i, text in intents.get(qid, [])]
+            for intent_no, text in rankings:
+                res = eng.search(text, model, max_in, **kw)
+                for r in res.join(url_ids, "url").collect():
+                    rows.append((qid, intent_no, int(r["docid"]), float(r["score"])))
     rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
     out = diversify_df(rdf, algo, lam, max_in, max_out).join(url_ids, "docid")
     lines = []

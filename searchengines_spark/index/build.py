@@ -60,6 +60,8 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("min_docid", T.LongType(), False),
     T.StructField("max_docid", T.LongType(), False),
     T.StructField("max_score", T.DoubleType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("min_doclen", T.IntegerType(), False),
     T.StructField("docids_z", T.BinaryType(), False),
     T.StructField("tfs_z", T.BinaryType(), False),
     T.StructField("doclens_z", T.BinaryType(), False),
@@ -88,6 +90,55 @@ def _mark_stage(index_dir: str, stage: str, **meta) -> None:
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, stage + ".json"), "w") as f:
         json.dump({"stage": stage, "ts": time.time(), **meta}, f)
+
+
+def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
+                  avg_len: dict[str, float], n_docs: int, salt_range: int,
+                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Salted block-encode kernel, shared by the batch build and incremental
+    append. One repartition by (field, term, salt) — the salt is a docid
+    RANGE stripe, so hot terms split into bounded groups and stripe order
+    preserves global docid order."""
+    b_avg = spark.sparkContext.broadcast(avg_len)
+    b_n_docs = int(n_docs)
+
+    with_df = doc_terms.join(
+        F.broadcast(term_stats.select("field", "term", "df")), ["field", "term"]
+    ).withColumn("salt", (F.col("docid") / F.lit(salt_range)).cast("int"))
+
+    def encode_group(key, pdf):
+        import pandas as pd
+
+        field, term, salt = key
+        pdf = pdf.sort_values("docid")
+        docids = pdf["docid"].to_numpy(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        doclens = pdf["doclen"].to_numpy(np.uint64)
+        df_val = int(pdf["df"].iloc[0])
+        avg = b_avg.value.get(field, 1.0)
+        rows = []
+        for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
+            e = s + codec.BLOCK_SIZE
+            d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
+            dz, tz, lz = codec.encode_block(d, t, dl)
+            pz = codec.encode_positions(
+                [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].iloc[s:e]]
+            )
+            ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b)
+            rows.append((field, term, int(salt), blk_i, len(d),
+                         int(d[0]), int(d[-1]), ms, int(t.max()), int(dl.min()),
+                         dz, tz, lz, pz))
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    return (
+        with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
+                            "field", "term", "salt")
+        .groupBy("field", "term", "salt")
+        .applyInPandas(encode_group, BLOCKS_SCHEMA)
+        .withColumn("bucket", term_bucket_col(F.col("term")))
+    )
 
 
 def build_index(
@@ -131,6 +182,7 @@ def build_index(
     n_docs = n_docs_hint or docids.count()
     salt_range = max(1, math.ceil(n_docs / n_salts))
     metrics["n_docs"] = n_docs
+    metrics["salt_range"] = salt_range
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
@@ -142,8 +194,18 @@ def build_index(
         # one tokenize pass; (docid, field, term) aggregation happens
         # doc-locally inside the Arrow batch -> NO groupBy shuffle here
         # no broadcast hint: docids is O(n_docs) — AQE broadcasts when small,
-        # sort-merge joins at 10^12 scale
-        with_ids = pages.filter(F.col("lang") == "en").join(docids, "url")
+        # sort-merge joins at 10^12 scale.
+        # repartition before the tokenize kernel: parquet scans coalesce
+        # small files into few input partitions (maxPartitionBytes), which
+        # would serialize the most CPU-heavy stage of the build. On a real
+        # cluster with TB-scale inputs the scan itself yields enough
+        # partitions and AQE would keep this exchange cheap.
+        par = spark.sparkContext.defaultParallelism * 2
+        with_ids = (
+            pages.filter(F.col("lang") == "en")
+            .join(docids, "url")
+            .repartition(par)
+        )
         tokenized_path = os.path.join(index_dir, "tokenized")
         pages_to_tokenized(with_ids).write.mode("overwrite").parquet(tokenized_path)
         tokenized = spark.read.parquet(tokenized_path)
@@ -183,44 +245,8 @@ def build_index(
     if not (resume and _stage_done(index_dir, "blocks")):
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
-        b_n_docs = int(n_docs)
-        b_avg = spark.sparkContext.broadcast(avg_len)
-        k1, b_ = bm25_k1, bm25_b
-
-        with_df = doc_terms.join(
-            F.broadcast(term_stats.select("field", "term", "df")), ["field", "term"]
-        ).withColumn("salt", (F.col("docid") / F.lit(salt_range)).cast("int"))
-
-        def encode_group(key, pdf):
-            import pandas as pd
-
-            field, term, salt = key
-            pdf = pdf.sort_values("docid")
-            docids = pdf["docid"].to_numpy(np.uint64)
-            tfs = pdf["tf"].to_numpy(np.uint64)
-            doclens = pdf["doclen"].to_numpy(np.uint64)
-            df_val = int(pdf["df"].iloc[0])
-            avg = b_avg.value.get(field, 1.0)
-            rows = []
-            for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
-                e = s + codec.BLOCK_SIZE
-                d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
-                dz, tz, lz = codec.encode_block(d, t, dl)
-                pz = codec.encode_positions(
-                    [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].iloc[s:e]]
-                )
-                ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b_)
-                rows.append((field, term, int(salt), blk_i, len(d),
-                             int(d[0]), int(d[-1]), ms, dz, tz, lz, pz))
-            return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
-
-        blocks = (
-            with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
-                                "field", "term", "salt")
-            .groupBy("field", "term", "salt")
-            .applyInPandas(encode_group, BLOCKS_SCHEMA)
-            .withColumn("bucket", term_bucket_col(F.col("term")))
-        )
+        blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),
+                               salt_range, bm25_k1, bm25_b)
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
         _mark_stage(index_dir, "blocks")
 
@@ -284,10 +310,13 @@ class IndexReader:
         return {(r["field"], r["term"]): (int(r["df"]), int(r["ctf"])) for r in rows}
 
     def blocks_for(self, terms: list[tuple[str, str]]) -> DataFrame:
-        """Pruned scan: bucket partition filter + term filter."""
+        """Pruned scan: bucket partition filter (directory pruning) + plain
+        term IN (pushed to parquet row-group stats) + exact (field, term)
+        struct filter."""
         buckets = sorted({term_bucket_py(t) for _, t in terms})
         return self._blocks.filter(
             F.col("bucket").isin(buckets)
+            & F.col("term").isin(sorted({t for _, t in terms}))
             & F.struct("field", "term").isin([F.struct(F.lit(f), F.lit(t)) for f, t in terms])
         )
 

@@ -1,0 +1,144 @@
+"""Incremental index append — continuous-crawl ingestion without a full
+rebuild.
+
+New pages get docids continuing after the existing max (rank of the NEW
+sorted urls, offset by old max+1), which lands them in NEW salt stripes:
+block files stay disjoint by docid range, so appended segments concatenate
+with the existing index — no re-sort, no rewrite of old blocks. Stats tables
+(term_stats, field_stats) are re-merged (old + delta groupBy sum).
+
+Two consistency caveats, by design:
+
+1. docid order == url order no longer holds globally after an append (new
+   urls may sort before old ones). Planner-path results are unaffected (the
+   final sort is on url); the WAND kernel's within-stripe docid tie-break can
+   keep the "wrong" member of an exact score tie at the k boundary until the
+   next compaction (a full rebuild restores the invariant).
+2. BM25 block max_score metadata in OLD blocks was computed under the old
+   corpus stats (n_docs, avg doclen, df). After an append those bounds are
+   stale, so WAND must recompute conservative bounds from the stored
+   (max_tf, min_doclen) pair — wand_topk(..., recompute_bounds=True). The
+   MANIFEST records appends so callers know.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..corpus import pages_to_tokenized
+from .build import IndexReader, encode_blocks, term_bucket_col
+
+
+def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
+                 n_salts_hint: int | None = None,
+                 bm25_k1: float = 1.2, bm25_b: float = 0.75) -> dict:
+    """Append a batch of pages to an existing index. Returns metrics."""
+    t0 = time.time()
+    reader = IndexReader(spark, index_dir)
+    old_docids = reader.docid_url_map()
+    max_docid = old_docids.agg(F.max("docid")).collect()[0][0]
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+
+    # new docids: offset dense rank over NEW urls (skip urls already indexed)
+    fresh = (
+        new_pages.filter(F.col("lang") == "en")
+        .select("url", "html")
+        .join(old_docids.select("url"), "url", "left_anti")
+    )
+    w = Window.orderBy("url")
+    new_ids = fresh.select("url").distinct().withColumn(
+        "docid", F.row_number().over(w).cast("long") + F.lit(int(max_docid))
+    )
+    new_ids.write.mode("append").parquet(os.path.join(index_dir, "docids"))
+    new_ids = spark.read.parquet(os.path.join(index_dir, "docids")).filter(
+        F.col("docid") > max_docid
+    )
+    n_new = new_ids.count()
+    if n_new == 0:
+        return {"appended": 0, "secs": time.time() - t0}
+
+    new_ids.select(
+        "docid",
+        F.col("url").alias("raw_url"),
+        (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
+        .cast("double").alias("spam_score"),
+        ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
+        .alias("page_rank"),
+    ).write.mode("append").parquet(os.path.join(index_dir, "attrs"))
+
+    tokenized = pages_to_tokenized(fresh.join(new_ids, "url")).cache()
+    tokenized.filter(F.col("term") == "").select(
+        "docid", "field", F.col("doclen").cast("int").alias("len")
+    ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))
+    delta_terms = tokenized.filter(F.col("term") != "")
+    delta_terms.write.mode("append").parquet(os.path.join(index_dir, "doc_terms"))
+
+    # merged stats (old + delta)
+    delta_stats = delta_terms.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("ctf")
+    )
+    merged_ts = (
+        reader._term_stats.select("field", "term", "df", "ctf")
+        .unionByName(delta_stats)
+        .groupBy("field", "term")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("ctf").cast("long").alias("ctf"))
+        .withColumn("bucket", term_bucket_col(F.col("term")))
+    )
+    ts_tmp = os.path.join(index_dir, "term_stats_new")
+    merged_ts.write.mode("overwrite").parquet(ts_tmp)
+    _swap(index_dir, "term_stats")
+
+    doc_lens = spark.read.parquet(os.path.join(index_dir, "doc_lens"))
+    n_docs = int(manifest["n_docs"]) + n_new
+    field_stats = doc_lens.filter(F.col("len") > 0).groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.sum("len").cast("long").alias("sum_len"),
+    )
+    meta_row = spark.createDataFrame(
+        [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"]
+    )
+    field_stats.unionByName(meta_row).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "field_stats_new")
+    )
+    _swap(index_dir, "field_stats")
+
+    # encode ONLY the delta postings; new docids >= max+1 land in new salt
+    # stripes, so appended block files are docid-range disjoint from old ones
+    fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
+    avg_len = {r["field"]: (r["sum_len"] / r["doc_count"] if r["doc_count"] else 1.0)
+               for r in fs if r["field"] != "__docs__"}
+    salt_range = manifest.get("salt_range") or max(1, math.ceil(int(manifest["n_docs"]) / 32))
+    new_ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    blocks = encode_blocks(spark, delta_terms, new_ts, avg_len, n_docs,
+                           salt_range, bm25_k1, bm25_b)
+    blocks.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "blocks")
+    )
+    tokenized.unpersist()
+
+    manifest["n_docs"] = n_docs
+    manifest.setdefault("appends", []).append(
+        {"n_new": int(n_new), "ts": time.time(), "secs": time.time() - t0}
+    )
+    manifest["stale_block_bounds"] = True  # old max_score under old stats
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs}
+
+
+def _swap(index_dir: str, name: str) -> None:
+    """Atomic-ish table swap: name_new -> name (keep one backup)."""
+    import shutil
+
+    cur, new, old = (os.path.join(index_dir, n) for n in (name, name + "_new", name + "_old"))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(cur, old)
+    os.rename(new, cur)

@@ -90,21 +90,27 @@ def expanded_query(original: str, learned: str, w: float) -> str:
 
 def prf_search(engine, query: str, model: str = "indri", k: int = 100,
                num_docs: int = 10, num_terms: int = 10, mu: float = 0.0,
-               orig_weight: float = 0.5, field: str = "body", **model_kw):
-    """Full PRF loop: initial ranking -> expansion -> rewritten query -> final
-    ranking (QryEval.java:1388-1416). Returns (final_df, expansion_terms,
+               orig_weight: float = 0.5, field: str = "body",
+               initial_ranking: list[tuple[str, float]] | None = None,
+               **model_kw):
+    """Full PRF loop: initial ranking (run fresh, or supplied from a TREC
+    ranking file — QryEval.java:1388-1416 supports both) -> expansion ->
+    rewritten query -> final ranking. Returns (final_df, expansion_terms,
     expanded_query_string)."""
     # the rewritten #WAND embeds the original query as ONE operand, so a bare
     # bag-of-words query must be wrapped in the model default op first
     # (the reference's .qry inputs are always operator-wrapped in PRF runs)
     if not query.strip().startswith("#"):
         query = ("#SUM( " if model == "bm25" else "#AND( ") + query + " )"
-    initial = engine.search(query, model=model, k=num_docs, **model_kw)
-    urls = [(r["url"], r["score"]) for r in initial.collect()]
+    if initial_ranking is not None:
+        urls = initial_ranking[:num_docs]
+    else:
+        initial = engine.search(query, model=model, k=num_docs, **model_kw)
+        urls = [(r["url"], r["score"]) for r in initial.collect()]
     url_df = engine.reader.docid_url_map()
     ranked_ids = {r["url"]: int(r["docid"]) for r in
                   url_df.filter(F.col("url").isin([u for u, _ in urls])).collect()}
-    init_scores = [(ranked_ids[u], s) for u, s in urls]
+    init_scores = [(ranked_ids[u], s) for u, s in urls if u in ranked_ids]
     terms = expansion_terms(engine.reader, init_scores, num_docs, num_terms, mu, field)
     q = expanded_query(query, learned_query(terms), orig_weight)
     return engine.search(q, model=model, k=k, **model_kw), terms, q

@@ -240,11 +240,17 @@ WAND_SCHEMA = T.StructType([
 
 def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
               k: int = 100, k1: float = 1.2, b: float = 0.75,
-              require_all: bool = False, debug: bool = False) -> DataFrame:
+              require_all: bool = False, debug: bool = False,
+              recompute_bounds: bool = False) -> DataFrame:
     """Distributed block-max WAND top-k over the compressed index.
     Score-identical to the exhaustive #SUM/#AND-conjunctive BM25 path.
-    NOTE: block max_score metadata is computed at build time with the
-    build's (k1, b); this path requires matching params (default match)."""
+
+    Block max_score metadata is computed at build time with the build's
+    (k1, b) and corpus stats. After an incremental append (or with different
+    k1/b), pass recompute_bounds=True: bounds are re-derived per block from
+    the stored (max_tf, min_doclen) under CURRENT stats — conservative
+    (max_tf paired with min_doclen dominates any real posting) but always
+    sound."""
     pairs = [(field, t) for t in terms]
     stats = reader.term_stats(pairs)
     n_docs, avg = reader.n_docs, reader.avg_doclen(field)
@@ -255,15 +261,25 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     term_ix = {t: i for i, t in enumerate(terms)}
 
     blocks = reader.blocks_for(pairs).select(
-        "term", "salt", "blk", "max_docid", "max_score", "docids_z", "tfs_z", "doclens_z"
+        "term", "salt", "blk", "min_docid", "max_docid", "max_score", "max_tf",
+        "min_doclen", "docids_z", "tfs_z", "doclens_z"
     )
 
     def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tb: dict[int, list] = {}
         for term, g in pdf.groupby("term"):
-            g = g.sort_values("blk")
+            # min_docid is the total order: block docid ranges are disjoint
+            # even across incremental appends (blk numbers can repeat)
+            g = g.sort_values("min_docid")
+            if recompute_bounds:
+                idf = idfs[term_ix[term]]
+                mtf = g["max_tf"].astype(float)
+                mdl = g["min_doclen"].astype(float)
+                ubs = idf * mtf / (mtf + k1 * ((1.0 - b) + b * mdl / avg))
+            else:
+                ubs = g["max_score"].astype(float)
             tb[term_ix[term]] = list(zip(
-                g["max_docid"].astype(int), g["max_score"].astype(float),
+                g["max_docid"].astype(int), ubs,
                 [bytes(x) for x in g["docids_z"]], [bytes(x) for x in g["tfs_z"]],
                 [bytes(x) for x in g["doclens_z"]],
             ))

@@ -33,7 +33,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local corpora are tens of MB; 128m (the right cluster value) would
+        # coalesce whole stage outputs into 1-2 input partitions and
+        # serialize the CPU-heavy kernels. Override on a real cluster.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAXPART", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -1,0 +1,94 @@
+"""Incremental append + streaming ingestion: an appended index must answer
+planner-path queries identically to a full rebuild over the same corpus, and
+WAND with recomputed bounds must stay exact."""
+
+import math
+import os
+
+import pytest
+
+from searchengines_spark.corpus import generate_pages
+from searchengines_spark.engine import Engine
+from searchengines_spark.index import IndexReader, build_index
+from searchengines_spark.index.incremental import append_pages
+from searchengines_spark.query.wand import wand_topk
+
+QUERY_TERMS = ["cebaba1", "dibaba2", "fobaba3"]
+
+
+@pytest.fixture(scope="module")
+def appended_and_full(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("incr")
+    pages_all = generate_pages(spark, 300, seed=42, partitions=4)
+    pages_all.write.parquet(str(root / "pages_all"))
+    all_df = spark.read.parquet(str(root / "pages_all"))
+    first = all_df.filter("url < 'https://www5'")
+    rest = all_df.filter("url >= 'https://www5'")
+
+    d_full = str(root / "full")
+    build_index(spark, all_df, d_full, n_salts=4)
+
+    d_inc = str(root / "inc")
+    build_index(spark, first, d_inc, n_salts=4)
+    m = append_pages(spark, d_inc, rest)
+    assert m["appended"] > 0
+    return d_inc, d_full
+
+
+def test_append_matches_full_rebuild(spark, appended_and_full):
+    d_inc, d_full = appended_and_full
+    e_inc, e_full = Engine(IndexReader(spark, d_inc)), Engine(IndexReader(spark, d_full))
+    for q, model in [
+        (" ".join(QUERY_TERMS), "bm25"),
+        ("#AND( cebaba1 dibaba2 )", "indri"),
+        ("#NEAR/4( cebaba1 dibaba2 )", "bm25"),
+    ]:
+        got = [(r["url"], r["score"]) for r in e_inc.search(q, model, 20).collect()]
+        want = [(r["url"], r["score"]) for r in e_full.search(q, model, 20).collect()]
+        assert [u for u, _ in got] == [u for u, _ in want], (q, model)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_wand_recomputed_bounds_exact(spark, appended_and_full):
+    d_inc, _ = appended_and_full
+    r = IndexReader(spark, d_inc)
+    eng = Engine(r)
+    want = [(x["url"], x["score"]) for x in
+            eng.search(" ".join(QUERY_TERMS), "bm25", 15).collect()]
+    got = [(x["url"], x["score"]) for x in
+           wand_topk(r, QUERY_TERMS, k=15, recompute_bounds=True).collect()]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_manifest_tracks_appends(spark, appended_and_full):
+    import json
+
+    d_inc, _ = appended_and_full
+    with open(os.path.join(d_inc, "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["stale_block_bounds"] is True
+    assert len(m["appends"]) == 1 and m["appends"][0]["n_new"] > 0
+
+
+def test_streaming_ingestion(spark, tmp_path):
+    from searchengines_spark.streaming import stream_index
+
+    watch = str(tmp_path / "drops")
+    os.makedirs(watch)
+    pages = generate_pages(spark, 120, seed=9, partitions=2)
+    pages.filter("url < 'https://www4'").write.parquet(os.path.join(watch, "b0"))
+
+    base = str(tmp_path / "sidx")
+    build_index(spark, spark.read.parquet(os.path.join(watch, "b0")), base, n_salts=4)
+    n0 = IndexReader(spark, base).n_docs
+
+    pages.filter("url >= 'https://www4'").write.parquet(os.path.join(watch, "b1"))
+    q = stream_index(spark, watch + "/b1", base, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    r = IndexReader(spark, base)
+    assert r.n_docs > n0
+    eng = Engine(r)
+    assert eng.search("cebaba1", "bm25", 5).count() > 0
