@@ -62,6 +62,7 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("max_score", T.DoubleType(), False),
     T.StructField("max_tf", T.IntegerType(), False),
     T.StructField("min_doclen", T.IntegerType(), False),
+    T.StructField("striped", T.BooleanType(), False),
     T.StructField("docids_z", T.BinaryType(), False),
     T.StructField("tfs_z", T.BinaryType(), False),
     T.StructField("doclens_z", T.BinaryType(), False),
@@ -92,52 +93,103 @@ def _mark_stage(index_dir: str, stage: str, **meta) -> None:
         json.dump({"stage": stage, "ts": time.time(), **meta}, f)
 
 
+SALT_MIN_DF = 8 * codec.BLOCK_SIZE  # only terms with df >= this get striped
+
+
 def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                   avg_len: dict[str, float], n_docs: int, salt_range: int,
-                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                  k1: float = 1.2, b: float = 0.75,
+                  salt_min_df: int = SALT_MIN_DF) -> DataFrame:
     """Salted block-encode kernel, shared by the batch build and incremental
-    append. One repartition by (field, term, salt) — the salt is a docid
-    RANGE stripe, so hot terms split into bounded groups and stripe order
-    preserves global docid order."""
+    append.
+
+    Shape: repartition by (field, term, salt) hash + sortWithinPartitions
+    (field, term, salt, docid) — the classic
+    repartitionAndSortWithinPartitions — then ONE streaming mapInPandas pass
+    that cuts consecutive (field, term, salt) runs and numpy-encodes blocks.
+    No per-group Arrow round-trip (the per-group applyInPandas machinery was
+    the build bottleneck: ~1ms x one group per term per stripe).
+
+    Salting is skew-targeted: only terms with df >= SALT_MIN_DF are striped
+    by docid range (salt = docid // salt_range); cold terms stay whole (salt
+    0), so group count stays O(vocab), not O(vocab x stripes). Group size is
+    bounded by max(SALT_MIN_DF, salt_range) rows either way. Stripe
+    concatenation preserves global docid order — merge is concatenation."""
+    import pandas as pd
+
     b_avg = spark.sparkContext.broadcast(avg_len)
     b_n_docs = int(n_docs)
 
     with_df = doc_terms.join(
         F.broadcast(term_stats.select("field", "term", "df")), ["field", "term"]
-    ).withColumn("salt", (F.col("docid") / F.lit(salt_range)).cast("int"))
+    ).withColumn(
+        "salt",
+        F.when(F.col("df") >= salt_min_df,
+               (F.col("docid") / F.lit(salt_range)).cast("int")).otherwise(F.lit(0)),
+    )
+    part = (
+        with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
+                            "field", "term", "salt")
+        .sortWithinPartitions("field", "term", "salt", "docid")
+    )
 
-    def encode_group(key, pdf):
-        import pandas as pd
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
 
-        field, term, salt = key
-        pdf = pdf.sort_values("docid")
-        docids = pdf["docid"].to_numpy(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.uint64)
-        doclens = pdf["doclen"].to_numpy(np.uint64)
-        df_val = int(pdf["df"].iloc[0])
+    def encode_run(g: pd.DataFrame, rows: list) -> None:
+        field = g["field"].iloc[0]
+        term = g["term"].iloc[0]
+        salt = int(g["salt"].iloc[0])
+        docids = g["docid"].to_numpy(np.uint64)
+        tfs = g["tf"].to_numpy(np.uint64)
+        doclens = g["doclen"].to_numpy(np.uint64)
+        df_val = int(g["df"].iloc[0])
+        striped = df_val >= salt_min_df
         avg = b_avg.value.get(field, 1.0)
-        rows = []
+        pos = g["positions"].to_numpy()
         for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
             e = s + codec.BLOCK_SIZE
             d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
             dz, tz, lz = codec.encode_block(d, t, dl)
             pz = codec.encode_positions(
-                [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].iloc[s:e]]
+                [np.asarray(p, dtype=np.uint64) for p in pos[s:e]]
             )
             ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b)
-            rows.append((field, term, int(salt), blk_i, len(d),
+            rows.append((field, term, salt, blk_i, len(d),
                          int(d[0]), int(d[-1]), ms, int(t.max()), int(dl.min()),
-                         dz, tz, lz, pz))
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+                         striped, dz, tz, lz, pz))
 
-    import pandas as pd  # noqa: F401  (worker-side import)
+    def encode_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            key = (pdf["field"].astype("object") + "\x00"
+                   + pdf["term"].astype("object") + "\x00"
+                   + pdf["salt"].astype(str))
+            change = key.ne(key.shift()).to_numpy()
+            starts = np.flatnonzero(change)
+            # hold back the (possibly incomplete) final run for the next batch
+            last_start = starts[-1]
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            if len(head):
+                rows: list = []
+                hs = starts[:-1]
+                for i, s in enumerate(hs):
+                    e = hs[i + 1] if i + 1 < len(hs) else last_start
+                    encode_run(head.iloc[s:e], rows)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows = []
+            encode_run(carry, rows)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
-                            "field", "term", "salt")
-        .groupBy("field", "term", "salt")
-        .applyInPandas(encode_group, BLOCKS_SCHEMA)
-        .withColumn("bucket", term_bucket_col(F.col("term")))
+    return part.mapInPandas(encode_stream, BLOCKS_SCHEMA).withColumn(
+        "bucket", term_bucket_col(F.col("term"))
     )
 
 
@@ -150,17 +202,26 @@ def build_index(
     resume: bool = False,
     bm25_k1: float = 1.2,
     bm25_b: float = 0.75,
+    salt_min_df: int = SALT_MIN_DF,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics."""
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     metrics: dict = {}
+    stage_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _lap(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _last[0], 2)
+        _last[0] = now
 
     # -- stage 1: deterministic docids -------------------------------------
     docids_path = os.path.join(index_dir, "docids")
     if not (resume and _stage_done(index_dir, "docids")):
         assign_docids(pages.filter(F.col("lang") == "en")).write.mode("overwrite").parquet(docids_path)
         _mark_stage(index_dir, "docids")
+        _lap("docids")
     docids = spark.read.parquet(docids_path)
 
     # per-doc metadata attributes (reference: spamScore/rawUrl/PageRank via
@@ -178,11 +239,15 @@ def build_index(
             .alias("page_rank"),
         ).write.mode("overwrite").parquet(attrs_path)
         _mark_stage(index_dir, "attrs")
+        _lap("attrs")
 
     n_docs = n_docs_hint or docids.count()
+    _lap("count_docs")
     salt_range = max(1, math.ceil(n_docs / n_salts))
     metrics["n_docs"] = n_docs
     metrics["salt_range"] = salt_range
+    metrics["salt_min_df"] = salt_min_df
+    metrics["n_salts"] = n_salts
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
@@ -214,6 +279,7 @@ def build_index(
         ).write.mode("overwrite").parquet(doc_lens_path)
         tokenized.filter(F.col("term") != "").write.mode("overwrite").parquet(doc_terms_path)
         _mark_stage(index_dir, "doc_terms")
+        _lap("doc_terms")
     doc_terms = spark.read.parquet(doc_terms_path)
 
     # -- stage 3: stats tables ----------------------------------------------
@@ -236,6 +302,7 @@ def build_index(
         )
         field_stats.unionByName(meta_row).write.mode("overwrite").parquet(field_stats_path)
         _mark_stage(index_dir, "stats")
+        _lap("stats")
 
     term_stats = spark.read.parquet(term_stats_path)
     field_stats = spark.read.parquet(field_stats_path)
@@ -246,9 +313,10 @@ def build_index(
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
         blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),
-                               salt_range, bm25_k1, bm25_b)
+                               salt_range, bm25_k1, bm25_b, salt_min_df)
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
         _mark_stage(index_dir, "blocks")
+        _lap("blocks")
 
     # -- stage 5: lineage / metrics ------------------------------------------
     lineage_path = os.path.join(index_dir, "lineage")
@@ -263,11 +331,13 @@ def build_index(
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
         _mark_stage(index_dir, "lineage")
+        _lap("lineage")
 
     elapsed = time.time() - t0
     lineage_rows = spark.read.parquet(lineage_path).agg(
         F.sum("n_postings").alias("p"), F.sum("bytes_compressed").alias("b")
     ).collect()[0]
+    metrics["stage_secs"] = stage_secs
     metrics.update(
         build_secs=elapsed,
         docs_per_sec=(n_docs / elapsed if elapsed > 0 else 0.0),
@@ -292,6 +362,13 @@ class IndexReader:
         self._blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._docids = None
+        try:
+            with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+                self.manifest = json.load(f)
+        except FileNotFoundError:
+            self.manifest = {}
+        self.salt_range = int(self.manifest.get("salt_range") or max(1, -(-self.n_docs // 32)))
+        self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
 
     def avg_doclen(self, field: str) -> float:
         c, s = self.field_stats[field]

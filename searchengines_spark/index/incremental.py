@@ -116,8 +116,11 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                for r in fs if r["field"] != "__docs__"}
     salt_range = manifest.get("salt_range") or max(1, math.ceil(int(manifest["n_docs"]) / 32))
     new_ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    from .build import SALT_MIN_DF
+
     blocks = encode_blocks(spark, delta_terms, new_ts, avg_len, n_docs,
-                           salt_range, bm25_k1, bm25_b)
+                           salt_range, bm25_k1, bm25_b,
+                           salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)))
     blocks.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "blocks")
     )

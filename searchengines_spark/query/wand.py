@@ -50,7 +50,9 @@ class _TermCursor:
                  "idf", "k1", "b", "avg", "decodes", "global_ub")
 
     def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float):
-        # blocks: [(max_docid, max_score, docids_z, tfs_z, doclens_z)] blk-ordered
+        # blocks: [(max_docid, ub, payload)] min_docid-ordered, where payload
+        # is ('z', docids_z, tfs_z, doclens_z) for compressed index blocks or
+        # ('raw', docids, tfs, doclens) for broadcast-clipped cold postings
         self.blocks = blocks
         self.bi = 0
         self.docids = None
@@ -67,9 +69,13 @@ class _TermCursor:
 
     def _decode(self):
         if self.docids is None:
-            _, _, dz, tz, lz = self.blocks[self.bi]
-            self.docids, self.tfs, self.doclens = codec.decode_block(dz, tz, lz)
-            self.decodes += 1
+            payload = self.blocks[self.bi][2]
+            if payload[0] == "z":
+                self.docids, self.tfs, self.doclens = codec.decode_block(
+                    payload[1], payload[2], payload[3])
+                self.decodes += 1
+            else:
+                _, self.docids, self.tfs, self.doclens = payload
 
     def cur_doc(self) -> int:
         self._decode()
@@ -254,40 +260,94 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     pairs = [(field, t) for t in terms]
     stats = reader.term_stats(pairs)
     n_docs, avg = reader.n_docs, reader.avg_doclen(field)
+    salt_range = reader.salt_range
     idfs = []
     for t in terms:
         df_ = stats.get((field, t), (0, 0))[0]
         idfs.append(max(0.0, math.log((n_docs - df_ + 0.5) / (df_ + 0.5))) if df_ else 0.0)
     term_ix = {t: i for i, t in enumerate(terms)}
+    spark = reader.spark
 
-    blocks = reader.blocks_for(pairs).select(
-        "term", "salt", "blk", "min_docid", "max_docid", "max_score", "max_tf",
-        "min_doclen", "docids_z", "tfs_z", "doclens_z"
+    sel = ["term", "salt", "min_docid", "max_docid", "max_score", "max_tf",
+           "min_doclen", "docids_z", "tfs_z", "doclens_z"]
+    blocks = reader.blocks_for(pairs).select("striped", *sel)
+
+    def _ub(row_maxscore, row_maxtf, row_mindl, idf):
+        if recompute_bounds:
+            mtf = float(row_maxtf)
+            return idf * mtf / (mtf + k1 * ((1.0 - b) + b * float(row_mindl) / avg))
+        return float(row_maxscore)
+
+    # cold (unstriped) terms: salt carries no docid-range meaning, so their
+    # blocks broadcast to every stripe and are CLIPPED to the stripe's docid
+    # range in the kernel. Bounded: unstriped means df < salt_min_df.
+    cold_rows = blocks.filter(~F.col("striped")).collect()
+    cold: dict[int, list] = {}
+    for r in cold_rows:
+        cold.setdefault(term_ix[r["term"]], []).append((
+            int(r["min_docid"]), int(r["max_docid"]),
+            _ub(r["max_score"], r["max_tf"], r["min_doclen"], idfs[term_ix[r["term"]]]),
+            bytes(r["docids_z"]), bytes(r["tfs_z"]), bytes(r["doclens_z"]),
+        ))
+    b_cold = spark.sparkContext.broadcast(cold)
+
+    # stripe skeleton: every docid-range stripe must exist even with no hot
+    # blocks in it (docs of cold-only queries live somewhere)
+    n_stripes = max(1, -(-n_docs // salt_range))
+    skeleton = spark.range(n_stripes).select(
+        F.lit("").alias("term"), F.col("id").cast("int").alias("salt"),
+        F.lit(0).cast("long").alias("min_docid"), F.lit(-1).cast("long").alias("max_docid"),
+        F.lit(0.0).alias("max_score"), F.lit(0).cast("int").alias("max_tf"),
+        F.lit(0).cast("int").alias("min_doclen"),
+        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"), F.lit(b"").alias("doclens_z"),
     )
+    hot = blocks.filter(F.col("striped")).select(*sel).unionByName(skeleton)
 
     def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        salt = int(key[0])
+        lo, hi = salt * salt_range, (salt + 1) * salt_range
         tb: dict[int, list] = {}
         for term, g in pdf.groupby("term"):
+            if term == "":
+                continue
             # min_docid is the total order: block docid ranges are disjoint
             # even across incremental appends (blk numbers can repeat)
             g = g.sort_values("min_docid")
+            idf = idfs[term_ix[term]]
             if recompute_bounds:
-                idf = idfs[term_ix[term]]
                 mtf = g["max_tf"].astype(float)
                 mdl = g["min_doclen"].astype(float)
                 ubs = idf * mtf / (mtf + k1 * ((1.0 - b) + b * mdl / avg))
             else:
                 ubs = g["max_score"].astype(float)
-            tb[term_ix[term]] = list(zip(
-                g["max_docid"].astype(int), ubs,
-                [bytes(x) for x in g["docids_z"]], [bytes(x) for x in g["tfs_z"]],
-                [bytes(x) for x in g["doclens_z"]],
-            ))
-        top, dec = _wand_stripe(tb, idfs, k, k1, b, avg, require_all)
+            tb[term_ix[term]] = [
+                (int(mn), (int(md), float(u), ("z", bytes(dz), bytes(tz), bytes(lz))))
+                for mn, md, u, dz, tz, lz in zip(
+                    g["min_docid"], g["max_docid"], ubs,
+                    g["docids_z"], g["tfs_z"], g["doclens_z"])
+            ]
+        # merge in cold postings, clipped to this stripe's docid range
+        for ti, blks in b_cold.value.items():
+            for mn, mx, ub, dz, tz, lz in blks:
+                if mx < lo or mn >= hi:
+                    continue
+                d, t, dl = codec.decode_block(dz, tz, lz)
+                s_ = int(np.searchsorted(d, lo))
+                e_ = int(np.searchsorted(d, hi))
+                if s_ >= e_:
+                    continue
+                tb.setdefault(ti, []).append(
+                    (int(d[s_]), (int(d[e_ - 1]), ub, ("raw", d[s_:e_], t[s_:e_], dl[s_:e_])))
+                )
+        # min_docid is the total order: block ranges are disjoint per term
+        # (also across incremental appends, where blk numbers can repeat)
+        tb2 = {ti: [blk for _, blk in sorted(blks, key=lambda x: x[0])]
+               for ti, blks in tb.items()}
+        top, dec = _wand_stripe(tb2, idfs, k, k1, b, avg, require_all)
         return pd.DataFrame([(d, s, dec) for d, s in top],
                             columns=["docid", "score", "decodes"])
 
-    local = blocks.groupBy("salt").applyInPandas(run_stripe, WAND_SCHEMA)
+    local = hot.groupBy("salt").applyInPandas(run_stripe, WAND_SCHEMA)
     if debug:
         return local
     urls = reader.docid_url_map()
