@@ -194,31 +194,62 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
     (docid, field, term) groupBy needs NO shuffle — the scale win over
     explode->groupBy at 10^12 docs). One sentinel row per (doc, field) with
     term='' carries the field length (incl. stopword slots) even when every
-    token is a stopword."""
-    import pandas as pd
+    token is a stopword.
+
+    mapInArrow, not mapInPandas: the output is ~150 posting rows per page,
+    and materializing the positions column as per-row Python list objects
+    made the pandas->Arrow conversion the stage bottleneck (it anti-scaled —
+    32 concurrent workers thrashed the allocator). Building flat numpy
+    arrays + one ListArray from (offsets, values) keeps the per-position
+    cost at zero Python objects."""
+    import pyarrow as pa
 
     from .tokenizer import tokenize_full
 
     def explode(batches):
-        for pdf in batches:
-            recs = []
-            for url, html, docid in zip(pdf["url"], pdf["html"], pdf["docid"]):
+        for rb in batches:
+            urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+            htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
+            docids = rb.column(rb.schema.get_field_index("docid")).to_pylist()
+            o_docid, o_field, o_term, o_tf, o_dlen = [], [], [], [], []
+            pos_offsets = [0]
+            pos_chunks: list[list[int]] = []
+            n_pos = 0
+            for url, html, docid in zip(urls, htmls, docids):
                 d = int(docid)
                 fields = extract_fields(url, bytes(html))
                 for f in FIELDS:
                     toks = tokenize_full(fields[f])
-                    recs.append((d, f, "", 0, [], len(toks)))
+                    dlen = len(toks)
+                    o_docid.append(d); o_field.append(f); o_term.append("")
+                    o_tf.append(0); o_dlen.append(dlen)
+                    pos_offsets.append(n_pos)
                     acc: dict[str, list[int]] = {}
                     for i, t in enumerate(toks):
                         if t is not None:
                             acc.setdefault(t, []).append(i)
                     for t, ps in acc.items():
-                        recs.append((d, f, t, len(ps), ps, len(toks)))
-            yield pd.DataFrame(
-                recs, columns=["docid", "field", "term", "tf", "positions", "doclen"]
+                        o_docid.append(d); o_field.append(f); o_term.append(t)
+                        o_tf.append(len(ps)); o_dlen.append(dlen)
+                        n_pos += len(ps)
+                        pos_offsets.append(n_pos)
+                        pos_chunks.append(ps)
+            flat = np.concatenate([np.asarray(c, dtype=np.int32) for c in pos_chunks]) \
+                if pos_chunks else np.empty(0, dtype=np.int32)
+            positions = pa.ListArray.from_arrays(
+                pa.array(pos_offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_docid, type=pa.int64()),
+                 pa.array(o_field, type=pa.string()),
+                 pa.array(o_term, type=pa.string()),
+                 pa.array(o_tf, type=pa.int32()),
+                 positions,
+                 pa.array(o_dlen, type=pa.int32())],
+                names=["docid", "field", "term", "tf", "positions", "doclen"],
             )
 
-    return pages_with_docid.select("url", "html", "docid").mapInPandas(
+    return pages_with_docid.select("url", "html", "docid").mapInArrow(
         explode, TOKENIZED_SCHEMA
     )
 
@@ -229,14 +260,46 @@ def assign_docids(pages: DataFrame) -> DataFrame:
     Idx.java:87-144). Zero-based.
 
     Scale note: a row_number window over an un-partitioned ORDER BY would
-    funnel every url through ONE task. Instead: distributed range-partitioned
-    sort of the narrow url column, then RDD zipWithIndex (two passes: count
-    per partition, then offset locally) — fully parallel, still a dense
-    deterministic rank. This is the one justified RDD use in the engine.
+    funnel every url through ONE task. Instead the classic two-pass dense
+    rank, all Arrow-vectorized: range-partitioned sort of the narrow url
+    column (persisted so both passes see identical partitioning), a tiny
+    per-partition count collect, then a mapInPandas that adds the broadcast
+    partition offset to a local running index. Fully parallel at any scale.
     """
+    import pandas as pd
+
     spark = pages.sparkSession
-    sorted_urls = pages.select("url").distinct().orderBy("url")
-    rdd = sorted_urls.rdd.map(lambda r: r["url"]).zipWithIndex()
-    return spark.createDataFrame(rdd, ["url", "docid"]).select(
-        "url", F.col("docid").cast("long")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    sorted_urls = (
+        pages.select("url").distinct()
+        .repartitionByRange(n, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    counts = {int(r["pid"]): int(r["n"]) for r in
+              sorted_urls.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = spark.sparkContext.broadcast(offsets)
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("docid", T.LongType(), False),
+    ])
+
+    def add_ids(batches):
+        seen, base = 0, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if base is None:
+                base = b_off.value[int(pdf["pid"].iloc[0])]
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "docid": np.arange(base + seen, base + seen + len(pdf), dtype=np.int64),
+            })
+            seen += len(pdf)
+
+    return sorted_urls.mapInPandas(add_ids, schema)

@@ -12,7 +12,9 @@ Iceberg tables — same layout, plus snapshot metadata):
 
 - ``docids/``      (url, docid)                     — dense docid = rank(url)
 - ``doc_lens/``    (docid, field, len)              — len incl. stopword slots
-- ``doc_terms/``   (docid, field, term, tf, positions) — forward/analytic path
+- ``tokenized/post={0,1}/`` (docid, field, term, tf, positions, doclen) —
+                    post=1 IS the doc_terms forward/analytic table; post=0
+                    holds one doclen sentinel row per (doc, field)
 - ``blocks/bucket=NN/`` (field, term, salt, blk, n, max_docid, min_docid,
                     max_score, docids_z, tfs_z, doclens_z, positions_z)
 - ``term_stats/``  (field, term, df, ctf, bucket)
@@ -82,6 +84,14 @@ def term_bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % N_BUCKETS
 
 
+def doc_terms_dir(index_dir: str) -> str:
+    """Postings long table location: the tokenized table's post=1 partition
+    (single-write layout); falls back to a standalone doc_terms/ dir for
+    indexes built before that layout."""
+    p = os.path.join(index_dir, "tokenized", "post=1")
+    return p if os.path.exists(p) else os.path.join(index_dir, "doc_terms")
+
+
 def _stage_done(index_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(index_dir, "_stages", stage + ".json"))
 
@@ -105,17 +115,21 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
 
     Shape: repartition by (field, term, salt) hash + sortWithinPartitions
     (field, term, salt, docid) — the classic
-    repartitionAndSortWithinPartitions — then ONE streaming mapInPandas pass
+    repartitionAndSortWithinPartitions — then ONE streaming mapInArrow pass
     that cuts consecutive (field, term, salt) runs and numpy-encodes blocks.
-    No per-group Arrow round-trip (the per-group applyInPandas machinery was
-    the build bottleneck: ~1ms x one group per term per stripe).
+    No per-group Arrow round-trip (per-group applyInPandas was the original
+    bottleneck), and no pandas materialization either: converting the
+    positions list column to per-row Python/numpy objects anti-scaled at
+    high parallelism. The kernel reads the ListArray's (values, offsets)
+    buffers and the dictionary-encoded key columns as flat numpy — zero
+    per-row objects.
 
     Salting is skew-targeted: only terms with df >= SALT_MIN_DF are striped
     by docid range (salt = docid // salt_range); cold terms stay whole (salt
     0), so group count stays O(vocab), not O(vocab x stripes). Group size is
     bounded by max(SALT_MIN_DF, salt_range) rows either way. Stripe
     concatenation preserves global docid order — merge is concatenation."""
-    import pandas as pd
+    import pyarrow as pa
 
     b_avg = spark.sparkContext.broadcast(avg_len)
     b_n_docs = int(n_docs)
@@ -127,68 +141,119 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         F.when(F.col("df") >= salt_min_df,
                (F.col("docid") / F.lit(salt_range)).cast("int")).otherwise(F.lit(0)),
     )
+    # hash-partition on the group key (one shuffle of the raw postings; no
+    # range-sampling pass, which would re-execute the upstream scan+join),
+    # sort within partitions — the classic repartitionAndSortWithinPartitions.
+    # Final file layout (bucket-contiguous, few files) is the merge stage's
+    # job, which range-partitions the ~100x smaller COMPRESSED blocks.
     part = (
         with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
                             "field", "term", "salt")
         .sortWithinPartitions("field", "term", "salt", "docid")
     )
 
-    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+    out_types = [
+        ("field", pa.string()), ("term", pa.string()), ("salt", pa.int32()),
+        ("blk", pa.int32()), ("n", pa.int32()), ("min_docid", pa.int64()),
+        ("max_docid", pa.int64()), ("max_score", pa.float64()),
+        ("max_tf", pa.int32()), ("min_doclen", pa.int32()),
+        ("striped", pa.bool_()),
+        ("docids_z", pa.binary()), ("tfs_z", pa.binary()),
+        ("doclens_z", pa.binary()), ("positions_z", pa.binary()),
+    ]
 
-    def encode_run(g: pd.DataFrame, rows: list) -> None:
-        field = g["field"].iloc[0]
-        term = g["term"].iloc[0]
-        salt = int(g["salt"].iloc[0])
-        docids = g["docid"].to_numpy(np.uint64)
-        tfs = g["tf"].to_numpy(np.uint64)
-        doclens = g["doclen"].to_numpy(np.uint64)
-        df_val = int(g["df"].iloc[0])
+    def encode_run(run, cols) -> None:
+        # run = (field, term, salt, df_val, docids, tfs, doclens, pvals, poffs)
+        # where poffs are run-relative offsets into pvals (len(docids)+1)
+        field, term, salt, df_val, docids, tfs, doclens, pvals, poffs = run
         striped = df_val >= salt_min_df
         avg = b_avg.value.get(field, 1.0)
-        pos = g["positions"].to_numpy()
+        docids = docids.astype(np.uint64)
+        tfs = tfs.astype(np.uint64)
+        doclens = doclens.astype(np.uint64)
         for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
-            e = s + codec.BLOCK_SIZE
+            e = min(s + codec.BLOCK_SIZE, len(docids))
             d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
             dz, tz, lz = codec.encode_block(d, t, dl)
             pz = codec.encode_positions(
-                [np.asarray(p, dtype=np.uint64) for p in pos[s:e]]
+                [pvals[poffs[i]:poffs[i + 1]].astype(np.uint64) for i in range(s, e)]
             )
             ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b)
-            rows.append((field, term, salt, blk_i, len(d),
-                         int(d[0]), int(d[-1]), ms, int(t.max()), int(dl.min()),
-                         striped, dz, tz, lz, pz))
+            row = (field, term, int(salt), blk_i, int(e - s),
+                   int(d[0]), int(d[-1]), ms, int(t.max()), int(dl.min()),
+                   bool(striped), dz, tz, lz, pz)
+            for c, v in zip(cols, row):
+                c.append(v)
 
     def encode_stream(batches):
         carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            key = (pdf["field"].astype("object") + "\x00"
-                   + pdf["term"].astype("object") + "\x00"
-                   + pdf["salt"].astype(str))
-            change = key.ne(key.shift()).to_numpy()
-            starts = np.flatnonzero(change)
-            # hold back the (possibly incomplete) final run for the next batch
-            last_start = starts[-1]
-            carry = pdf.iloc[last_start:]
-            head = pdf.iloc[:last_start]
-            if len(head):
-                rows: list = []
-                hs = starts[:-1]
-                for i, s in enumerate(hs):
-                    e = hs[i + 1] if i + 1 < len(hs) else last_start
-                    encode_run(head.iloc[s:e], rows)
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-        if carry is not None and len(carry):
-            rows = []
-            encode_run(carry, rows)
-            yield pd.DataFrame(rows, columns=cols)
+            ix = {n: i for i, n in enumerate(rb.schema.names)}
+            fdict = rb.column(ix["field"]).dictionary_encode()
+            tdict = rb.column(ix["term"]).dictionary_encode()
+            f_idx = np.asarray(fdict.indices)
+            f_vocab = fdict.dictionary.to_pylist()
+            t_idx = np.asarray(tdict.indices)
+            t_vocab = tdict.dictionary.to_pylist()
+            salt = rb.column(ix["salt"]).to_numpy()
+            docid = rb.column(ix["docid"]).to_numpy()
+            tf = rb.column(ix["tf"]).to_numpy()
+            doclen = rb.column(ix["doclen"]).to_numpy()
+            dfc = rb.column(ix["df"]).to_numpy()
+            pos = rb.column(ix["positions"])
+            poffs = np.asarray(pos.offsets).astype(np.int64)
+            pvals = np.asarray(pos.values)
 
-    return part.mapInPandas(encode_stream, BLOCKS_SCHEMA).withColumn(
+            n = rb.num_rows
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = ((f_idx[1:] != f_idx[:-1]) | (t_idx[1:] != t_idx[:-1])
+                          | (salt[1:] != salt[:-1]))
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+
+            def make_run(s, e):
+                return (f_vocab[f_idx[s]], t_vocab[t_idx[s]], int(salt[s]),
+                        int(dfc[s]), docid[s:e], tf[s:e], doclen[s:e],
+                        pvals[poffs[s]:poffs[e]], poffs[s:e + 1] - poffs[s])
+
+            cols = [[] for _ in out_types]
+            first = make_run(starts[0], ends[0])
+            if carry is not None:
+                if carry[:3] == first[:3]:
+                    merged_offs = np.concatenate(
+                        [carry[8], first[8][1:] + carry[8][-1]])
+                    first = carry[:4] + (
+                        np.concatenate([carry[4], first[4]]),
+                        np.concatenate([carry[5], first[5]]),
+                        np.concatenate([carry[6], first[6]]),
+                        np.concatenate([carry[7], first[7]]),
+                        merged_offs,
+                    )
+                else:
+                    encode_run(carry, cols)
+                carry = None
+            runs = [first] + [make_run(s, e) for s, e in zip(starts[1:], ends[1:])]
+            # hold back the (possibly incomplete) final run for the next batch
+            carry = runs.pop()
+            for run in runs:
+                encode_run(run, cols)
+            if cols[0]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=ty) for c, (_, ty) in zip(cols, out_types)],
+                    names=[nm for nm, _ in out_types],
+                )
+        if carry is not None:
+            cols = [[] for _ in out_types]
+            encode_run(carry, cols)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=ty) for c, (_, ty) in zip(cols, out_types)],
+                names=[nm for nm, _ in out_types],
+            )
+
+    return part.mapInArrow(encode_stream, BLOCKS_SCHEMA).withColumn(
         "bucket", term_bucket_col(F.col("term"))
     )
 
@@ -253,34 +318,37 @@ def build_index(
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
     # length incl. stopwords (reference Idx.getFieldLength semantics,
     # Idx.java:99-115).
-    doc_terms_path = os.path.join(index_dir, "doc_terms")
     doc_lens_path = os.path.join(index_dir, "doc_lens")
     if not (resume and _stage_done(index_dir, "doc_terms")):
         # one tokenize pass; (docid, field, term) aggregation happens
-        # doc-locally inside the Arrow batch -> NO groupBy shuffle here
-        # no broadcast hint: docids is O(n_docs) — AQE broadcasts when small,
-        # sort-merge joins at 10^12 scale.
-        # repartition before the tokenize kernel: parquet scans coalesce
-        # small files into few input partitions (maxPartitionBytes), which
-        # would serialize the most CPU-heavy stage of the build. On a real
-        # cluster with TB-scale inputs the scan itself yields enough
-        # partitions and AQE would keep this exchange cheap.
+        # doc-locally inside the Arrow batch -> NO groupBy shuffle here.
+        # The docids join must NOT sort-merge: that would shuffle every html
+        # byte by url. Broadcast the narrow (url, docid) side while it fits
+        # (explicit hint — it can exceed autoBroadcastJoinThreshold); at
+        # 10^12 docs neither side broadcasts, and the cluster answer is
+        # bucketed/co-partitioned storage of pages and docids on url so the
+        # join is shuffle-free. html bytes never move in either regime.
         par = spark.sparkContext.defaultParallelism * 2
-        with_ids = (
-            pages.filter(F.col("lang") == "en")
-            .join(docids, "url")
-            .repartition(par)
-        )
+        en_pages = pages.filter(F.col("lang") == "en")
+        ids = F.broadcast(docids) if n_docs <= 5_000_000 else docids
+        with_ids = en_pages.join(ids, "url")
+        if en_pages.rdd.getNumPartitions() < par:
+            # tiny test corpora scan into a couple of input splits, which
+            # would serialize the tokenize kernel
+            with_ids = with_ids.repartition(par)
         tokenized_path = os.path.join(index_dir, "tokenized")
-        pages_to_tokenized(with_ids).write.mode("overwrite").parquet(tokenized_path)
-        tokenized = spark.read.parquet(tokenized_path)
-        tokenized.filter(F.col("term") == "").select(
+        # ONE write, partitioned by post (0 = doclen sentinel rows, 1 = real
+        # postings). doc_terms IS the post=1 partition directory — the old
+        # filter-and-rewrite of the biggest intermediate is gone.
+        pages_to_tokenized(with_ids).withColumn(
+            "post", (F.col("term") != "").cast("int")
+        ).write.mode("overwrite").partitionBy("post").parquet(tokenized_path)
+        spark.read.parquet(os.path.join(tokenized_path, "post=0")).select(
             "docid", "field", F.col("doclen").cast("int").alias("len")
         ).write.mode("overwrite").parquet(doc_lens_path)
-        tokenized.filter(F.col("term") != "").write.mode("overwrite").parquet(doc_terms_path)
         _mark_stage(index_dir, "doc_terms")
         _lap("doc_terms")
-    doc_terms = spark.read.parquet(doc_terms_path)
+    doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
 
     # -- stage 3: stats tables ----------------------------------------------
     term_stats_path = os.path.join(index_dir, "term_stats")
@@ -307,18 +375,40 @@ def build_index(
     term_stats = spark.read.parquet(term_stats_path)
     field_stats = spark.read.parquet(field_stats_path)
 
-    # -- stage 4: salted block encode ---------------------------------------
-    blocks_path = os.path.join(index_dir, "blocks")
-    if not (resume and _stage_done(index_dir, "blocks")):
+    # -- stage 4: salted block encode -> partial segments --------------------
+    segments_path = os.path.join(index_dir, "blocks_segments")
+    if not (resume and _stage_done(index_dir, "segments")):
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
         blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),
                                salt_range, bm25_k1, bm25_b, salt_min_df)
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
-        _mark_stage(index_dir, "blocks")
-        _lap("blocks")
+        blocks.write.mode("overwrite").parquet(segments_path)
+        _mark_stage(index_dir, "segments")
+        _lap("segments")
 
-    # -- stage 5: lineage / metrics ------------------------------------------
+    # -- stage 5: merge segments into the serving layout ---------------------
+    # Range-partition the COMPRESSED blocks (~100x smaller than raw postings)
+    # on (bucket, field, term, salt): equal keys land in one partition, each
+    # merge task owns a contiguous bucket range, so partitionBy("bucket")
+    # emits ~1-2 directories per task — file count O(tasks + buckets) — with
+    # term-contiguous row groups so parquet min/max stats prune term IN()
+    # scans. This is the "merge partial segment indexes" step: stripes are
+    # docid-range disjoint, so merge is layout-only, never a re-sort of
+    # postings.
+    blocks_path = os.path.join(index_dir, "blocks")
+    if not (resume and _stage_done(index_dir, "blocks")):
+        seg = spark.read.parquet(segments_path)
+        (
+            seg.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 16),
+                "bucket", "field", "term", "salt")
+            .sortWithinPartitions("bucket", "field", "term", "salt", "min_docid")
+            .write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+        )
+        _mark_stage(index_dir, "blocks")
+        _lap("merge")
+
+    # -- stage 6: lineage / metrics ------------------------------------------
     lineage_path = os.path.join(index_dir, "lineage")
     if not (resume and _stage_done(index_dir, "lineage")):
         blocks_df = spark.read.parquet(blocks_path)
@@ -369,6 +459,10 @@ class IndexReader:
             self.manifest = {}
         self.salt_range = int(self.manifest.get("salt_range") or max(1, -(-self.n_docs // 32)))
         self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
+        # (field, term) -> (df, ctf) or None for known-absent; the reference's
+        # ctf memoization across queries (QryEval.java:644-651). Readers are
+        # per-index-version objects, so no staleness across appends.
+        self._ts_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
 
     def avg_doclen(self, field: str) -> float:
         c, s = self.field_stats[field]
@@ -378,13 +472,19 @@ class IndexReader:
         return self.field_stats[field][0]
 
     def term_stats(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
-        """(field, term) -> (df, ctf); missing terms absent."""
-        buckets = sorted({term_bucket_py(t) for _, t in terms})
-        conds = F.col("bucket").isin(buckets) & F.struct("field", "term").isin(
-            [F.struct(F.lit(f), F.lit(t)) for f, t in terms]
-        )
-        rows = self._term_stats.filter(conds).collect()
-        return {(r["field"], r["term"]): (int(r["df"]), int(r["ctf"])) for r in rows}
+        """(field, term) -> (df, ctf); missing terms absent. Memoized, so a
+        query whose terms were all seen before costs zero Spark jobs here."""
+        missing = sorted({t for t in terms if t not in self._ts_memo})
+        if missing:
+            buckets = sorted({term_bucket_py(t) for _, t in missing})
+            conds = F.col("bucket").isin(buckets) & F.struct("field", "term").isin(
+                [F.struct(F.lit(f), F.lit(t)) for f, t in missing]
+            )
+            found = {(r["field"], r["term"]): (int(r["df"]), int(r["ctf"]))
+                     for r in self._term_stats.filter(conds).collect()}
+            for key in missing:
+                self._ts_memo[key] = found.get(key)
+        return {t: v for t in terms if (v := self._ts_memo[t]) is not None}
 
     def blocks_for(self, terms: list[tuple[str, str]]) -> DataFrame:
         """Pruned scan: bucket partition filter (directory pruning) + plain
@@ -403,7 +503,7 @@ class IndexReader:
         return self._docids
 
     def doc_terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_terms"))
+        return self.spark.read.parquet(doc_terms_dir(self.index_dir))
 
     def doc_lens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "doc_lens"))

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpus import pages_to_tokenized
-from .build import IndexReader, encode_blocks, term_bucket_col
+from .build import IndexReader, doc_terms_dir, encode_blocks, term_bucket_col
 
 
 def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
@@ -78,7 +78,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         "docid", "field", F.col("doclen").cast("int").alias("len")
     ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))
     delta_terms = tokenized.filter(F.col("term") != "")
-    delta_terms.write.mode("append").parquet(os.path.join(index_dir, "doc_terms"))
+    delta_terms.write.mode("append").parquet(doc_terms_dir(index_dir))
 
     # merged stats (old + delta)
     delta_stats = delta_terms.groupBy("field", "term").agg(

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAXPART", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        # 32MB parquet row groups: with 128MB defaults, K concurrent write
+        # tasks x open writers buffer up K x 256MB of column pages — at
+        # local[32] that equals the whole heap and the write stages GC-thrash
+        # (and anti-scale). Smaller groups also give finer row-group pruning
+        # on the term-filtered postings scans.
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -47,7 +47,7 @@ def test_resume_identical(spark, tmp_path):
     d_part = str(tmp_path / "partial")
     os.makedirs(os.path.join(d_part, "_stages"))
     for stage, artifacts in [("docids", ["docids"]), ("attrs", ["attrs"]),
-                             ("doc_terms", ["doc_terms", "doc_lens"])]:
+                             ("doc_terms", ["tokenized", "doc_lens"])]:
         for a in artifacts:
             shutil.copytree(os.path.join(d_full, a), os.path.join(d_part, a))
         shutil.copy(os.path.join(d_full, "_stages", stage + ".json"),
