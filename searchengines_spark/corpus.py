@@ -199,45 +199,98 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
     mapInArrow, not mapInPandas: the output is ~150 posting rows per page,
     and materializing the positions column as per-row Python list objects
     made the pandas->Arrow conversion the stage bottleneck (it anti-scaled —
-    32 concurrent workers thrashed the allocator). Building flat numpy
-    arrays + one ListArray from (offsets, values) keeps the per-position
-    cost at zero Python objects."""
+    32 concurrent workers thrashed the allocator). The kernel interns every
+    raw token once per worker (dict: raw -> stem id, -1 = stopword; one dict
+    hit per token, frozen-spec stop/stem runs only on first sight), then the
+    per-(doc, field, term) grouping is a single numpy stable argsort over
+    (segment, term-id) keys — positions, tfs and the Arrow ListArray all
+    come out of flat array slices with zero per-token Python objects."""
     import pyarrow as pa
 
-    from .tokenizer import tokenize_full
+    from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
 
     def explode(batches):
+        stem_ids: dict[str, int] = {}   # raw token -> term id (-1 = stopword)
+        vocab_ids: dict[str, int] = {}  # stemmed term -> term id
+        vocab: list[str] = []           # term id -> stemmed term
         for rb in batches:
-            urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
-            htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
-            docids = rb.column(rb.schema.get_field_index("docid")).to_pylist()
-            o_docid, o_field, o_term, o_tf, o_dlen = [], [], [], [], []
-            pos_offsets = [0]
-            pos_chunks: list[list[int]] = []
-            n_pos = 0
+            if rb.num_rows == 0:
+                continue
+            ix = {n: i for i, n in enumerate(rb.schema.names)}
+            urls = rb.column(ix["url"]).to_pylist()
+            htmls = rb.column(ix["html"]).to_pylist()
+            docids = rb.column(ix["docid"]).to_pylist()
+
+            texts: list[str] = []
+            seg_docid = np.empty(len(urls) * len(FIELDS), dtype=np.int64)
+            seg_field: list[str] = []
+            k = 0
             for url, html, docid in zip(urls, htmls, docids):
-                d = int(docid)
                 fields = extract_fields(url, bytes(html))
                 for f in FIELDS:
-                    toks = tokenize_full(fields[f])
-                    dlen = len(toks)
-                    o_docid.append(d); o_field.append(f); o_term.append("")
-                    o_tf.append(0); o_dlen.append(dlen)
-                    pos_offsets.append(n_pos)
-                    acc: dict[str, list[int]] = {}
-                    for i, t in enumerate(toks):
-                        if t is not None:
-                            acc.setdefault(t, []).append(i)
-                    for t, ps in acc.items():
-                        o_docid.append(d); o_field.append(f); o_term.append(t)
-                        o_tf.append(len(ps)); o_dlen.append(dlen)
-                        n_pos += len(ps)
-                        pos_offsets.append(n_pos)
-                        pos_chunks.append(ps)
-            flat = np.concatenate([np.asarray(c, dtype=np.int32) for c in pos_chunks]) \
-                if pos_chunks else np.empty(0, dtype=np.int32)
+                    texts.append(fields[f])
+                    seg_docid[k] = int(docid)
+                    seg_field.append(f)
+                    k += 1
+            n_seg = k
+
+            tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
+            seg_lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
+            total = int(seg_lens.sum())
+            tok_id = np.empty(total, dtype=np.int64)
+            j = 0
+            get = stem_ids.get
+            for lst in tok_lists:
+                for t in lst:
+                    v = get(t)
+                    if v is None:
+                        if t in STOPWORDS:
+                            v = -1
+                        else:
+                            m = s_stem(t)
+                            v = vocab_ids.get(m)
+                            if v is None:
+                                v = len(vocab)
+                                vocab_ids[m] = v
+                                vocab.append(m)
+                        stem_ids[t] = v
+                    tok_id[j] = v
+                    j += 1
+
+            seg_starts = np.zeros(n_seg, dtype=np.int64)
+            np.cumsum(seg_lens[:-1], out=seg_starts[1:])
+            seg_of = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
+            pos_in_seg = (np.arange(total, dtype=np.int64) - seg_starts[seg_of])
+
+            keep = tok_id >= 0
+            k_seg, k_id, k_pos = seg_of[keep], tok_id[keep], pos_in_seg[keep]
+            V = max(1, len(vocab))
+            key = k_seg * V + k_id
+            order = np.argsort(key, kind="stable")  # stable: positions ascend
+            sk, sp = key[order], k_pos[order].astype(np.int32)
+            if len(sk):
+                run_starts = np.flatnonzero(
+                    np.concatenate([[True], sk[1:] != sk[:-1]]))
+            else:
+                run_starts = np.empty(0, dtype=np.int64)
+            run_ends = np.append(run_starts[1:], len(sk))
+            run_seg = sk[run_starts] // V
+            run_term = sk[run_starts] % V
+            tfs = (run_ends - run_starts).astype(np.int32)
+
+            vocab_np = np.array(vocab, dtype=object) if vocab else np.empty(0, object)
+            field_np = np.array(seg_field, dtype=object)
+            o_docid = np.concatenate([seg_docid[:n_seg], seg_docid[run_seg]])
+            o_field = np.concatenate([field_np, field_np[run_seg]])
+            o_term = np.concatenate(
+                [np.full(n_seg, "", dtype=object), vocab_np[run_term]])
+            o_tf = np.concatenate([np.zeros(n_seg, np.int32), tfs])
+            o_dlen = np.concatenate(
+                [seg_lens, seg_lens[run_seg]]).astype(np.int32)
+            offsets = np.concatenate(
+                [np.zeros(n_seg, np.int64), run_starts, [len(sk)]])
             positions = pa.ListArray.from_arrays(
-                pa.array(pos_offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+                pa.array(offsets, type=pa.int32()), pa.array(sp, type=pa.int32())
             )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_docid, type=pa.int64()),

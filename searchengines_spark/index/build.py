@@ -164,24 +164,39 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
 
     def encode_run(run, cols) -> None:
         # run = (field, term, salt, df_val, docids, tfs, doclens, pvals, poffs)
-        # where poffs are run-relative offsets into pvals (len(docids)+1)
+        # where poffs are run-relative offsets into pvals (len(docids)+1).
+        # The whole run encodes in ONE vectorized pass per payload; per-block
+        # byte ranges fall out of the varint byte offsets (encode_varint_sliced).
         field, term, salt, df_val, docids, tfs, doclens, pvals, poffs = run
-        striped = df_val >= salt_min_df
+        striped = bool(df_val >= salt_min_df)
         avg = b_avg.value.get(field, 1.0)
-        docids = docids.astype(np.uint64)
-        tfs = tfs.astype(np.uint64)
-        doclens = doclens.astype(np.uint64)
-        for blk_i, s in enumerate(range(0, len(docids), codec.BLOCK_SIZE)):
-            e = min(s + codec.BLOCK_SIZE, len(docids))
-            d, t, dl = docids[s:e], tfs[s:e], doclens[s:e]
-            dz, tz, lz = codec.encode_block(d, t, dl)
-            pz = codec.encode_positions(
-                [pvals[poffs[i]:poffs[i + 1]].astype(np.uint64) for i in range(s, e)]
-            )
-            ms = codec.bm25_upper_bound(t, dl, df_val, b_n_docs, avg, k1, b)
-            row = (field, term, int(salt), blk_i, int(e - s),
-                   int(d[0]), int(d[-1]), ms, int(t.max()), int(dl.min()),
-                   bool(striped), dz, tz, lz, pz)
+        n = len(docids)
+        docids_u = docids.astype(np.uint64)
+        bstarts = np.arange(0, n, codec.BLOCK_SIZE, dtype=np.int64)
+        bends = np.minimum(bstarts + codec.BLOCK_SIZE, n)
+        dd = docids_u.copy()
+        if n > 1:
+            dd[1:] -= docids_u[:-1]
+        dd[bstarts] = docids_u[bstarts]  # delta restarts at block start
+        d_sl = codec.encode_varint_sliced(dd, bstarts)
+        t_sl = codec.encode_varint_sliced(tfs.astype(np.uint64), bstarts)
+        l_sl = codec.encode_varint_sliced(doclens.astype(np.uint64), bstarts)
+        p_sl = codec.encode_positions_flat_sliced(pvals, poffs, bstarts)
+        # block metadata, all reduceat: BM25 upper bound (same float shape as
+        # codec.bm25_upper_bound: max of tf-weights, then x idf), max tf, min dl
+        tfd = tfs.astype(np.float64)
+        dld = doclens.astype(np.float64)
+        idf = max(0.0, np.log((b_n_docs - df_val + 0.5) / (df_val + 0.5)))
+        tfw = tfd / (tfd + k1 * ((1.0 - b) + b * (dld / avg)))
+        bmax = np.maximum.reduceat(tfw, bstarts) * idf
+        max_tf = np.maximum.reduceat(tfs, bstarts)
+        min_dl = np.minimum.reduceat(doclens, bstarts)
+        for i in range(len(bstarts)):
+            s, e = int(bstarts[i]), int(bends[i])
+            row = (field, term, int(salt), i, e - s,
+                   int(docids[s]), int(docids[e - 1]), float(bmax[i]),
+                   int(max_tf[i]), int(min_dl[i]), striped,
+                   d_sl[i], t_sl[i], l_sl[i], p_sl[i])
             for c, v in zip(cols, row):
                 c.append(v)
 

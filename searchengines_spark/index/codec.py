@@ -88,6 +88,91 @@ def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
     return encode_varint(np.concatenate(parts))
 
 
+def encode_positions_flat(values: np.ndarray, counts: np.ndarray) -> bytes:
+    """Byte-identical to ``encode_positions``, but takes the positions of all
+    docs as ONE flat array plus per-doc counts — no per-doc Python slice
+    objects, so the build kernel can call it straight off Arrow ListArray
+    (values, offsets) buffers."""
+    m = int(counts.size)
+    if m == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    cnt = np.ascontiguousarray(counts, dtype=np.int64)
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    d = v.copy()
+    if v.size > 1:
+        d[1:] -= v[:-1]
+    nz = starts[cnt > 0]
+    d[nz] = v[nz]  # first position of each doc stays absolute
+    out = np.empty(m + v.size, dtype=np.uint64)
+    cpos = starts + np.arange(m, dtype=np.int64)  # slot of each count
+    out[cpos] = cnt.astype(np.uint64)
+    mask = np.ones(m + v.size, dtype=bool)
+    mask[cpos] = False
+    out[mask] = d
+    return encode_varint(out)
+
+
+def encode_varint_sliced(values: np.ndarray, cut_idx: np.ndarray) -> list[bytes]:
+    """Varint-encode ONE array and return the per-slice bytes, cutting
+    immediately before each value index in ``cut_idx`` (cut_idx[0] == 0).
+    Byte-identical to calling ``encode_varint`` per slice (LEB128 is
+    per-value independent), but one vectorized pass for a whole posting run
+    instead of one call per block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(cut_idx))]
+    sizes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        sizes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    heads = offsets[:-1]
+    maxs = int(sizes.max())
+    for k in range(maxs):
+        mask = sizes > k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (sizes[mask] - 1 > k).astype(np.uint8) << 7
+        out[heads[mask] + k] = byte | cont
+    buf = out.tobytes()
+    bounds = offsets[np.asarray(cut_idx, dtype=np.int64)]
+    ends = np.append(bounds[1:], len(buf))
+    return [buf[s:e] for s, e in zip(bounds, ends)]
+
+
+def encode_positions_flat_sliced(values: np.ndarray, offs: np.ndarray,
+                                 bstarts: np.ndarray) -> list[bytes]:
+    """Per-block position payloads for a whole run in one pass: ``values`` is
+    the run's flat positions, ``offs`` the per-doc offsets (len n_docs+1),
+    ``bstarts`` the doc index starting each block. Byte-identical to calling
+    ``encode_positions_flat`` per block (delta restarts at every doc, and
+    blocks cut on doc boundaries)."""
+    m = len(offs) - 1
+    if m == 0:
+        return [b"" for _ in range(len(bstarts))]
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    offs = np.asarray(offs, dtype=np.int64)
+    cnt = np.diff(offs)
+    starts = offs[:-1]
+    d = v.copy()
+    if v.size > 1:
+        d[1:] -= v[:-1]
+    nz = starts[cnt > 0]
+    d[nz] = v[nz]
+    out = np.empty(m + v.size, dtype=np.uint64)
+    cpos = starts + np.arange(m, dtype=np.int64)
+    out[cpos] = cnt.astype(np.uint64)
+    mask = np.ones(m + v.size, dtype=bool)
+    mask[cpos] = False
+    out[mask] = d
+    cut = offs[np.asarray(bstarts, dtype=np.int64)] + np.asarray(bstarts, dtype=np.int64)
+    return encode_varint_sliced(out, cut)
+
+
 def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     flat = decode_varint(buf)
     out: list[np.ndarray] = []

@@ -53,3 +53,59 @@ def test_bm25_upper_bound_dominates():
     idf = max(0.0, np.log((10_000 - 100 + 0.5) / (100 + 0.5)))
     scores = idf * tfs / (tfs + 1.2 * (0.25 + 0.75 * lens / 120.0))
     assert ub >= scores.max() - 1e-12
+
+
+def test_encode_positions_flat_equivalence():
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchengines_spark.index import codec
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.lists(st.integers(0, 5000), max_size=20).map(sorted),
+                    max_size=30))
+    def check(rows):
+        arrs = [np.asarray(r, dtype=np.uint64) for r in rows]
+        flat = (np.concatenate(arrs) if rows else np.empty(0, np.uint64))
+        counts = np.asarray([len(r) for r in rows], dtype=np.int64)
+        assert codec.encode_positions_flat(flat, counts) == codec.encode_positions(arrs)
+
+    check()
+
+
+def test_sliced_encoders_match_per_block():
+    import numpy as np
+
+    from searchengines_spark.index import codec
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    docids = np.cumsum(rng.integers(1, 50, n)).astype(np.uint64)
+    tfs = rng.integers(1, 9, n).astype(np.uint64)
+    dls = rng.integers(10, 300, n).astype(np.uint64)
+    counts = rng.integers(1, 6, n)
+    pvals = np.concatenate([np.sort(rng.integers(0, 300, c)) for c in counts]).astype(np.uint64)
+    poffs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    BS = codec.BLOCK_SIZE
+    bstarts = np.arange(0, n, BS, dtype=np.int64)
+    dd = docids.copy(); dd[1:] -= docids[:-1]; dd[bstarts] = docids[bstarts]
+    d_sl = codec.encode_varint_sliced(dd, bstarts)
+    t_sl = codec.encode_varint_sliced(tfs, bstarts)
+    l_sl = codec.encode_varint_sliced(dls, bstarts)
+    p_sl = codec.encode_positions_flat_sliced(pvals, poffs, bstarts)
+
+    for i, s in enumerate(bstarts):
+        e = min(int(s) + BS, n)
+        dz, tz, lz = codec.encode_block(docids[s:e], tfs[s:e], dls[s:e])
+        assert (d_sl[i], t_sl[i], l_sl[i]) == (dz, tz, lz)
+        pz = codec.encode_positions_flat(pvals[poffs[s]:poffs[e]], np.diff(poffs[s:e + 1]))
+        assert p_sl[i] == pz
+        # and the decode round-trip
+        d2, t2, dl2 = codec.decode_block(d_sl[i], t_sl[i], l_sl[i])
+        assert (d2 == docids[s:e]).all() and (t2 == tfs[s:e]).all() and (dl2 == dls[s:e]).all()
+        ps = codec.decode_positions(p_sl[i], e - int(s))
+        flat = np.concatenate(ps) if ps else np.empty(0)
+        assert (flat == pvals[poffs[s]:poffs[e]]).all()

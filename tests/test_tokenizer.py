@@ -46,3 +46,38 @@ def test_simple_tokens_matches_duckdb_split():
 
 def test_stopwords_frozen():
     assert "the" in STOPWORDS and len(STOPWORDS) == 33
+
+
+def test_arrow_tokenize_kernel_matches_naive(spark):
+    """The interned/argsort Arrow kernel in pages_to_tokenized must equal a
+    naive per-page tokenize_full accumulation (same spec, two impls)."""
+    import pyspark.sql.functions as F
+
+    from searchengines_spark.corpus import (FIELDS, assign_docids,
+                                            extract_fields, generate_pages,
+                                            pages_to_tokenized)
+    from searchengines_spark.tokenizer import tokenize_full
+
+    pages_df = generate_pages(spark, 60, seed=11, partitions=3)
+    en = pages_df.filter("lang='en'")
+    ids = assign_docids(en)
+    got = {}
+    for r in pages_to_tokenized(en.join(F.broadcast(ids), "url")).collect():
+        got[(r["docid"], r["field"], r["term"])] = (
+            r["tf"], list(r["positions"]), r["doclen"])
+
+    id_map = {r["url"]: r["docid"] for r in ids.collect()}
+    want = {}
+    for p in en.collect():
+        d = id_map[p["url"]]
+        fl = extract_fields(p["url"], bytes(p["html"]))
+        for f in FIELDS:
+            toks = tokenize_full(fl[f])
+            want[(d, f, "")] = (0, [], len(toks))
+            acc = {}
+            for i, t in enumerate(toks):
+                if t is not None:
+                    acc.setdefault(t, []).append(i)
+            for t, ps in acc.items():
+                want[(d, f, t)] = (len(ps), ps, len(toks))
+    assert got == want
