@@ -63,8 +63,11 @@ def main():
             pages = spark.read.parquet(pages_path)
 
             t0 = time.time()
+            # n_salts fixed (NOT a function of CPUS): the scaling evidence
+            # compares the same job at two parallelism levels, so the index
+            # shape must be identical in both runs
             m = build_index(spark, pages, os.path.join(idx_dir, "idx"),
-                            n_salts=max(CPUS, 16))
+                            n_salts=32)
             queries["index_build"] = round(time.time() - t0, 3)
             extra["build_docs_per_sec"] = round(m["docs_per_sec"], 1)
             extra["build_postings_per_sec"] = round(m["postings_per_sec"], 1)
