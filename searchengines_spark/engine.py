@@ -12,21 +12,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .index.build import IndexReader
-from .query.models import make_model
+from .query import ast
+from .query.models import BM25, make_model
 from .query.parser import QueryParser
 from .query.planner import Planner
+from .query.wand import wand_topk
+
+
+def _flat_bm25_terms(root) -> tuple[list[str], str] | None:
+    """If the tree is a flat bag-of-words #SUM of single same-field terms
+    (the default BM25 shape, RetrievalModelBM25.java:22-24) return (terms in
+    query order, field); else None. Repeated terms fall back to the planner
+    (the WAND kernel keys cursors by term)."""
+    if not isinstance(root, ast.Sum):
+        return None
+    terms, fields = [], set()
+    for a in root.args:
+        if not (isinstance(a, ast.Score) and isinstance(a.arg, ast.Term)):
+            return None
+        terms.append(a.arg.term)
+        fields.add(a.arg.field)
+    if len(fields) != 1 or len(set(terms)) != len(terms):
+        return None
+    return terms, fields.pop()
 
 
 class Engine:
     def __init__(self, reader: IndexReader):
         self.reader = reader
 
-    def search(self, query: str, model: str = "bm25", k: int = 100, **model_kw) -> DataFrame:
-        """Returns (url, score) top-k, reference sort rule."""
+    def search(self, query: str, model: str = "bm25", k: int = 100,
+               use_wand: bool = True, **model_kw) -> DataFrame:
+        """Returns (url, score) top-k, reference sort rule. Flat BM25
+        bag-of-words queries serve through the block-max WAND kernel
+        (score-identical to the exhaustive plan; pruning only skips blocks
+        that cannot reach the top k)."""
         m = make_model(model, **model_kw)
         root = QueryParser(m.name).parse(query)
         if root is None:  # all stopwords
             return self.reader.docid_url_map().select("url", F.lit(0.0).alias("score")).limit(0)
+        if use_wand and isinstance(m, BM25):
+            flat = _flat_bm25_terms(root)
+            if flat is not None:
+                terms, field = flat
+                man = self.reader.manifest
+                stale = bool(man.get("stale_block_bounds")) or (
+                    (m.k1, m.b) != (man.get("bm25_k1", 1.2), man.get("bm25_b", 0.75)))
+                return wand_topk(self.reader, terms, field=field, k=k,
+                                 k1=m.k1, b=m.b, recompute_bounds=stale)
         scores = Planner(self.reader, m).plan(root)
         urls = self.reader.docid_url_map()
         return (

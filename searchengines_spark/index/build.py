@@ -328,6 +328,8 @@ def build_index(
     metrics["salt_range"] = salt_range
     metrics["salt_min_df"] = salt_min_df
     metrics["n_salts"] = n_salts
+    metrics["bm25_k1"] = bm25_k1
+    metrics["bm25_b"] = bm25_b
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field

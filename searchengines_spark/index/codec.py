@@ -184,6 +184,36 @@ def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     return out
 
 
+def decode_positions_flat(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's position payload to (flat positions, per-doc counts)
+    without building per-doc Python lists. Inverse of
+    ``encode_positions_flat``; the only Python loop is over the <= BLOCK_SIZE
+    doc count slots."""
+    flat = decode_varint(buf).astype(np.int64)
+    counts = np.empty(n_docs, dtype=np.int64)
+    i = 0
+    for j in range(n_docs):
+        c = int(flat[i])
+        counts[j] = c
+        i += 1 + c
+    cidx = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(counts[:-1] + 1, out=cidx[1:])
+    mask = np.ones(len(flat), dtype=bool)
+    mask[cidx] = False
+    d = flat[mask]
+    # per-doc cumsum with reset: subtract the running total at each doc start
+    abs_all = np.cumsum(d)
+    doc_starts = np.zeros(n_docs, np.int64)
+    if n_docs > 1:
+        np.cumsum(counts[:-1], out=doc_starts[1:])
+    bases = np.zeros(n_docs, np.int64)
+    nz = doc_starts > 0
+    bases[nz] = abs_all[doc_starts[nz] - 1]
+    vals = abs_all - np.repeat(bases, counts)
+    return vals, counts
+
+
 def encode_block(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> tuple[bytes, bytes, bytes]:
     """One posting block: docids delta+varint; tfs varint; doclens varint.
     Doclens are stored inline so BM25 scoring needs NO join against a

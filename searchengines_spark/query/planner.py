@@ -28,6 +28,7 @@ import math
 from dataclasses import dataclass
 from functools import reduce
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -37,7 +38,7 @@ from pyspark.sql import types as T
 from ..index.build import IndexReader
 from . import ast
 from .models import BM25, Indri, RankedBoolean, UnrankedBoolean
-from .positional import near_positions, syn_positions, window_positions
+from .positional import batch_positions, syn_positions
 from .postings import decode_postings
 
 
@@ -140,7 +141,7 @@ class Planner:
             ).withColumn("tf", F.size("positions"))
         else:
             n = node.n
-            fn = near_positions if isinstance(node, ast.Near) else window_positions
+            ordered = isinstance(node, ast.Near)
             joined = children[0].df.select(
                 "docid", "doclen", F.col("positions").alias("p0")
             )
@@ -148,13 +149,23 @@ class Planner:
                 joined = joined.join(
                     c.df.select("docid", F.col("positions").alias(f"p{i}")), "docid"
                 )
+            n_args = len(children)
 
             @F.pandas_udf(T.ArrayType(T.IntegerType()))
             def match_udf(plists: pd.Series) -> pd.Series:
-                return plists.map(lambda pls: fn([list(p) for p in pls], n))
+                rows = plists.to_numpy()
+                cols = [np.empty(len(rows), dtype=object) for _ in range(n_args)]
+                for r, pls in enumerate(rows):
+                    for i in range(n_args):
+                        cols[i][r] = pls[i]
+                return pd.Series(batch_positions(cols, n, ordered))
 
+            # AQE coalesces the (small-byte) join output to a couple of
+            # partitions, which would serialize the Python match kernel on
+            # high-df terms — spread candidates across the cores explicitly
+            par = joined.sparkSession.sparkContext.defaultParallelism
             out = (
-                joined.withColumn(
+                joined.repartition(par, "docid").withColumn(
                     "positions",
                     match_udf(F.array(*[f"p{i}" for i in range(len(children))])),
                 )

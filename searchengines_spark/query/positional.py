@@ -9,6 +9,74 @@ cost is paid only on docs containing ALL argument terms.
 
 from __future__ import annotations
 
+import numpy as np
+
+_BIG = np.int64(1) << np.int64(24)  # > any field position + any window n
+
+
+def _flat(col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of per-doc position arrays -> (flat int64, offsets)."""
+    m = len(col)
+    lens = np.fromiter((len(a) for a in col), np.int64, m)
+    offs = np.zeros(m + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = (np.concatenate(col).astype(np.int64) if offs[-1]
+            else np.empty(0, np.int64))
+    return flat, offs
+
+
+def _pair_any(A: np.ndarray, offsA: np.ndarray, B: np.ndarray,
+              offsB: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Per-row bool: exists (a in A_row, b in B_row) with lo <= b-a <= hi.
+    One global searchsorted over row-offset-shifted values — no per-row
+    Python. Necessary-condition prefilter for the pointer walks."""
+    m = len(offsA) - 1
+    lensA = np.diff(offsA)
+    lensB = np.diff(offsB)
+    rowA = np.repeat(np.arange(m, dtype=np.int64), lensA)
+    rowB = np.repeat(np.arange(m, dtype=np.int64), lensB)
+    Ab = A + rowA * _BIG
+    Bb = B + rowB * _BIG
+    # clamp the probe at the row base so a+lo<0 can't reach the previous row
+    probe = rowA * _BIG + np.maximum(A + lo, 0)
+    idx = np.searchsorted(Bb, probe, side="left")
+    ok = np.zeros(len(Ab), dtype=bool)
+    valid = idx < len(Bb)
+    ok[valid] = Bb[idx[valid]] <= Ab[valid] + hi
+    res = np.zeros(m, dtype=bool)
+    nz = lensA > 0
+    if ok.size and nz.any():
+        res[nz] = np.logical_or.reduceat(ok, offsA[:-1][nz])
+    return res
+
+
+def batch_positions(arg_cols: list[np.ndarray], n: int, ordered: bool) -> np.ndarray:
+    """Vectorized driver for NEAR (ordered) / WINDOW (unordered) over a batch
+    of candidate docs: numpy adjacent-pair prefilter kills the (vast
+    majority of) docs with no possible match, the exact pointer walk runs
+    only on survivors. Returns an object array of Python int lists."""
+    m = len(arg_cols[0])
+    k = len(arg_cols)
+    flats = [_flat(c) for c in arg_cols]
+    cand = np.ones(m, dtype=bool)
+    for i in range(k - 1):
+        A, offsA = flats[i]
+        B, offsB = flats[i + 1]
+        if ordered:
+            cand &= _pair_any(A, offsA, B, offsB, 1, n)
+        else:
+            cand &= _pair_any(A, offsA, B, offsB, -(n - 1), n - 1)
+    fn = near_positions if ordered else window_positions
+    out = np.empty(m, dtype=object)
+    empty: list[int] = []
+    for r in range(m):
+        if cand[r]:
+            res = fn([c[r] for c in arg_cols], n)
+            out[r] = [int(x) for x in res]
+        else:
+            out[r] = empty
+    return out
+
 
 def near_positions(pls: list[list[int]], n: int) -> list[int]:
     """Ordered: one occurrence of each arg, positions strictly increasing,

@@ -29,40 +29,63 @@ POSTINGS_POS_SCHEMA = T.StructType(
 
 
 def decode_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
-    """blocks (BLOCKS_SCHEMA rows) -> long postings DataFrame."""
-    import pandas as pd
+    """blocks (BLOCKS_SCHEMA rows) -> long postings DataFrame.
+
+    mapInArrow: per-block numpy varint decode, output assembled from flat
+    arrays (positions as one ListArray from (offsets, values)) — no per-
+    posting Python objects, which dominated positional-query latency on
+    high-df terms."""
+    import pyarrow as pa
 
     schema = POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA
 
     def decode(batches):
-        for pdf in batches:
-            fields, terms, docids, tfs, doclens, poss = [], [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                d, t, dl = codec.decode_block(bytes(row.docids_z), bytes(row.tfs_z), bytes(row.doclens_z))
-                k = len(d)
-                fields.append(np.repeat(row.field, k))
-                terms.append(np.repeat(row.term, k))
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ix = {n: i for i, n in enumerate(rb.schema.names)}
+            b_field = rb.column(ix["field"]).to_pylist()
+            b_term = rb.column(ix["term"]).to_pylist()
+            b_dz = rb.column(ix["docids_z"]).to_pylist()
+            b_tz = rb.column(ix["tfs_z"]).to_pylist()
+            b_lz = rb.column(ix["doclens_z"]).to_pylist()
+            b_pz = rb.column(ix["positions_z"]).to_pylist() if with_positions else None
+            docids, tfs, doclens, sizes = [], [], [], []
+            pvals, pcounts = [], []
+            for bi in range(rb.num_rows):
+                d, t, dl = codec.decode_block(b_dz[bi], b_tz[bi], b_lz[bi])
+                sizes.append(len(d))
                 docids.append(d.astype(np.int64))
                 tfs.append(t.astype(np.int32))
                 doclens.append(dl.astype(np.int32))
                 if with_positions:
-                    poss.extend(
-                        p.astype(np.int32) for p in codec.decode_positions(bytes(row.positions_z), k)
-                    )
-            if not fields:
-                continue
-            out = pd.DataFrame({
-                "field": np.concatenate(fields),
-                "term": np.concatenate(terms),
-                "docid": np.concatenate(docids),
-                "tf": np.concatenate(tfs),
-                "doclen": np.concatenate(doclens),
-            })
+                    v, c = codec.decode_positions_flat(b_pz[bi], len(d))
+                    pvals.append(v)
+                    pcounts.append(c)
+            sizes = np.asarray(sizes, dtype=np.int64)
+            field_np = np.repeat(np.array(b_field, dtype=object), sizes)
+            term_np = np.repeat(np.array(b_term, dtype=object), sizes)
+            arrays = [
+                pa.array(field_np, type=pa.string()),
+                pa.array(term_np, type=pa.string()),
+                pa.array(np.concatenate(docids), type=pa.int64()),
+                pa.array(np.concatenate(tfs), type=pa.int32()),
+                pa.array(np.concatenate(doclens), type=pa.int32()),
+            ]
+            names = ["field", "term", "docid", "tf", "doclen"]
             if with_positions:
-                out["positions"] = [list(map(int, p)) for p in poss]
-            yield out
+                counts = np.concatenate(pcounts)
+                offs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(np.concatenate(pvals).astype(np.int32),
+                             type=pa.int32()),
+                ))
+                names.append("positions")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return blocks.mapInPandas(decode, schema)
+    return blocks.mapInArrow(decode, schema)
 
 
 def bm25_score_col(tf_col, doclen_col, df: int, n_docs: int, avg_doclen: float,

@@ -109,3 +109,20 @@ def test_sliced_encoders_match_per_block():
         ps = codec.decode_positions(p_sl[i], e - int(s))
         flat = np.concatenate(ps) if ps else np.empty(0)
         assert (flat == pvals[poffs[s]:poffs[e]]).all()
+
+
+def test_decode_positions_flat_equivalence():
+    import numpy as np
+
+    from searchengines_spark.index import codec
+
+    rng = np.random.default_rng(3)
+    rows = [np.sort(rng.integers(0, 1000, rng.integers(0, 8))).astype(np.uint64)
+            for _ in range(100)]
+    buf = codec.encode_positions(rows)
+    vals, counts = codec.decode_positions_flat(buf, len(rows))
+    lists = codec.decode_positions(buf, len(rows))
+    assert (counts == [len(r) for r in rows]).all()
+    flat = np.concatenate(lists) if lists else np.empty(0)
+    assert (vals == flat.astype(np.int64)).all()
+    assert (vals == np.concatenate(rows).astype(np.int64)).all() if len(vals) else True
