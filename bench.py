@@ -72,6 +72,7 @@ def main():
             extra["build_docs_per_sec"] = round(m["docs_per_sec"], 1)
             extra["build_postings_per_sec"] = round(m["postings_per_sec"], 1)
             extra["bytes_compressed"] = m["bytes_compressed"]
+            extra["build_stage_secs"] = m.get("stage_secs", {})
 
         if "serve" in PHASES:
             from searchengines_spark.engine import Engine
