@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = SF_DIR.rstrip("/").split("sf")[-1]
-N_PAGES = int(os.environ.get("BENCH_N_PAGES", "0")) or max(2000, int(float(SF) * 100_000))
+# 1M pages/sf-unit: at sf0.1 the 100k-page build runs ~30s at local[32] and
+# is compute-dominated (10k pages measured session overhead, not the engine)
+N_PAGES = int(os.environ.get("BENCH_N_PAGES", "0")) or max(2000, int(float(SF) * 1_000_000))
 PHASES = os.environ.get("BENCH_PHASES", "build,serve,analytic").split(",")
 
 SERVE_QUERIES = {
