@@ -1,0 +1,68 @@
+"""spark-submit entry point for the engine (the north rule's deployment
+shape: ``spark-submit --py-files engine.zip tools/submit_job.py <cmd> ...``).
+
+On a cluster, add ``--master yarn``/``--master k8s://...`` and executor conf;
+the job code is identical — the engine only ever talks to a SparkSession.
+
+Commands:
+  build  --pages PATH --index-dir DIR [--n-salts N] [--resume]
+  query  --index-dir DIR --query STR [--model M] [--k K] [--run-id ID]
+  bench  (delegates to bench.py phases via env)
+
+Package the engine for --py-files with:
+  (cd <repo> && zip -qr /tmp/engine.zip searchengines_spark)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="submit_job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--n-salts", type=int, default=32)
+    b.add_argument("--resume", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--model", default="bm25")
+    q.add_argument("--k", type=int, default=100)
+    q.add_argument("--run-id", default="run")
+
+    args = ap.parse_args()
+
+    # Import AFTER spark-submit has placed --py-files on sys.path
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"searchengines-{args.cmd}").getOrCreate()
+
+    if args.cmd == "build":
+        from searchengines_spark.index import build_index
+
+        pages = spark.read.parquet(args.pages)
+        m = build_index(spark, pages, args.index_dir,
+                        n_salts=args.n_salts, resume=args.resume)
+        print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
+    elif args.cmd == "query":
+        from searchengines_spark.engine import Engine
+        from searchengines_spark.index import IndexReader
+
+        eng = Engine(IndexReader(spark, args.index_dir))
+        ranking = [(r["url"], r["score"])
+                   for r in eng.search(args.query, model=args.model, k=args.k).collect()]
+        for line in Engine.trec_lines("q1", ranking, args.run_id):
+            print(line)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
