@@ -53,10 +53,11 @@ class Scored:
 
 @dataclass
 class IopResult:
-    df: DataFrame  # (docid, tf, doclen, positions)
+    df: DataFrame  # (docid, tf, doclen[, positions])
     field: str
-    df_stat: int
-    ctf_stat: int
+    df_stat: int | None = None   # literal stats (Term leaves / Indri)
+    ctf_stat: int | None = None
+    stats_df: DataFrame | None = None  # lazy 1-row (df, ctf) for derived lists
 
 
 def _collect_terms(node: ast.Node) -> list[tuple[str, str]]:
@@ -120,7 +121,7 @@ class Planner:
         return F.coalesce(F.col(f"len_{field}").cast("double"), F.lit(0.0))
 
     # ----------------------------------------------------------------- IOP
-    def _iop(self, node: ast.Node) -> IopResult:
+    def _iop(self, node: ast.Node, need_pos: bool = True) -> IopResult:
         if isinstance(node, ast.Term):
             df_, ctf_ = self._stats.get((node.field, node.term), (0, 0))
             pdf = self._postings.filter(
@@ -128,7 +129,7 @@ class Planner:
             ).drop("field", "term")
             return IopResult(pdf, node.field, df_, ctf_)
 
-        children = [self._iop(a) for a in node.args]
+        children = [self._iop(a, need_pos=True) for a in node.args]
         field = children[0].field
         if isinstance(node, ast.Syn):
             merged = reduce(
@@ -173,10 +174,21 @@ class Planner:
                 .filter(F.col("tf") > 0)
                 .select("docid", "tf", "doclen", "positions")
             )
+        if not need_pos:
+            # parent is a SCORE leaf — don't materialize positions in the cache
+            out = out.select("docid", "tf", "doclen")
         out = out.cache()
         # derived-list stats, same semantics as eager QryIop evaluation
-        row = out.agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")).collect()[0]
-        return IopResult(out, field, int(row["df"] or 0), int(row["ctf"] or 0))
+        # (QryIop.java:186-212). Indri needs the literals driver-side (ctf
+        # feeds the smoothing default-score column, which must be evaluable
+        # in ancestor frames) -> eager collect; BM25/boolean defer them as a
+        # broadcast 1-row frame so the whole query stays ONE Spark job.
+        if isinstance(self.model, Indri):
+            row = out.agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")).collect()[0]
+            return IopResult(out, field, int(row["df"] or 0), int(row["ctf"] or 0))
+        stats_df = out.agg(F.count(F.lit(1)).cast("long").alias("__iop_df"),
+                           F.sum("tf").cast("long").alias("__iop_ctf"))
+        return IopResult(out, field, stats_df=stats_df)
 
     # ----------------------------------------------------------------- SOP
     def _sop(self, node: ast.Node) -> Scored:
@@ -282,7 +294,7 @@ class Planner:
 
     def _score_leaf(self, node: ast.Score) -> Scored:
         m = self.model
-        iop = self._iop(node.arg)
+        iop = self._iop(node.arg, need_pos=False)
         pdf = iop.df
         tf = F.col("tf").cast("double")
         dl = F.col("doclen").cast("double")
@@ -290,8 +302,19 @@ class Planner:
         if isinstance(m, BM25):
             n_docs = self.reader.n_docs
             avg = self.reader.avg_doclen(iop.field)
-            idf = max(0.0, math.log((n_docs - iop.df_stat + 0.5) / (iop.df_stat + 0.5)))
-            score = F.lit(idf) * tf / (
+            if iop.stats_df is not None:
+                # derived list: idf from the lazily-joined 1-row stats —
+                # same expression shape as the literal branch below
+                pdf = pdf.crossJoin(F.broadcast(iop.stats_df))
+                dfc = F.col("__iop_df").cast("double")
+                idf_col = F.greatest(
+                    F.lit(0.0),
+                    F.log((F.lit(float(n_docs)) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))),
+                )
+            else:
+                idf_col = F.lit(max(0.0, math.log(
+                    (n_docs - iop.df_stat + 0.5) / (iop.df_stat + 0.5))))
+            score = idf_col * tf / (
                 tf + F.lit(m.k1) * (F.lit(1.0 - m.b) + F.lit(m.b) * dl / F.lit(avg))
             )
             default = F.lit(0.0)
