@@ -92,6 +92,16 @@ def doc_terms_dir(index_dir: str) -> str:
     return p if os.path.exists(p) else os.path.join(index_dir, "doc_terms")
 
 
+def _write_doc_lens_wide(spark: SparkSession, index_dir: str) -> None:
+    from ..corpus import FIELDS
+
+    narrow = spark.read.parquet(os.path.join(index_dir, "doc_lens"))
+    wide = narrow.groupBy("docid").pivot("field", FIELDS).agg(F.first("len"))
+    for f in FIELDS:
+        wide = wide.withColumnRenamed(f, f"len_{f}")
+    wide.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_lens_wide"))
+
+
 def _stage_done(index_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(index_dir, "_stages", stage + ".json"))
 
@@ -363,6 +373,10 @@ def build_index(
         spark.read.parquet(os.path.join(tokenized_path, "post=0")).select(
             "docid", "field", F.col("doclen").cast("int").alias("len")
         ).write.mode("overwrite").parquet(doc_lens_path)
+        # wide variant (one row per doc, len_<field> columns): Indri's
+        # default scores need per-field doclens for every candidate doc;
+        # pivoting once at build time beats a scan+pivot per query
+        _write_doc_lens_wide(spark, index_dir)
         _mark_stage(index_dir, "doc_terms")
         _lap("doc_terms")
     doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
@@ -524,6 +538,19 @@ class IndexReader:
 
     def doc_lens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "doc_lens"))
+
+    def doc_lens_wide(self) -> DataFrame:
+        """(docid, len_<field>...) — one row per doc. Built at index time;
+        derived on the fly for indexes predating the artifact."""
+        p = os.path.join(self.index_dir, "doc_lens_wide")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        from ..corpus import FIELDS
+
+        wide = self.doc_lens().groupBy("docid").pivot("field", FIELDS).agg(F.first("len"))
+        for f in FIELDS:
+            wide = wide.withColumnRenamed(f, f"len_{f}")
+        return wide
 
     def attrs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "attrs"))

@@ -77,6 +77,15 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     tokenized.filter(F.col("term") == "").select(
         "docid", "field", F.col("doclen").cast("int").alias("len")
     ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))
+    wide_path = os.path.join(index_dir, "doc_lens_wide")
+    if os.path.exists(wide_path):
+        from ..corpus import FIELDS
+
+        dw = tokenized.filter(F.col("term") == "").groupBy("docid").pivot(
+            "field", FIELDS).agg(F.first(F.col("doclen").cast("int")))
+        for f in FIELDS:
+            dw = dw.withColumnRenamed(f, f"len_{f}")
+        dw.write.mode("append").parquet(wide_path)
     delta_terms = tokenized.filter(F.col("term") != "")
     delta_terms.write.mode("append").parquet(doc_terms_dir(index_dir))
 

@@ -95,16 +95,9 @@ class Planner:
         self._doclens = None
         if isinstance(self.model, Indri):
             fields = sorted(_collect_fields(root))
-            dl = (
-                self.reader.doc_lens()
-                .filter(F.col("field").isin(fields))
-                .groupBy("docid")
-                .pivot("field", fields)
-                .agg(F.first("len"))
-            )
-            for f in fields:
-                dl = dl.withColumnRenamed(f, f"len_{f}")
-            self._doclens = dl.cache()
+            # build-time wide artifact: no per-query scan+pivot shuffle
+            self._doclens = self.reader.doc_lens_wide().select(
+                "docid", *[f"len_{f}" for f in fields])
         scored = self._sop(root)
         return scored.matches.select("docid", "score")
 
