@@ -145,6 +145,69 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs}
 
 
+def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
+            bm25_k1: float = 1.2, bm25_b: float = 0.75) -> dict:
+    """Re-encode the whole posting store from the forward table — the LSM
+    compaction that follows a run of appends. Skips tokenization (the
+    dominant build stage); restores everything appends left approximate:
+
+    - block max_score bounds recomputed under CURRENT corpus stats (clears
+      ``stale_block_bounds``, so WAND runs without conservative recompute);
+    - salt stripes re-cut over the full docid range (appends land new docids
+      in new stripes; compaction rebalances stripe sizes);
+    - one fresh bucket-contiguous file layout (appends accumulate files).
+
+    Stats tables are already exact after appends and are left untouched.
+    The docid assignment is preserved (url -> docid is append-stable)."""
+    import shutil
+
+    from .build import SALT_MIN_DF, doc_terms_dir, encode_blocks
+
+    t0 = time.time()
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    n_docs = int(manifest["n_docs"])
+    n_salts = n_salts or int(manifest.get("n_salts") or 32)
+    salt_range = max(1, math.ceil(n_docs / n_salts))
+    salt_min_df = int(manifest.get("salt_min_df", SALT_MIN_DF))
+
+    fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
+    avg_len = {r["field"]: (r["sum_len"] / r["doc_count"] if r["doc_count"] else 1.0)
+               for r in fs if r["field"] != "__docs__"}
+    doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
+    term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+
+    blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, n_docs,
+                           salt_range, bm25_k1, bm25_b, salt_min_df)
+    seg_tmp = os.path.join(index_dir, "blocks_segments_new")
+    blocks.write.mode("overwrite").parquet(seg_tmp)
+    _swap(index_dir, "blocks_segments")
+
+    seg = spark.read.parquet(os.path.join(index_dir, "blocks_segments"))
+    blocks_tmp = os.path.join(index_dir, "blocks_new")
+    (
+        seg.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 16),
+            "bucket", "field", "term", "salt")
+        .sortWithinPartitions("bucket", "field", "term", "salt", "min_docid")
+        .write.mode("overwrite").partitionBy("bucket").parquet(blocks_tmp)
+    )
+    _swap(index_dir, "blocks")
+    for name in ("blocks_segments_old", "blocks_old"):
+        shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    manifest["salt_range"] = salt_range
+    manifest["n_salts"] = n_salts
+    manifest["bm25_k1"] = bm25_k1
+    manifest["bm25_b"] = bm25_b
+    manifest["stale_block_bounds"] = False
+    manifest.setdefault("compactions", []).append(
+        {"ts": time.time(), "secs": round(time.time() - t0, 2)})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return {"secs": time.time() - t0, "n_docs": n_docs, "salt_range": salt_range}
+
+
 def _swap(index_dir: str, name: str) -> None:
     """Atomic-ish table swap: name_new -> name (keep one backup)."""
     import shutil

@@ -92,3 +92,46 @@ def test_streaming_ingestion(spark, tmp_path):
     assert r.n_docs > n0
     eng = Engine(r)
     assert eng.search("cebaba1", "bm25", 5).count() > 0
+
+
+def test_compact_after_append(spark, tmp_path):
+    """compact(): fresh bounds (WAND exact without conservative recompute),
+    identical query results, stale flag cleared."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from searchengines_spark.corpus import generate_pages
+    from searchengines_spark.engine import Engine
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import append_pages, compact
+    from searchengines_spark.query.wand import wand_topk
+
+    pages = generate_pages(spark, 150, seed=21, partitions=3)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4)
+    extra = generate_pages(spark, 220, seed=21, partitions=3).filter(
+        F.col("url").isNotNull()).limit(220)
+    append_pages(spark, d, extra.subtract(pages))
+
+    def results(q="robaba5 subaba6 taveba0"):
+        r = IndexReader(spark, d)
+        e = Engine(r)
+        return [(x["url"], round(x["score"], 9))
+                for x in e.search(q, k=50, use_wand=False).collect()]
+
+    before = results()
+    m = compact(spark, d, n_salts=4)
+    assert m["n_docs"] > 150
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["stale_block_bounds"] is False
+    after = results()
+    assert before == after
+    # WAND with build-time bounds (no conservative recompute) == exhaustive
+    r = IndexReader(spark, d)
+    w = [(x["url"], round(x["score"], 9)) for x in
+         wand_topk(r, ["robaba5", "subaba6", "taveba0"], k=50,
+                   recompute_bounds=False).collect()]
+    assert w == after
