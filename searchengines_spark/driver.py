@@ -132,7 +132,7 @@ def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
                 eng, q, model=model, k=k, initial_ranking=init,
                 num_docs=int(params.get("prf:numDocs", 10)),
                 num_terms=int(params.get("prf:numTerms", 10)),
-                mu=float(params.get("prf:Indri:mu", 0.0)),
+                prf_mu=float(params.get("prf:Indri:mu", 0.0)),
                 orig_weight=float(params.get("prf:Indri:origWeight", 0.5)),
                 field=params.get("prf:expansionField", "body"),
                 **kw,

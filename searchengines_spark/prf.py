@@ -89,7 +89,7 @@ def expanded_query(original: str, learned: str, w: float) -> str:
 
 
 def prf_search(engine, query: str, model: str = "indri", k: int = 100,
-               num_docs: int = 10, num_terms: int = 10, mu: float = 0.0,
+               num_docs: int = 10, num_terms: int = 10, prf_mu: float = 0.0,
                orig_weight: float = 0.5, field: str = "body",
                initial_ranking: list[tuple[str, float]] | None = None,
                **model_kw):
@@ -111,6 +111,6 @@ def prf_search(engine, query: str, model: str = "indri", k: int = 100,
     ranked_ids = {r["url"]: int(r["docid"]) for r in
                   url_df.filter(F.col("url").isin([u for u, _ in urls])).collect()}
     init_scores = [(ranked_ids[u], s) for u, s in urls if u in ranked_ids]
-    terms = expansion_terms(engine.reader, init_scores, num_docs, num_terms, mu, field)
+    terms = expansion_terms(engine.reader, init_scores, num_docs, num_terms, prf_mu, field)
     q = expanded_query(query, learned_query(terms), orig_weight)
     return engine.search(q, model=model, k=k, **model_kw), terms, q

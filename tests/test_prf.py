@@ -51,7 +51,7 @@ def test_prf_search_end_to_end(spark, tiny_index, oracle_idx):
     eng = Engine(tiny_index)
     final, terms, q = prf_search(
         eng, "cebaba1 dibaba2", model="indri", k=15,
-        num_docs=8, num_terms=5, mu=40.0, orig_weight=0.5,
+        num_docs=8, num_terms=5, prf_mu=40.0, orig_weight=0.5,
     )
     got = [(r["url"], r["score"]) for r in final.collect()]
     assert len(got) == 15 and len(terms) == 5
