@@ -67,3 +67,48 @@ def test_run_ltr(spark, tiny_index):
                     {"9": "fobaba3 cebaba1"}, qrels)
     assert len(lines) == 10
     assert all(ln.startswith("9 Q0 ") for ln in lines)
+
+
+def test_run_batch_prf_initial_ranking_file(spark, tiny_index, tmp_path):
+    """PRF seeded from a TREC ranking file (QryEval.java:1388-1416's file
+    branch) must run and differ-or-match sanely vs the fresh-ranking path."""
+    base = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000, "Indri:lambda": 0.4,
+            "prf": "Indri", "prf:numDocs": 3, "prf:numTerms": 4,
+            "trecEvalOutputLength": 5}
+    fresh = run_batch(tiny_index, base, {"1": "haceba4 badiba5"})
+    # write the engine's own initial ranking as the file input -> same result
+    init = tmp_path / "init.inRank"
+    from searchengines_spark.engine import Engine
+    eng = Engine(tiny_index)
+    ranking = [(r["url"], r["score"]) for r in
+               eng.search("#AND( haceba4 badiba5 )", model="indri", k=3,
+                          mu=1000.0, lam=0.4).collect()]
+    init.write_text("".join(f"1 Q0 {u} {i+1} {s} ref\n" for i, (u, s) in enumerate(ranking)))
+    via_file = run_batch(tiny_index, {**base, "prf:initialRankingFile": str(init)},
+                         {"1": "haceba4 badiba5"})
+    assert fresh == via_file
+
+
+def test_run_batch_diversity_initial_ranking_file(spark, tiny_index, tmp_path):
+    from searchengines_spark.engine import Engine
+    eng = Engine(tiny_index)
+    lines = []
+    for qid, q in [("1", "haceba4 badiba5"), ("1.1", "haceba4"), ("1.2", "badiba5")]:
+        ranking = [(r["url"], r["score"]) for r in eng.search(q, model="bm25", k=15).collect()]
+        lines += [f"{qid} Q0 {u} {i+1} {s} ref" for i, (u, s) in enumerate(ranking)]
+    rank_file = tmp_path / "div.inRank"
+    rank_file.write_text("\n".join(lines) + "\n")
+    intents = tmp_path / "i.txt"
+    intents.write_text("1.1:haceba4\n1.2:badiba5\n")
+    params = {
+        "retrievalAlgorithm": "BM25", "diversity": "true",
+        "diversity:algorithm": "xQuAD", "diversity:lambda": 0.4,
+        "diversity:maxInputRankingsLength": 15,
+        "diversity:maxResultRankingLength": 8,
+        "diversity:intentsFile": str(intents),
+        "diversity:initialRankingFile": str(rank_file),
+        "trecEvalOutputLength": 8,
+    }
+    out = run_batch(tiny_index, params, {"1": "haceba4 badiba5"})
+    assert len(out) == 8
+    assert all(TREC_RE.match(ln) for ln in out)
