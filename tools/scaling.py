@@ -186,6 +186,15 @@ with no driver-side loops, no global barriers beyond the two build shuffles,
 and both document- (docid-range salts) and term-space (md5 buckets)
 partitioning, so the task supply scales to 1000+ executors.
 
+## Cross-regime note
+
+The same measurement at a memory-unsaturated pair (2 -> 8 CPUs, see
+`BENCH/SCALING_2v8.md`) shows the same pattern at higher absolute levels
+(hardware ceiling 0.77, engine 0.64, normalized 0.82): DRAM contention on
+this single VM begins well before 32 processes — even the no-Spark
+multiprocessing calibration never reaches 0.8 on the 8->32 pair. The engine
+tracks whatever the box allows in both regimes.
+
 Raw {lo}-CPU: `{json.dumps(r8)}`
 
 Raw {hi}-CPU: `{json.dumps(r32)}`
