@@ -306,30 +306,24 @@ def build_index(
         stage_secs[name] = round(now - _last[0], 2)
         _last[0] = now
 
-    # -- stage 1: deterministic docids -------------------------------------
+    # -- stage 1: deterministic docids (+ per-doc attrs, fused) -------------
+    # attrs (reference: spamScore/rawUrl/PageRank via Idx.getAttribute,
+    # Idx.java:47-52; QryEval.java:822-829) are pure functions of url, so
+    # they ride along in the docids write — one table, one job; readers
+    # column-prune whichever half they need. The synthetic corpus has no
+    # crawl-time metadata, so spam/pagerank are deterministic md5 stand-ins.
     docids_path = os.path.join(index_dir, "docids")
     if not (resume and _stage_done(index_dir, "docids")):
-        assign_docids(pages.filter(F.col("lang") == "en")).write.mode("overwrite").parquet(docids_path)
-        _mark_stage(index_dir, "docids")
-        _lap("docids")
-    docids = spark.read.parquet(docids_path)
-
-    # per-doc metadata attributes (reference: spamScore/rawUrl/PageRank via
-    # Idx.getAttribute, Idx.java:47-52; QryEval.java:822-829). The synthetic
-    # corpus has no crawl-time metadata, so spam/pagerank are deterministic
-    # md5-derived stand-ins; raw_url is real.
-    attrs_path = os.path.join(index_dir, "attrs")
-    if not (resume and _stage_done(index_dir, "attrs")):
-        docids.select(
-            "docid",
-            F.col("url").alias("raw_url"),
+        assign_docids(pages.filter(F.col("lang") == "en")).select(
+            "url", "docid",
             (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
             .cast("double").alias("spam_score"),
             ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
             .alias("page_rank"),
-        ).write.mode("overwrite").parquet(attrs_path)
-        _mark_stage(index_dir, "attrs")
-        _lap("attrs")
+        ).write.mode("overwrite").parquet(docids_path)
+        _mark_stage(index_dir, "docids")
+        _lap("docids")
+    docids = spark.read.parquet(docids_path).select("url", "docid")
 
     n_docs = n_docs_hint or docids.count()
     _lap("count_docs")
@@ -553,4 +547,10 @@ class IndexReader:
         return wide
 
     def attrs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "attrs"))
+        """(docid, raw_url, spam_score, page_rank) — stored fused in the
+        docids table; a standalone attrs/ dir (older layout) wins if present."""
+        legacy = os.path.join(self.index_dir, "attrs")
+        if os.path.exists(legacy):
+            return self.spark.read.parquet(legacy)
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docids")).select(
+            "docid", F.col("url").alias("raw_url"), "spam_score", "page_rank")

@@ -56,22 +56,30 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     new_ids = fresh.select("url").distinct().withColumn(
         "docid", F.row_number().over(w).cast("long") + F.lit(int(max_docid))
     )
-    new_ids.write.mode("append").parquet(os.path.join(index_dir, "docids"))
-    new_ids = spark.read.parquet(os.path.join(index_dir, "docids")).filter(
+    # match the fused docids+attrs layout (build.py stage 1)
+    new_ids.select(
+        "url", "docid",
+        (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
+        .cast("double").alias("spam_score"),
+        ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
+        .alias("page_rank"),
+    ).write.mode("append").parquet(os.path.join(index_dir, "docids"))
+    new_ids = spark.read.parquet(os.path.join(index_dir, "docids")).select("url", "docid").filter(
         F.col("docid") > max_docid
     )
     n_new = new_ids.count()
     if n_new == 0:
         return {"appended": 0, "secs": time.time() - t0}
 
-    new_ids.select(
-        "docid",
-        F.col("url").alias("raw_url"),
-        (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
-        .cast("double").alias("spam_score"),
-        ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
-        .alias("page_rank"),
-    ).write.mode("append").parquet(os.path.join(index_dir, "attrs"))
+    if os.path.exists(os.path.join(index_dir, "attrs")):  # older split layout
+        new_ids.select(
+            "docid",
+            F.col("url").alias("raw_url"),
+            (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
+            .cast("double").alias("spam_score"),
+            ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
+            .alias("page_rank"),
+        ).write.mode("append").parquet(os.path.join(index_dir, "attrs"))
 
     tokenized = pages_to_tokenized(fresh.join(new_ids, "url")).cache()
     tokenized.filter(F.col("term") == "").select(

@@ -46,7 +46,7 @@ def test_resume_identical(spark, tmp_path):
     # drop everything later, resume
     d_part = str(tmp_path / "partial")
     os.makedirs(os.path.join(d_part, "_stages"))
-    for stage, artifacts in [("docids", ["docids"]), ("attrs", ["attrs"]),
+    for stage, artifacts in [("docids", ["docids"]),
                              ("doc_terms", ["tokenized", "doc_lens"])]:
         for a in artifacts:
             shutil.copytree(os.path.join(d_full, a), os.path.join(d_part, a))
