@@ -197,9 +197,29 @@ class Planner:
         # join type: match-ALL (#AND under unranked/ranked/bm25,
         # Qry.java:247-294) vs match-MIN (everything else, Qry.java:324-347)
         inner = isinstance(node, ast.And) and not isinstance(m, Indri)
-        how = "inner" if inner else "full"
-        dfs = [c.matches.withColumnRenamed("score", f"s{i}") for i, c in enumerate(children)]
-        joined = reduce(lambda a, b: a.join(b, "docid", how), dfs)
+        flat = k > 1 and all(isinstance(a, ast.Score) for a in node.args)
+        if flat:
+            # flat operator over SCORE leaves (the common shape): ONE
+            # union + groupBy-pivot shuffle instead of k-1 chained
+            # full-outer/inner shuffle joins. Same per-child score columns,
+            # same fold expressions below -> float-identical results.
+            tagged = [
+                c.matches.select(
+                    "docid", F.col("score").alias("s"), F.lit(i).alias("__i"))
+                for i, c in enumerate(children)
+            ]
+            unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+            joined = unioned.groupBy("docid").pivot("__i", list(range(k))).agg(F.first("s"))
+            for i in range(k):
+                joined = joined.withColumnRenamed(str(i), f"s{i}")
+            if inner:
+                joined = joined.filter(
+                    reduce(lambda a, b: a & b,
+                           [F.col(f"s{i}").isNotNull() for i in range(k)]))
+        else:
+            how = "inner" if inner else "full"
+            dfs = [c.matches.withColumnRenamed("score", f"s{i}") for i, c in enumerate(children)]
+            joined = reduce(lambda a, b: a.join(b, "docid", how), dfs)
         if isinstance(m, Indri) and self._doclens is not None:
             joined = joined.join(self._doclens, "docid", "left")
 
