@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from ..index.build import IndexReader
 from . import ast
 from .models import BM25, Indri, RankedBoolean, UnrankedBoolean
-from .positional import batch_positions, syn_positions
+from .positional import batch_positions
 from .postings import decode_postings
 
 
