@@ -56,8 +56,12 @@ class Engine:
             if flat is not None:
                 terms, field = flat
                 man = self.reader.manifest
-                stale = bool(man.get("stale_block_bounds")) or (
-                    (m.k1, m.b) != (man.get("bm25_k1", 1.2), man.get("bm25_b", 0.75)))
+                # a manifest without recorded encode params means we cannot
+                # trust the block max_score bounds were built with (k1, b) —
+                # treat as stale rather than assuming defaults
+                stale = (bool(man.get("stale_block_bounds"))
+                         or "bm25_k1" not in man
+                         or (m.k1, m.b) != (man["bm25_k1"], man.get("bm25_b", 0.75)))
                 return wand_topk(self.reader, terms, field=field, k=k,
                                  k1=m.k1, b=m.b, recompute_bounds=stale)
         scores = Planner(self.reader, m).plan(root)

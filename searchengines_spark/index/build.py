@@ -351,7 +351,13 @@ def build_index(
         # join is shuffle-free. html bytes never move in either regime.
         par = spark.sparkContext.defaultParallelism * 2
         en_pages = pages.filter(F.col("lang") == "en")
-        ids = F.broadcast(docids) if n_docs <= 5_000_000 else docids
+        # gate the explicit broadcast hint on estimated bytes, not a bare row
+        # count: a (url, docid) row is ~100B serialized, and the driver plus
+        # every executor must materialize the whole table. Cap configurable
+        # for small-memory cluster configs; above the cap, AQE still
+        # broadcasts if runtime stats say it's genuinely small.
+        bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
+        ids = F.broadcast(docids) if n_docs * 100 <= bcast_cap else docids
         with_ids = en_pages.join(ids, "url")
         if en_pages.rdd.getNumPartitions() < par:
             # tiny test corpora scan into a couple of input splits, which
@@ -402,7 +408,28 @@ def build_index(
 
     # -- stage 4: salted block encode -> partial segments --------------------
     segments_path = os.path.join(index_dir, "blocks_segments")
-    if not (resume and _stage_done(index_dir, "segments")):
+    if resume and _stage_done(index_dir, "segments"):
+        # blocks were NOT re-encoded: the manifest must keep the params the
+        # blocks were actually encoded with, else the engine's stale-bounds
+        # check is defeated and WAND prunes unsoundly
+        man_path = os.path.join(index_dir, "MANIFEST.json")
+        old_man = {}
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                old_man = json.load(f)
+        if "bm25_k1" in old_man:
+            metrics["bm25_k1"] = old_man["bm25_k1"]
+            metrics["bm25_b"] = old_man["bm25_b"]
+            if (bm25_k1, bm25_b) != (old_man["bm25_k1"], old_man["bm25_b"]):
+                metrics["stale_block_bounds"] = True
+        else:  # encode params unknown -> conservative bounds at serve time
+            metrics["stale_block_bounds"] = True
+        if old_man.get("stale_block_bounds") and old_man.get("appends"):
+            # appended blocks carry bounds under pre-append corpus stats;
+            # only compact()/re-encode clears that, not a resumed build
+            metrics["stale_block_bounds"] = True
+            metrics["appends"] = old_man["appends"]
+    else:
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
         blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),

@@ -28,10 +28,10 @@ import math
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..corpus import pages_to_tokenized
+from ..corpus import assign_docids, pages_to_tokenized
 from .build import IndexReader, doc_terms_dir, encode_blocks, term_bucket_col
 
 
@@ -52,9 +52,12 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         .select("url", "html")
         .join(old_docids.select("url"), "url", "left_anti")
     )
-    w = Window.orderBy("url")
-    new_ids = fresh.select("url").distinct().withColumn(
-        "docid", F.row_number().over(w).cast("long") + F.lit(int(max_docid))
+    # two-pass range-partitioned rank (corpus.assign_docids) + offset: the
+    # same fully-parallel docid assignment the batch build uses. (An
+    # unpartitioned window rank here would funnel every new url through ONE
+    # task — the round-1 scale bug.)
+    new_ids = assign_docids(fresh).withColumn(
+        "docid", F.col("docid") + F.lit(int(max_docid) + 1)
     )
     # match the fused docids+attrs layout (build.py stage 1)
     new_ids.select(
@@ -81,7 +84,12 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
             .alias("page_rank"),
         ).write.mode("append").parquet(os.path.join(index_dir, "attrs"))
 
-    tokenized = pages_to_tokenized(fresh.join(new_ids, "url")).cache()
+    # IMPORTANT: do not reuse `fresh` here — its anti-join against the docids
+    # directory re-lists files lazily and now sees the ids we just appended,
+    # evaluating empty. new_ids (docid > max_docid) already names exactly the
+    # genuinely-new urls, so join the raw pages straight to it.
+    new_en = new_pages.filter(F.col("lang") == "en").select("url", "html")
+    tokenized = pages_to_tokenized(new_en.join(new_ids, "url")).cache()
     tokenized.filter(F.col("term") == "").select(
         "docid", "field", F.col("doclen").cast("int").alias("len")
     ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))
@@ -223,5 +231,6 @@ def _swap(index_dir: str, name: str) -> None:
     cur, new, old = (os.path.join(index_dir, n) for n in (name, name + "_new", name + "_old"))
     if os.path.exists(old):
         shutil.rmtree(old)
-    os.rename(cur, old)
+    if os.path.exists(cur):  # first-ever swap of a table the index never had
+        os.rename(cur, old)
     os.rename(new, cur)

@@ -59,7 +59,14 @@ def batch_positions(arg_cols: list[np.ndarray], n: int, ordered: bool) -> np.nda
     k = len(arg_cols)
     flats = [_flat(c) for c in arg_cols]
     cand = np.ones(m, dtype=bool)
+    # the prefilter's row-shift packing needs every position + n < _BIG; a
+    # pathological >16M-token field would break searchsorted's global
+    # sortedness and silently drop matches — bypass to the exact walk instead
+    lim = int(_BIG) - int(n) - 1
+    safe = all(f[0].size == 0 or int(f[0].max()) <= lim for f in flats)
     for i in range(k - 1):
+        if not safe:
+            break
         A, offsA = flats[i]
         B, offsB = flats[i + 1]
         if ordered:

@@ -73,6 +73,59 @@ def test_manifest_tracks_appends(spark, appended_and_full):
     assert len(m["appends"]) == 1 and m["appends"][0]["n_new"] > 0
 
 
+def test_append_docid_assignment_parallel(spark):
+    """The append path's docid assignment must be the two-pass
+    range-partitioned rank — dense, offset-correct, and with NO global-sort
+    window funneling every url through one task."""
+    import inspect as _inspect
+
+    import pyspark.sql.functions as F
+
+    from searchengines_spark.corpus import assign_docids
+    from searchengines_spark.index import incremental
+
+    src = _inspect.getsource(incremental)
+    assert "Window.orderBy" not in src  # the single-task anti-pattern is gone
+
+    pages = generate_pages(spark, 80, seed=7, partitions=2)
+    ids = assign_docids(pages.select("url", "html")).withColumn(
+        "docid", F.col("docid") + F.lit(101))
+    plan = ids._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = ids.collect()
+    n = pages.select("url").distinct().count()
+    got = sorted(int(r["docid"]) for r in rows)
+    assert got == list(range(101, 101 + n))  # dense rank + offset
+    by_url = sorted(rows, key=lambda r: r["url"])
+    assert [int(r["docid"]) for r in by_url] == list(range(101, 101 + n))
+
+
+def test_resume_preserves_encode_params(spark, tmp_path):
+    """build_index(resume=True) with different k1/b but a completed segments
+    stage must NOT record the new params as the encode params — it keeps the
+    old ones and flags stale bounds, so WAND pruning stays sound."""
+    import json
+
+    pages = generate_pages(spark, 60, seed=3, partitions=2)
+    d = str(tmp_path / "idx")
+    m1 = build_index(spark, pages, d, n_salts=2, bm25_k1=2.0, bm25_b=0.5)
+    assert (m1["bm25_k1"], m1["bm25_b"]) == (2.0, 0.5)
+    # resume with different params; every stage is done so nothing re-encodes
+    m2 = build_index(spark, pages, d, n_salts=2, resume=True,
+                     bm25_k1=1.2, bm25_b=0.75)
+    assert (m2["bm25_k1"], m2["bm25_b"]) == (2.0, 0.5)
+    assert m2.get("stale_block_bounds") is True
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        man = json.load(f)
+    assert (man["bm25_k1"], man["bm25_b"]) == (2.0, 0.5)
+    assert man["stale_block_bounds"] is True
+    # same params -> no stale flag
+    m3 = build_index(spark, pages, d, n_salts=2, resume=True,
+                     bm25_k1=2.0, bm25_b=0.5)
+    assert (m3["bm25_k1"], m3["bm25_b"]) == (2.0, 0.5)
+    assert not m3.get("stale_block_bounds")
+
+
 def test_streaming_ingestion(spark, tmp_path):
     from searchengines_spark.streaming import stream_index
 
