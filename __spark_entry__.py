@@ -96,17 +96,87 @@ FROM wide w JOIN dl USING(doc_id), const
 ORDER BY score DESC, doc_id ASC LIMIT 20"""
 
 
-def _simhash_sql() -> str:
+_H32B = "CAST(CAST(('0x' || substr(md5({col}),9,8)) AS UBIGINT) AS BIGINT)"
+
+
+def _simhash_bands_cte() -> str:
+    """CTEs tok -> bands(doc_id, sh0..sh3): 64-bit SimHash as 4x16-bit bands."""
     bits = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}" for b in range(16)
+        f"SUM(CASE WHEN ({'ha' if i < 32 else 'hb'} >> {i if i < 32 else i - 32}) & 1 = 1"
+        f" THEN tf ELSE -tf END) AS b{i}"
+        for i in range(64)
     )
-    combine = " + ".join(f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
-    return f"""
-WITH {_TOK},
+    bandcols = ", ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN b{16 * j + b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        ) + f" AS BIGINT) AS sh{j}"
+        for j in range(4)
+    )
+    return f"""{_TOK},
 tfh AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1,2),
-hh AS (SELECT doc_id, tf, {_H32.format(col='term')} AS h FROM tfh),
-bits AS (SELECT doc_id, {bits} FROM hh GROUP BY doc_id)
-SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits"""
+hh AS (SELECT doc_id, tf, {_H32.format(col='term')} AS ha, {_H32B.format(col='term')} AS hb FROM tfh),
+bits AS (SELECT doc_id, {bits} FROM hh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bandcols} FROM bits)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_bands_cte()} SELECT * FROM bands"
+
+
+def _simhash_dup_pairs_sql() -> str:
+    longsel = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, sh{j} AS v FROM bands" for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(pa.sh{j}, pb.sh{j}))" for j in range(4))
+    return f"""
+WITH {_simhash_bands_cte()},
+long AS ({longsel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM long a JOIN long b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id, CAST({ham} AS BIGINT) AS hamming
+FROM cand c JOIN bands pa ON pa.doc_id = c.a_id JOIN bands pb ON pb.doc_id = c.b_id
+WHERE {ham} <= 3"""
+
+
+_MH64 = ",\nmh64 AS (SELECT doc_id, " + ", ".join(
+    f"MIN(({a}*h + {b}) % {A.HASH_P}) AS m{i}" for i, (a, b) in enumerate(A.MINHASH_AB64)
+) + f" FROM (SELECT doc_id, {_H32.format(col='shingle')} AS h FROM sh) GROUP BY doc_id)"
+
+# candidate-restricted Jaccard: intersections computed ONLY for cand pairs
+_JAC_CAND = """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+)"""
+
+
+def _lsh_scaled_sql() -> str:
+    longsel = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {h} AS bh FROM mh64".format(
+            j=j,
+            h=_H32.format(col=" || ',' || ".join(
+                f"CAST(m{j * A.LSH_ROWS + r} AS VARCHAR)" for r in range(A.LSH_ROWS))),
+        )
+        for j in range(A.LSH_BANDS)
+    )
+    return f"""
+WITH {_TOK}, {_SH3} {_MH64},
+long AS ({longsel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM long a JOIN long b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+){_JAC_CAND}
+SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5"""
 
 
 _COS_NRM = """
@@ -136,8 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": A.q_dedup_exact,
         "minhash": A.q_minhash,
         "lsh_dup_pairs": A.q_lsh_dup_pairs,
+        "minhash64": A.q_minhash64,
+        "lsh_dup_pairs_scaled": A.q_lsh_dup_pairs_scaled,
         "jaccard_topk": A.q_jaccard_topk,
         "simhash": A.q_simhash,
+        "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
         "lang_id": A.q_lang_id,
@@ -204,6 +277,9 @@ GROUP BY a.doc_id""",
 SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS keep_id
 FROM documents GROUP BY md5(text)""",
         "minhash": f"WITH {_TOK}, {_SH3} {_MH} SELECT * FROM mh",
+        "minhash64": f"WITH {_TOK}, {_SH3} {_MH64} SELECT * FROM mh64",
+        "lsh_dup_pairs_scaled": _lsh_scaled_sql(),
+        "simhash_dup_pairs": _simhash_dup_pairs_sql(),
         "lsh_dup_pairs": f"""
 WITH {_TOK}, {_SH3} {_MH} {_JAC},
 cand AS (

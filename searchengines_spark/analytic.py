@@ -36,6 +36,25 @@ HASH_P = 4294967311  # prime > 2^32
 MINHASH_AB = [(1000003, 12345), (999983, 54321), (906061, 7), (777767, 999)]
 STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
+# LSH banding scheme for the scale path: 64 permutations cut into b=16 bands
+# of r=4 rows. Collision threshold ~ (1/b)^(1/r) = 0.5, matching the
+# verification filter jaccard >= 0.5. Coefficients from a fixed LCG so the
+# DuckDB oracle regenerates the identical scheme.
+LSH_BANDS, LSH_ROWS = 16, 4
+
+
+def _gen_ab(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    x, out = seed, []
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = (x % 999983) | 1
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        out.append((a, x % 1000003))
+    return out
+
+
+MINHASH_AB64 = _gen_ab(LSH_BANDS * LSH_ROWS)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -228,15 +247,76 @@ def q_minhash(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _jaccard_for_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Jaccard computed ONLY for the given candidate (a_id, b_id) pairs —
+    the whole point of banding. Each pair is expanded by a's shingles (O(doc
+    size) per candidate), intersected against b's via a (b_id, shingle)
+    join; no shingle self-join over the full corpus ever happens."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), ROUND_DP).alias("jaccard"),
+        )
+    )
+
+
 def q_lsh_dup_pairs(spark, sf_dir):
     """LSH banding: candidate pairs sharing band (mh0, mh1), verified with
-    true 3-shingle Jaccard >= 0.5."""
+    true 3-shingle Jaccard >= 0.5 computed only on the candidates."""
+    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
     mh = q_minhash(spark, sf_dir)
     a = mh.select(F.col("doc_id").alias("a_id"), "mh0", "mh1")
     b = mh.select(F.col("doc_id").alias("b_id"), "mh0", "mh1")
     cand = a.join(b, ["mh0", "mh1"]).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
-    jac = q_jaccard_pairs(spark, sf_dir)
-    return cand.join(jac, ["a_id", "b_id"]).filter(F.col("jaccard") >= 0.5)
+    return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.5)
+
+
+def _minhash64(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63): 64-permutation MinHash signature."""
+    hashed = sh.withColumn("h", md5hash32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB64)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash64(spark, sf_dir):
+    return _minhash64(_shingles(tokens(load(spark, sf_dir, "documents"))))
+
+
+def q_lsh_dup_pairs_scaled(spark, sf_dir):
+    """Production-parameter LSH dedup: 64 MinHash perms in 16 bands x 4 rows
+    (collision threshold ~0.5), band-bucket join for candidates, Jaccard
+    verification restricted to candidates. This is the 100 TB shape: one
+    groupBy for signatures, one equi-join on (band, bandhash), one
+    candidate-sized verify join — no all-pairs stage anywhere."""
+    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    mh = _minhash64(sh)
+    band_structs = []
+    for j in range(LSH_BANDS):
+        cols = [F.col(f"m{j * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        band_structs.append(F.struct(
+            F.lit(j).alias("band"), md5hash32(F.concat_ws(",", *cols)).alias("bh")))
+    long = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
+        "doc_id", "x.band", "x.bh")
+    cand = (
+        long.select(F.col("doc_id").alias("a_id"), "band", "bh")
+        .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.5)
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -266,24 +346,68 @@ def q_jaccard_topk(spark, sf_dir):
     ).limit(15)
 
 
-def q_simhash(spark, sf_dir):
-    """16-bit SimHash over tf-weighted term hashes."""
-    tok = tokens(load(spark, sf_dir, "documents"))
+def md5hash32b(col) -> F.Column:
+    """Second independent 32-bit hash: int(md5(s)[8:16], 16)."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
+def _simhash_bands(tok: DataFrame) -> DataFrame:
+    """(doc_id, sh0..sh3): 64-bit SimHash over tf-weighted term hashes,
+    materialized as four 16-bit band values (band j = bits 16j..16j+15).
+    Bands both ARE the fingerprint (sh0 + sh1<<16 + ... = the 64-bit value)
+    and feed the Hamming-banding join directly: any pair within Hamming
+    distance 3 of each other shares at least one exact band (pigeonhole)."""
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("h", md5hash32(F.col("term")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"b{b}")
-        for b in range(16)
-    ]
+    tf = tf.withColumn("hA", md5hash32(F.col("term"))).withColumn("hB", md5hash32b(F.col("term")))
+    aggs = []
+    for i in range(64):
+        src, off = ("hA", i) if i < 32 else ("hB", i - 32)
+        bit = F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}"))
     g = tf.groupBy("doc_id").agg(*aggs)
-    sim = reduce(
-        lambda acc, b: acc + F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(1, 16),
-        F.when(F.col("b0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    bands = []
+    for j in range(4):
+        band = reduce(
+            lambda acc, b: acc + F.when(F.col(f"b{16 * j + b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
+            range(1, 16),
+            F.when(F.col(f"b{16 * j}") >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        bands.append(band.cast("long").alias(f"sh{j}"))
+    return g.select("doc_id", *bands)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash as four 16-bit bands (sh0 = lowest 16 bits)."""
+    return _simhash_bands(tokens(load(spark, sf_dir, "documents")))
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming-banding candidates (exact match on
+    any of the 4 16-bit bands — complete for Hamming distance <= 3 by
+    pigeonhole), verified with full 64-bit Hamming distance <= 3."""
+    g = _simhash_bands(tokens(load(spark, sf_dir, "documents")))
+    long = g.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("band"), F.col(f"sh{j}").alias("v")) for j in range(4)
+    ])).alias("x")).select("doc_id", "x.band", "x.v")
+    cand = (
+        long.select(F.col("doc_id").alias("a_id"), "band", "v")
+        .join(long.select(F.col("doc_id").alias("b_id"), "band", "v"), ["band", "v"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    return g.select("doc_id", sim.cast("long").alias("simhash"))
+    a = g.select(F.col("doc_id").alias("a_id"), *[F.col(f"sh{j}").alias(f"a{j}") for j in range(4)])
+    b = g.select(F.col("doc_id").alias("b_id"), *[F.col(f"sh{j}").alias(f"b{j}") for j in range(4)])
+    ham = reduce(
+        lambda acc, j: acc + F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))),
+        range(1, 4),
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))),
+    )
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
 
 
 # ------------------------------------------------------------- embeddings
