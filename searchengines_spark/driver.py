@@ -121,25 +121,37 @@ def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
 
     use_prf = params.get("prf", "").lower() in ("indri", "true")
     lines: list[str] = []
-    for qid, q in queries.items():
-        if use_prf:
-            from .prf import prf_search
+    if not use_prf:
+        # the whole workload is ONE Spark action: shared postings scan over
+        # the union of every query's terms, one window top-k, one collect
+        rankings = eng.search_batch(queries, model, k, **kw)
+        for qid in queries:
+            lines.extend(Engine.trec_lines(qid, rankings[qid], run_id))
+        return lines
 
-            init = None
-            if "prf:initialRankingFile" in params:
-                init = parse_ranking(params["prf:initialRankingFile"]).get(qid)
-            final, _, _ = prf_search(
-                eng, q, model=model, k=k, initial_ranking=init,
-                num_docs=int(params.get("prf:numDocs", 10)),
-                num_terms=int(params.get("prf:numTerms", 10)),
-                prf_mu=float(params.get("prf:Indri:mu", 0.0)),
-                orig_weight=float(params.get("prf:Indri:origWeight", 0.5)),
-                field=params.get("prf:expansionField", "body"),
-                **kw,
-            )
-            ranking = [(r["url"], r["score"]) for r in final.collect()]
-        else:
-            ranking = [(r["url"], r["score"]) for r in eng.search(q, model, k, **kw).collect()]
+    from .prf import learned_query, prf_search, write_expanded_query, write_expansion_list
+
+    for qid, q in queries.items():
+        # PRF is inherently two-pass per query (expansion depends on the
+        # initial ranking); the expansion scoring itself is one job
+        init = None
+        if "prf:initialRankingFile" in params:
+            init = parse_ranking(params["prf:initialRankingFile"]).get(qid)
+        final, terms, _ = prf_search(
+            eng, q, model=model, k=k, initial_ranking=init,
+            num_docs=int(params.get("prf:numDocs", 10)),
+            num_terms=int(params.get("prf:numTerms", 10)),
+            prf_mu=float(params.get("prf:Indri:mu", 0.0)),
+            orig_weight=float(params.get("prf:Indri:origWeight", 0.5)),
+            field=params.get("prf:expansionField", "body"),
+            **kw,
+        )
+        if "prf:expansionQueryFile" in params:
+            write_expanded_query(qid, learned_query(terms),
+                                 params["prf:expansionQueryFile"])
+        if "prf:qryOutFile" in params:
+            write_expansion_list(terms, params["prf:qryOutFile"])
+        ranking = [(r["url"], r["score"]) for r in final.collect()]
         lines.extend(Engine.trec_lines(qid, ranking, run_id))
     return lines
 
@@ -171,20 +183,26 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
                 if u in url2id:
                     rows.append((qid, intent_no, url2id[u], float(s)))
     else:
+        # every (query, intent) ranking in ONE batched action: key them as
+        # "qid\x00intent" through search_batch_df, split back after
         intents = parse_intents(params["diversity:intentsFile"])
+        batch = {}
         for qid, q in queries.items():
-            rankings = [(0, q)] + [(i, text) for i, text in intents.get(qid, [])]
-            for intent_no, text in rankings:
-                res = eng.search(text, model, max_in, **kw)
-                for r in res.join(url_ids, "url").collect():
-                    rows.append((qid, intent_no, int(r["docid"]), float(r["score"])))
+            batch[f"{qid}\x00{0}"] = q
+            for i, text in intents.get(qid, []):
+                batch[f"{qid}\x00{i}"] = text
+        res = eng.search_batch_df(batch, model, max_in, **kw).join(url_ids, "url")
+        for r in res.collect():
+            qid, _, i = r["qid"].partition("\x00")
+            rows.append((qid, int(i), int(r["docid"]), float(r["score"])))
     rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
     out = diversify_df(rdf, algo, lam, max_in, max_out).join(url_ids, "docid")
+    by_qid: dict[str, list] = {}
+    for r in out.collect():  # ONE collect for every query's diversified list
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
     lines = []
     for qid in queries:
-        rs = sorted(
-            [(r["rank"], r["url"], r["score"]) for r in out.filter(F.col("qid") == qid).collect()]
-        )[: k]
+        rs = sorted(by_qid.get(qid, []))[:k]
         lines.extend(Engine.trec_lines(qid, [(u, s) for _, u, s in rs], run_id))
     return lines
 
@@ -207,19 +225,17 @@ def run_ltr(reader: IndexReader, params: dict, train_queries: dict[str, str],
     feats = minmax_normalize(extract_features(reader, cand_train, train_queries))
     w = train_ridge(feats)
 
-    test_rows = []
-    for qid, q in test_queries.items():
-        top = eng.search(q, "bm25", 100)
-        for r in top.join(url_ids, "url").collect():
-            test_rows.append((qid, int(r["docid"]), 0))
+    # initial BM25 top-100 for every test query in one batched action
+    init = eng.search_batch_df(test_queries, "bm25", 100).join(url_ids, "url")
+    test_rows = [(r["qid"], int(r["docid"]), 0) for r in init.collect()]
     cand_test = spark.createDataFrame(test_rows, ["qid", "docid", "rel"])
     tfeats = minmax_normalize(extract_features(reader, cand_test, test_queries))
     ranked = rerank(tfeats, w, url_ids, k=k)
+    by_qid: dict[str, list] = {}
+    for r in ranked.collect():  # ONE collect for every query's reranking
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["ltr_score"]))
     lines = []
     for qid in test_queries:
-        rs = sorted(
-            [(r["rank"], r["url"], r["ltr_score"]) for r in
-             ranked.filter(F.col("qid") == qid).collect()]
-        )
+        rs = sorted(by_qid.get(qid, []))
         lines.extend(Engine.trec_lines(qid, [(u, s) for _, u, s in rs], run_id))
     return lines

@@ -73,12 +73,66 @@ class Engine:
             .limit(k)
         )
 
+    def search_batch_df(self, queries: dict[str, str], model: str = "bm25",
+                        k: int = 100, **model_kw) -> DataFrame:
+        """ALL queries compiled into ONE Catalyst plan: a single pruned
+        postings scan covering the union of every query's terms, per-query
+        score frames unioned under a qid tag, one window top-k — so an
+        N-query workload is one Spark action, not N (the reference's
+        57-query runs loop QryEval.java:1381-1416 sequentially; at cluster
+        scale the per-job overhead dominates that shape).
+
+        Returns (qid, url, score, rank). Queries that parse to nothing (all
+        stopwords) are absent. WAND pruning is not applied in batch mode —
+        the exhaustive fold is score-identical and shares the scan."""
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        from .query.planner import _collect_terms
+        from .query.postings import decode_postings
+
+        m = make_model(model, **model_kw)
+        roots = {}
+        for qid, q in queries.items():
+            root = QueryParser(m.name).parse(q)
+            if root is not None:
+                roots[qid] = root
+        urls = self.reader.docid_url_map()
+        if not roots:
+            return urls.select(
+                F.lit("").alias("qid"), "url",
+                F.lit(0.0).alias("score"), F.lit(0).alias("rank")).limit(0)
+
+        all_terms = sorted({t for r in roots.values() for t in _collect_terms(r)})
+        need_pos = any(Planner(self.reader, m)._needs_positions(r) for r in roots.values())
+        shared = decode_postings(
+            self.reader.blocks_for(all_terms), with_positions=need_pos).cache()
+        stats = self.reader.term_stats(all_terms)
+
+        frames = []
+        for qid, root in roots.items():
+            scores = Planner(self.reader, m).plan(
+                root, shared_postings=shared, shared_stats=stats)
+            frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
+        unioned = reduce(lambda a, b: a.unionByName(b), frames)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+        return (
+            unioned.join(urls, "docid")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "url", "score", "rank")
+        )
+
     def search_batch(self, queries: dict[str, str], model: str = "bm25",
                      k: int = 100, **model_kw) -> dict[str, list[tuple[str, float]]]:
-        return {
-            qid: [(r["url"], r["score"]) for r in self.search(q, model, k, **model_kw).collect()]
-            for qid, q in queries.items()
-        }
+        """One action for the whole batch; empty/all-stopword queries map to
+        empty rankings."""
+        out: dict[str, list[tuple[str, float]]] = {qid: [] for qid in queries}
+        rows = self.search_batch_df(queries, model, k, **model_kw).collect()
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            out[r["qid"]].append((r["url"], r["score"]))
+        return out
 
     @staticmethod
     def trec_lines(qid: str, ranking: list[tuple[str, float]], run_id: str = "run") -> list[str]:

@@ -214,14 +214,169 @@ def minmax_normalize(features: DataFrame) -> DataFrame:
 
 
 def train_ridge(features: DataFrame, l2: float = 1e-3) -> np.ndarray:
-    """Closed-form ridge regression rel ~ f1..f20 (nulls -> 0). The
-    reference shells out to SVMrank/RankLib (QryEval.java:977-1002); a
-    deterministic in-process linear model is our stand-in."""
+    """Closed-form ridge regression rel ~ f1..f20 (nulls -> 0). A
+    deterministic in-process linear baseline."""
     rows = features.fillna(0.0).collect()
     X = np.array([[float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)] for r in rows])
     y = np.array([float(r["rel"]) for r in rows])
     A = X.T @ X + l2 * np.eye(N_FEATURES)
     return np.linalg.solve(A, X.T @ y)
+
+
+def _assembled(features: DataFrame):
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = [f"f{i}" for i in range(1, N_FEATURES + 1)]
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    return asm, asm.transform(features.fillna(0.0))
+
+
+def train_pairwise_lr(features: DataFrame, max_iter: int = 60,
+                      reg: float = 1e-4) -> np.ndarray:
+    """Pairwise linear ranker — the Spark-native analog of the SVMrank
+    toolkit the reference shells out to (QryEval.java:977-1002,
+    Utils.java:17-50): within each query, every (a, b) with rel_a != rel_b
+    yields the feature difference x_a - x_b labeled by sign(rel_a - rel_b);
+    a no-intercept LogisticRegression on the differences (RankNet loss in
+    place of SVMrank's pairwise hinge) learns linear ranking weights.
+    Pair construction is a qid-equi-join — bounded by qrels size, never the
+    corpus — and training is distributed (pyspark.ml LBFGS)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    cols = [f"f{i}" for i in range(1, N_FEATURES + 1)]
+    filled = features.fillna(0.0)
+    a = filled.select("qid", F.col("rel").alias("rel_a"),
+                      *[F.col(c).alias("a_" + c) for c in cols])
+    b = filled.select("qid", F.col("rel").alias("rel_b"),
+                      *[F.col(c).alias("b_" + c) for c in cols])
+    pairs = a.join(b, "qid").filter(F.col("rel_a") != F.col("rel_b"))
+    diffs = pairs.select(
+        (F.col("rel_a") > F.col("rel_b")).cast("double").alias("label"),
+        *[(F.col("a_" + c) - F.col("b_" + c)).alias(c) for c in cols],
+    )
+    _, ds = _assembled(diffs.withColumn("rel", F.lit(0)))
+    lr = LogisticRegression(featuresCol="features", labelCol="label",
+                            fitIntercept=False, maxIter=max_iter,
+                            regParam=reg, standardization=False)
+    model = lr.fit(ds)
+    return np.asarray(model.coefficients.toArray(), dtype=np.float64)
+
+
+def train_gbt(features: DataFrame, seed: int = 7, max_iter: int = 20,
+              max_depth: int = 3):
+    """Pointwise gradient-boosted-trees regressor on graded rel — the
+    RankLib-toolkit analog (reference ltr:toolkit=RankLib). Returns a
+    fitted pyspark.ml model usable via :func:`rerank_with`."""
+    from pyspark.ml.regression import GBTRegressor
+
+    _, ds = _assembled(features)
+    gbt = GBTRegressor(featuresCol="features", labelCol="rel", seed=seed,
+                       maxIter=max_iter, maxDepth=max_depth)
+    return gbt.fit(ds)
+
+
+class RankModel:
+    """Trained ranker: linear weight vector or an ml tree model, selected by
+    toolkit name like the reference's ``ltr:toolkit`` param."""
+
+    def __init__(self, kind: str, weights: np.ndarray | None = None, ml_model=None):
+        self.kind = kind
+        self.weights = weights
+        self.ml_model = ml_model
+
+    def score(self, features: DataFrame) -> DataFrame:
+        """-> (qid, docid, ltr_score)."""
+        if self.weights is not None:
+            expr = sum(F.col(f"f{i + 1}") * F.lit(float(self.weights[i]))
+                       for i in range(N_FEATURES))
+            return features.fillna(0.0).select("qid", "docid", expr.alias("ltr_score"))
+        _, ds = _assembled(features)
+        return self.ml_model.transform(ds).select(
+            "qid", "docid", F.col("prediction").alias("ltr_score"))
+
+
+def train_ranker(features: DataFrame, toolkit: str = "ridge", **kw) -> RankModel:
+    """toolkit: 'ridge' (closed-form linear), 'svmrank' (pairwise logistic
+    -> linear weights), 'ranklib' (pointwise GBT)."""
+    t = toolkit.lower()
+    if t == "ridge":
+        return RankModel("ridge", weights=train_ridge(features, **kw))
+    if t in ("svmrank", "pairwise"):
+        return RankModel("svmrank", weights=train_pairwise_lr(features, **kw))
+    if t in ("ranklib", "gbt"):
+        return RankModel("ranklib", ml_model=train_gbt(features, **kw))
+    raise ValueError(f"unknown ltr toolkit: {toolkit!r}")
+
+
+def rerank_with(features: DataFrame, model: RankModel, urls: DataFrame,
+                k: int = 100) -> DataFrame:
+    """Model-agnostic rerank: per-query sort ltr_score desc, url asc, top-k."""
+    scored = model.score(features).join(urls, "docid")
+    w = Window.partitionBy("qid").orderBy(F.desc("ltr_score"), F.asc("url"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "url", "rank", "ltr_score")
+    )
+
+
+# ------------------------------------------------------------- SVMlight I/O
+def svmlight_lines(features: DataFrame, urls: DataFrame) -> DataFrame:
+    """One SVMlight line per (qid, docid):
+
+        <rel> qid:<qid> 1:<v1> 2:<v2> ... # <extdocid>
+
+    — the reference's feature-file format (FeatureVectorFileLine.java:23-63)
+    consumed by SVMrank/RankLib. Null features (doc missing the field) are
+    omitted, which is the sparse-format convention. Built entirely with JVM
+    string functions; deterministic order (qid asc, url asc) is applied by
+    the writer, not here."""
+    pieces = [
+        F.when(F.col(f"f{i}").isNotNull(),
+               F.concat(F.lit(f"{i}:"), F.col(f"f{i}").cast("string")))
+        for i in range(1, N_FEATURES + 1)
+    ]
+    feat_str = F.array_join(F.array(*pieces), " ")  # array_join skips nulls
+    line = F.concat_ws(" ",
+                       F.col("rel").cast("string"),
+                       F.concat(F.lit("qid:"), F.col("qid")),
+                       feat_str,
+                       F.lit("#"),
+                       F.col("url"))
+    return features.join(urls, "docid").select(
+        "qid", "url", line.alias("line"))
+
+
+def write_svmlight(features: DataFrame, urls: DataFrame, path: str) -> None:
+    """Deterministic single-file SVMlight dump (training sets are bounded by
+    qrels size; shard with .write.text on the lines DataFrame at scale)."""
+    rows = svmlight_lines(features, urls).orderBy("qid", "url").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(r["line"] + "\n")
+
+
+def read_svmlight(spark, path: str) -> DataFrame:
+    """Parse SVMlight lines back to (qid, url, rel, f1..f20) — omitted
+    features become nulls. Pure JVM functions: split + per-feature array
+    scan, no Python row loop."""
+    df = spark.read.text(path)
+    halves = F.split(F.col("value"), " # ", 2)
+    head = F.split(halves.getItem(0), " ")
+    out = df.select(
+        F.regexp_replace(F.element_at(head, 2), "^qid:", "").alias("qid"),
+        halves.getItem(1).alias("url"),
+        F.element_at(head, 1).cast("int").alias("rel"),
+        F.slice(head, 3, 2 + N_FEATURES).alias("_fs"),
+    )
+    for i in range(1, N_FEATURES + 1):
+        hit = F.filter(F.col("_fs"), lambda x: x.startswith(f"{i}:"))  # noqa: B023
+        out = out.withColumn(
+            f"f{i}",
+            F.when(F.size(hit) > 0,
+                   F.regexp_replace(F.element_at(hit, 1), f"^{i}:", "").cast("double")),
+        )
+    return out.drop("_fs")
 
 
 def rerank(features: DataFrame, weights: np.ndarray, urls: DataFrame, k: int = 100) -> DataFrame:

@@ -88,6 +88,23 @@ def expanded_query(original: str, learned: str, w: float) -> str:
     return f"#WAND ( {w} {original} {1.0 - w} {learned} )"
 
 
+def write_expansion_list(terms: list[tuple[str, float]], path: str) -> None:
+    """The ``.qryOut`` expansion-term artifact (printExpansionList,
+    QryEval.java:1483-1506; SURVEY §5 HW3 row): one ``Score: <s>, term: <t>``
+    line per expansion term, appended so a multi-query run accumulates in
+    query order. Term order is as produced (score desc, term asc)."""
+    with open(path, "a") as f:
+        for t, s in terms:
+            f.write(f"Score: {s}, term: {t}\n")
+
+
+def write_expanded_query(qid: str, learned: str, path: str) -> None:
+    """``qid: <learned query>`` append (printExpandedQuery,
+    QryEval.java:1469-1481, wired to prf:expansionQueryFile at 1409-1413)."""
+    with open(path, "a") as f:
+        f.write(f"{qid}: {learned}\n")
+
+
 def prf_search(engine, query: str, model: str = "indri", k: int = 100,
                num_docs: int = 10, num_terms: int = 10, prf_mu: float = 0.0,
                orig_weight: float = 0.5, field: str = "body",

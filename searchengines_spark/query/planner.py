@@ -81,17 +81,27 @@ class Planner:
         self.model = model
 
     # ------------------------------------------------------------------ api
-    def plan(self, root: ast.Node) -> DataFrame:
-        """Compile to a DataFrame (docid, score). Caller applies top-k."""
+    def plan(self, root: ast.Node, shared_postings: DataFrame | None = None,
+             shared_stats: dict | None = None) -> DataFrame:
+        """Compile to a DataFrame (docid, score). Caller applies top-k.
+
+        ``shared_postings``/``shared_stats``: a batch driver compiling MANY
+        queries passes one decoded postings frame covering the union of all
+        their terms (plus the matching stats dict), so N queries share ONE
+        pruned index scan instead of issuing N."""
         terms = sorted(set(_collect_terms(root)))
         need_pos = self._needs_positions(root)
-        if terms:
+        if shared_postings is not None:
+            self._postings = shared_postings
+            self._stats = shared_stats or {}
+        elif terms:
             self._postings = decode_postings(
                 self.reader.blocks_for(terms), with_positions=need_pos
             ).cache()
+            self._stats = self.reader.term_stats(terms)
         else:
             self._postings = None
-        self._stats = self.reader.term_stats(terms) if terms else {}
+            self._stats = {}
         self._doclens = None
         if isinstance(self.model, Indri):
             fields = sorted(_collect_fields(root))

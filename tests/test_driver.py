@@ -112,3 +112,100 @@ def test_run_batch_diversity_initial_ranking_file(spark, tiny_index, tmp_path):
     out = run_batch(tiny_index, params, {"1": "haceba4 badiba5"})
     assert len(out) == 8
     assert all(TREC_RE.match(ln) for ln in out)
+
+
+BATCH_QUERIES = {
+    "1": "cebaba1 dibaba2",
+    "2": "haceba4 badiba5 bafoba4",
+    "3": "#AND( haceba4 badiba5 )",
+    "4": "#NEAR/3( cebaba1 dibaba2 )",
+    "5": "fobaba3",
+    "6": "the of and",          # all stopwords -> empty
+    "7": "#OR( haceba4 dibaba2 )",
+    "8": "gubaba4 cebaba1",
+}
+
+
+@pytest.mark.parametrize("model,kw", [
+    ("bm25", {}),
+    ("indri", {"mu": 1000.0, "lam": 0.4}),
+])
+def test_search_batch_matches_sequential(spark, tiny_index, model, kw):
+    """The one-action batch path must be result-identical (urls, scores,
+    order) to the per-query path for every query shape."""
+    import math
+
+    from searchengines_spark.engine import Engine
+
+    eng = Engine(tiny_index)
+    batch = eng.search_batch(BATCH_QUERIES, model, 10, **kw)
+    assert set(batch) == set(BATCH_QUERIES)
+    for qid, q in BATCH_QUERIES.items():
+        want = [(r["url"], r["score"]) for r in
+                eng.search(q, model, 10, **kw).collect()]
+        got = batch[qid]
+        assert [u for u, _ in got] == [u for u, _ in want], (qid, q)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (qid, q)
+
+
+def test_search_batch_is_one_action(spark, tiny_index):
+    """Batch serving must be sublinear in Spark jobs: the 8-query batch may
+    not launch more jobs than TWO sequential queries do (it shares one
+    postings scan and issues a single collect; AQE adds per-stage jobs,
+    which is why the bound is relative, not '== 1')."""
+    from searchengines_spark.engine import Engine
+
+    eng = Engine(tiny_index)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker
+
+    def jobs_during(fn):
+        sc.setJobGroup("probe", "probe")
+        before = len(tracker().getJobIdsForGroup(None) or [])
+        fn()
+        after = len(tracker().getJobIdsForGroup(None) or [])
+        sc.setJobGroup("", "")
+        return after - before
+
+    two = dict(list(BATCH_QUERIES.items())[:2])
+    n_seq = jobs_during(lambda: [eng.search(q, "bm25", 10, use_wand=False).collect()
+                                 for q in two.values()])
+    n_batch = jobs_during(lambda: eng.search_batch(BATCH_QUERIES, "bm25", 10))
+    assert n_batch <= n_seq, (n_batch, n_seq)
+
+
+def test_prf_output_files(spark, tiny_index, tmp_path):
+    """PRF side outputs: the .qryOut expansion-term list ('Score: s, term: t'
+    per printExpansionList, QryEval.java:1483-1506) and the expanded-query
+    file ('qid: #WAND(...)' per printExpandedQuery, 1469-1481), compared
+    against a committed golden (GOLDEN_REGEN=1 to refresh)."""
+    import os
+    import shutil
+
+    qry_out = str(tmp_path / "run.qryOut")
+    exp_q = str(tmp_path / "run.expq")
+    params = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000,
+              "Indri:lambda": 0.4, "prf": "Indri", "prf:numDocs": 5,
+              "prf:numTerms": 5, "prf:Indri:mu": 0.0,
+              "prf:Indri:origWeight": 0.5, "trecEvalOutputLength": 10,
+              "prf:qryOutFile": qry_out, "prf:expansionQueryFile": exp_q}
+    lines = run_batch(tiny_index, params,
+                      {"p1": "haceba4 badiba5", "p2": "cebaba1"})
+    assert all(TREC_RE.match(ln) for ln in lines)
+
+    with open(qry_out) as f:
+        got = f.read()
+    out_lines = got.splitlines()
+    assert len(out_lines) == 10  # 5 terms x 2 queries, appended in order
+    assert all(re.match(r"^Score: \S+, term: \S+$", ln) for ln in out_lines)
+    with open(exp_q) as f:
+        eq = f.read().splitlines()
+    assert len(eq) == 2
+    assert eq[0].startswith("p1: #WAND (") and eq[1].startswith("p2: #WAND (")
+
+    golden = os.path.join(os.path.dirname(__file__), "golden", "prf.qryOut")
+    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+        shutil.copy(qry_out, golden)
+    with open(golden) as f:
+        assert got == f.read()

@@ -157,3 +157,93 @@ def test_normalize_and_rerank(spark, tiny_index):
     out = ranked.collect()
     assert len(out) == 10
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 11))
+
+
+def test_svmlight_roundtrip(spark, tiny_index, tmp_path):
+    """Golden SVMlight format (FeatureVectorFileLine.java:23-63): lines are
+    'rel qid:Q i:v ... # extdocid'; nulls omitted; parse-back preserves
+    every value and every null exactly."""
+    from searchengines_spark.ltr import read_svmlight, write_svmlight
+
+    queries = {"q1": "cebaba1 dibaba2", "q2": "fobaba3 cebaba1"}
+    cand = spark.createDataFrame(
+        [(qid, d, (d % 3)) for qid in queries for d in range(15)],
+        ["qid", "docid", "rel"],
+    )
+    feats = extract_features(tiny_index, cand, queries, K1, B, MU, LAM)
+    p = str(tmp_path / "train.svmlight")
+    write_svmlight(feats, tiny_index.docid_url_map(), p)
+
+    with open(p) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 30
+    assert lines == sorted(lines, key=lambda l: (l.split()[1], l.split(" # ")[1]))
+    first = lines[0].split()
+    assert first[1].startswith("qid:") and "#" in lines[0]
+
+    back = read_svmlight(spark, p)
+    urls = {r["docid"]: r["url"] for r in tiny_index.docid_url_map().collect()}
+    want = {(r["qid"], urls[r["docid"]]): r for r in feats.collect()}
+    got = {(r["qid"], r["url"]): r for r in back.collect()}
+    assert set(got) == set(want)
+    for key in want:
+        w, g = want[key], got[key]
+        assert g["rel"] == w["rel"]
+        for i in range(1, 21):
+            if w[f"f{i}"] is None:
+                assert g[f"f{i}"] is None, (key, i)
+            else:
+                assert g[f"f{i}"] is not None and math.isclose(
+                    g[f"f{i}"], w[f"f{i}"], rel_tol=1e-12), (key, i)
+
+
+def test_train_toolkits(spark, tiny_index):
+    """All three toolkit selections (reference ltr:toolkit analog) train and
+    rank; linear ones are deterministic across refits; the pairwise model
+    must order training pairs better than chance."""
+    import numpy as np
+
+    from searchengines_spark.ltr import rerank_with, train_ranker
+
+    queries = {"q1": "cebaba1 dibaba2", "q2": "fobaba3 cebaba1"}
+    cand = spark.createDataFrame(
+        [(qid, d, (1 if d % 4 == 0 else 0)) for qid in queries for d in range(24)],
+        ["qid", "docid", "rel"],
+    )
+    feats = minmax_normalize(
+        extract_features(tiny_index, cand, queries, K1, B, MU, LAM)).cache()
+    urls = tiny_index.docid_url_map()
+
+    m_ridge = train_ranker(feats, "ridge")
+    m_svm = train_ranker(feats, "svmrank")
+    m_gbt = train_ranker(feats, "ranklib")
+
+    # determinism of the linear paths
+    assert np.allclose(m_ridge.weights, train_ranker(feats, "ridge").weights)
+    assert np.allclose(m_svm.weights, train_ranker(feats, "svmrank").weights,
+                       rtol=1e-6, atol=1e-8)
+
+    rows = {r["docid"]: r for r in feats.fillna(0.0).collect() if r["qid"] == "q1"}
+    for m in (m_ridge, m_svm, m_gbt):
+        ranked = rerank_with(feats, m, urls, k=10)
+        out = ranked.collect()
+        qids = {r["qid"] for r in out}
+        assert qids == {"q1", "q2"}
+        for qid in qids:
+            rs = sorted([r for r in out if r["qid"] == qid], key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, 11))
+            scores = [r["ltr_score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+
+    # pairwise accuracy of the svmrank-analog on its training data > 0.5
+    sc = {d: float(sum(m_svm.weights[i] * float(rows[d][f"f{i+1}"] or 0.0)
+                       for i in range(20))) for d in rows}
+    good = bad = 0
+    for a in rows:
+        for b in rows:
+            if rows[a]["rel"] > rows[b]["rel"]:
+                if sc[a] > sc[b]:
+                    good += 1
+                elif sc[a] < sc[b]:
+                    bad += 1
+    assert good > bad
