@@ -24,12 +24,30 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .tokenizer import extract_text
+
+
+def positions_col(col: str = "positions_z"):
+    """Column decoding a per-posting position payload (positions_z) back to
+    array<int> — for the few consumers that need materialized positions from
+    the forward table (LTR f19, index inspection, tests). Serving decodes
+    block payloads wholesale in postings.py; this per-row path is for
+    candidate-bounded frames only."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _dec(pz: pd.Series) -> pd.Series:
+        from .index import codec  # lazy: corpus <-> index.build cycle
+
+        return pd.Series(
+            [codec.decode_positions_payload(bytes(b)).astype(int).tolist()
+             if b is not None else [] for b in pz])
+
+    return _dec(F.col(col))
 
 VOCAB_SIZE = 10_000
 _SYL = ["ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne",
@@ -182,7 +200,13 @@ TOKENIZED_SCHEMA = T.StructType([
     T.StructField("field", T.StringType(), False),
     T.StructField("term", T.StringType(), False),  # '' = doclen sentinel row
     T.StructField("tf", T.IntegerType(), False),
-    T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    # per-posting pre-encoded position payload: varint(count) + delta+varint
+    # positions (first absolute) — the exact per-doc section of the index
+    # block format (codec.encode_positions_flat_buf), so the block encoder
+    # assembles positions_z payloads by byte concatenation. Shuffling these
+    # compact bytes instead of int arrays is a ~3-4x cut of the dominant
+    # shuffle payload in both the tokenize write and the encode shuffle.
+    T.StructField("positions_z", T.BinaryType(), False),
     T.StructField("doclen", T.IntegerType(), False),
 ])
 
@@ -207,6 +231,7 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
     come out of flat array slices with zero per-token Python objects."""
     import pyarrow as pa
 
+    from .index import codec  # lazy: corpus <-> index.build cycle
     from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
 
     def explode(batches):
@@ -287,19 +312,27 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
             o_tf = np.concatenate([np.zeros(n_seg, np.int32), tfs])
             o_dlen = np.concatenate(
                 [seg_lens, seg_lens[run_seg]]).astype(np.int32)
-            offsets = np.concatenate(
-                [np.zeros(n_seg, np.int64), run_starts, [len(sk)]])
-            positions = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()), pa.array(sp, type=pa.int32())
-            )
+            # pre-encode every posting's position payload in one vectorized
+            # pass; the binary column is built straight from (offsets, data)
+            # buffers — zero per-row Python objects
+            n_runs = len(run_starts)
+            pbuf, pcuts = codec.encode_positions_flat_buf(
+                sp.astype(np.int64),
+                np.concatenate([run_starts, [len(sk)]]).astype(np.int64))
+            bin_offs = np.concatenate(
+                [np.zeros(n_seg, np.int64), pcuts]).astype(np.int32)
+            positions_z = pa.Array.from_buffers(
+                pa.binary(), n_seg + n_runs,
+                [None, pa.py_buffer(bin_offs.tobytes()),
+                 pa.py_buffer(pbuf.tobytes())])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_docid, type=pa.int64()),
                  pa.array(o_field, type=pa.string()),
                  pa.array(o_term, type=pa.string()),
                  pa.array(o_tf, type=pa.int32()),
-                 positions,
+                 positions_z,
                  pa.array(o_dlen, type=pa.int32())],
-                names=["docid", "field", "term", "tf", "positions", "doclen"],
+                names=["docid", "field", "term", "tf", "positions_z", "doclen"],
             )
 
     return pages_with_docid.select("url", "html", "docid").mapInArrow(
@@ -319,19 +352,21 @@ def assign_docids(pages: DataFrame) -> DataFrame:
     per-partition count collect, then a mapInPandas that adds the broadcast
     partition offset to a local running index. Fully parallel at any scale.
     """
-    import pandas as pd
-
     spark = pages.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 8)
+    # no pre-shuffle distinct: range partitioning sends equal urls to one
+    # partition and the sort makes them adjacent, so the id kernel dedups
+    # for free and the per-partition counts use countDistinct — one shuffle
+    # of the narrow url column instead of two
     sorted_urls = (
-        pages.select("url").distinct()
+        pages.select("url")
         .repartitionByRange(n, "url")
         .sortWithinPartitions("url")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
     counts = {int(r["pid"]): int(r["n"]) for r in
-              sorted_urls.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+              sorted_urls.groupBy("pid").agg(F.countDistinct("url").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -343,16 +378,23 @@ def assign_docids(pages: DataFrame) -> DataFrame:
     ])
 
     def add_ids(batches):
-        seen, base = 0, None
+        seen, base, prev = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             if base is None:
                 base = b_off.value[int(pdf["pid"].iloc[0])]
+            urls = pdf["url"].to_numpy()
+            keep = np.ones(len(urls), dtype=bool)
+            keep[1:] = urls[1:] != urls[:-1]  # adjacent dups (sorted input)
+            if prev is not None and urls[0] == prev:
+                keep[0] = False
+            prev = urls[-1]
+            urls = urls[keep]
             yield pd.DataFrame({
-                "url": pdf["url"],
-                "docid": np.arange(base + seen, base + seen + len(pdf), dtype=np.int64),
+                "url": urls,
+                "docid": np.arange(base + seen, base + seen + len(urls), dtype=np.int64),
             })
-            seen += len(pdf)
+            seen += len(urls)
 
     return sorted_urls.mapInPandas(add_ids, schema)

@@ -12,7 +12,7 @@ Iceberg tables — same layout, plus snapshot metadata):
 
 - ``docids/``      (url, docid)                     — dense docid = rank(url)
 - ``doc_lens/``    (docid, field, len)              — len incl. stopword slots
-- ``tokenized/post={0,1}/`` (docid, field, term, tf, positions, doclen) —
+- ``tokenized/post={0,1}/`` (docid, field, term, tf, positions_z, doclen) —
                     post=1 IS the doc_terms forward/analytic table; post=0
                     holds one doclen sentinel row per (doc, field)
 - ``blocks/bucket=NN/`` (field, term, salt, blk, n, max_docid, min_docid,
@@ -173,11 +173,14 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
     ]
 
     def encode_run(run, cols) -> None:
-        # run = (field, term, salt, df_val, docids, tfs, doclens, pvals, poffs)
-        # where poffs are run-relative offsets into pvals (len(docids)+1).
-        # The whole run encodes in ONE vectorized pass per payload; per-block
-        # byte ranges fall out of the varint byte offsets (encode_varint_sliced).
-        field, term, salt, df_val, docids, tfs, doclens, pvals, poffs = run
+        # run = (field, term, salt, df_val, docids, tfs, doclens, pbytes, pboffs)
+        # where pbytes is the run's concatenated PRE-ENCODED per-posting
+        # position payloads (tokenize kernel output) and pboffs the
+        # run-relative byte offset of each posting (len(docids)+1). The block
+        # position payload is a pure byte slice — the tokenize pass already
+        # paid the varint encode, and the payload is byte-identical to
+        # re-encoding here (delta restarts at every doc).
+        field, term, salt, df_val, docids, tfs, doclens, pbytes, pboffs = run
         striped = bool(df_val >= salt_min_df)
         avg = b_avg.value.get(field, 1.0)
         n = len(docids)
@@ -191,7 +194,8 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         d_sl = codec.encode_varint_sliced(dd, bstarts)
         t_sl = codec.encode_varint_sliced(tfs.astype(np.uint64), bstarts)
         l_sl = codec.encode_varint_sliced(doclens.astype(np.uint64), bstarts)
-        p_sl = codec.encode_positions_flat_sliced(pvals, poffs, bstarts)
+        bcuts = pboffs[np.append(bstarts, n)]
+        p_sl = [pbytes[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
         # block metadata, all reduceat: BM25 upper bound (same float shape as
         # codec.bm25_upper_bound: max of tf-weights, then x idf), max tf, min dl
         tfd = tfs.astype(np.float64)
@@ -227,9 +231,12 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
             tf = rb.column(ix["tf"]).to_numpy()
             doclen = rb.column(ix["doclen"]).to_numpy()
             dfc = rb.column(ix["df"]).to_numpy()
-            pos = rb.column(ix["positions"])
-            poffs = np.asarray(pos.offsets).astype(np.int64)
-            pvals = np.asarray(pos.values)
+            pz = rb.column(ix["positions_z"])
+            # raw (offsets, data) buffers of the binary column; honor any
+            # slice offset the Arrow array carries
+            zoffs = np.frombuffer(pz.buffers()[1], dtype=np.int32)[
+                pz.offset : pz.offset + len(pz) + 1].astype(np.int64)
+            zdata = np.frombuffer(pz.buffers()[2], dtype=np.uint8)
 
             n = rb.num_rows
             change = np.empty(n, dtype=bool)
@@ -242,7 +249,7 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
             def make_run(s, e):
                 return (f_vocab[f_idx[s]], t_vocab[t_idx[s]], int(salt[s]),
                         int(dfc[s]), docid[s:e], tf[s:e], doclen[s:e],
-                        pvals[poffs[s]:poffs[e]], poffs[s:e + 1] - poffs[s])
+                        zdata[zoffs[s]:zoffs[e]], zoffs[s:e + 1] - zoffs[s])
 
             cols = [[] for _ in out_types]
             first = make_run(starts[0], ends[0])
@@ -463,7 +470,9 @@ def build_index(
     # -- stage 6: lineage / metrics ------------------------------------------
     lineage_path = os.path.join(index_dir, "lineage")
     if not (resume and _stage_done(index_dir, "lineage")):
-        blocks_df = spark.read.parquet(blocks_path)
+        # same rows as the serving layout, but the flat segments table scans
+        # without listing the 256 bucket directories the merge just wrote
+        blocks_df = spark.read.parquet(segments_path)
         lineage = blocks_df.groupBy("bucket", "field").agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum("n").alias("n_postings"),

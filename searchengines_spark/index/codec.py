@@ -144,6 +144,59 @@ def encode_varint_sliced(values: np.ndarray, cut_idx: np.ndarray) -> list[bytes]
     return [buf[s:e] for s, e in zip(bounds, ends)]
 
 
+def encode_positions_flat_buf(values: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode EVERY doc's (count, delta-positions) payload in one pass and
+    return (flat uint8 buffer, per-doc byte offsets, len m+1). Slicing the
+    buffer at consecutive offsets is byte-identical to
+    ``encode_positions_flat`` per doc — this is what lets the tokenize
+    kernel pre-encode per-posting payloads that the block encoder later
+    assembles by pure byte concatenation (no re-encode, no int shuffle)."""
+    m = len(offs) - 1
+    if m == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    offs = np.asarray(offs, dtype=np.int64)
+    cnt = np.diff(offs)
+    starts = offs[:-1]
+    d = v.copy()
+    if v.size > 1:
+        d[1:] -= v[:-1]
+    nz = starts[cnt > 0]
+    d[nz] = v[nz]
+    out = np.empty(m + v.size, dtype=np.uint64)
+    cpos = starts + np.arange(m, dtype=np.int64)
+    out[cpos] = cnt.astype(np.uint64)
+    mask = np.ones(m + v.size, dtype=bool)
+    mask[cpos] = False
+    out[mask] = d
+    sizes = np.ones(out.size, dtype=np.int64)
+    tmp = out >> np.uint64(7)
+    while tmp.any():
+        sizes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    boffs = np.zeros(out.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=boffs[1:])
+    buf = np.zeros(int(boffs[-1]), dtype=np.uint8)
+    heads = boffs[:-1]
+    for k in range(int(sizes.max())):
+        msk = sizes > k
+        byte = ((out[msk] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (sizes[msk] - 1 > k).astype(np.uint8) << 7
+        buf[heads[msk] + k] = byte | cont
+    # byte offset of each doc's first slot (slot of doc j = offs[j] + j)
+    doc_cuts = boffs[offs + np.arange(m + 1, dtype=np.int64)]
+    return buf, doc_cuts
+
+
+def decode_positions_payload(buf: bytes) -> np.ndarray:
+    """Decode ONE posting's (count, first, deltas...) payload -> absolute
+    positions. Inverse of a single slice of encode_positions_flat_buf."""
+    flat = decode_varint(buf)
+    if flat.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(flat[1:].astype(np.int64))
+
+
 def encode_positions_flat_sliced(values: np.ndarray, offs: np.ndarray,
                                  bstarts: np.ndarray) -> list[bytes]:
     """Per-block position payloads for a whole run in one pass: ``values`` is

@@ -41,11 +41,13 @@ def postings_for(reader: IndexReader, term: str, field: str = "body",
 
 def doc_vector(reader: IndexReader, url: str, field: str = "body") -> DataFrame:
     """listDocVector analog (TermVector view): (term, tf, positions)."""
+    from .corpus import positions_col
+
     ids = reader.docid_url_map().filter(F.col("url") == url)
     return (
         reader.doc_terms()
         .filter(F.col("field") == field)
         .join(ids, "docid")
-        .select("term", "tf", "positions")
+        .select("term", "tf", positions_col("positions_z").alias("positions"))
         .orderBy("term")
     )

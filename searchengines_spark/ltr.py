@@ -105,7 +105,7 @@ def extract_features(reader: IndexReader, candidates: DataFrame,
         )
         matched = (
             cand.join(
-                doc_terms.filter(F.col("field") == field).select("docid", "term", "tf", "positions"),
+                doc_terms.filter(F.col("field") == field).select("docid", "term", "tf", "positions_z"),
                 "docid",
             )
             .join(qterms, ["qid", "term"])
@@ -171,8 +171,12 @@ def extract_features(reader: IndexReader, candidates: DataFrame,
                 ),
             )
             # f19: min distance between successive matched positions
+            # (candidate-bounded frame -> per-row payload decode is fine)
+            from .corpus import positions_col
+
             tpos = (
-                matched.select("qid", "docid", F.explode("positions").alias("p"))
+                matched.select("qid", "docid",
+                               F.explode(positions_col("positions_z")).alias("p"))
             )
             wspec = Window.partitionBy("qid", "docid").orderBy("p")
             gaps = tpos.withColumn("gap", F.col("p") - F.lag("p").over(wspec))

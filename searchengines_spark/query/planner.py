@@ -91,12 +91,17 @@ class Planner:
         pruned index scan instead of issuing N."""
         terms = sorted(set(_collect_terms(root)))
         need_pos = self._needs_positions(root)
+        self._blocks = self.reader.blocks_for(terms) if terms else None
+        self._pos_full = None  # lazy full-position decode (fallback path)
         if shared_postings is not None:
             self._postings = shared_postings
             self._stats = shared_stats or {}
         elif terms:
+            # always the SLIM decode (no positions): Score leaves and the
+            # conjunctive docid joins never need positions, and positional
+            # operators decode positions candidate-filtered (see _iop)
             self._postings = decode_postings(
-                self.reader.blocks_for(terms), with_positions=need_pos
+                self.reader.blocks_for(terms), with_positions=False
             ).cache()
             self._stats = self.reader.term_stats(terms)
         else:
@@ -124,15 +129,77 @@ class Planner:
         return F.coalesce(F.col(f"len_{field}").cast("double"), F.lit(0.0))
 
     # ----------------------------------------------------------------- IOP
+    MAX_POS_CANDIDATES = 200_000
+
+    def _pos_postings(self) -> DataFrame:
+        """Full-position decode of every query term — the fallback for
+        positional nodes with non-Term children. Shared-scan batch plans may
+        already carry positions; reuse them."""
+        if self._pos_full is None:
+            if self._postings is not None and "positions" in self._postings.columns:
+                self._pos_full = self._postings
+            else:
+                self._pos_full = decode_postings(
+                    self._blocks, with_positions=True).cache()
+        return self._pos_full
+
+    def _positional_candidates(self, node: ast.Node) -> np.ndarray | None:
+        """Conjunctive candidate docids for a flat NEAR/WINDOW, from the slim
+        (position-free) postings. Returns a sorted array to broadcast into
+        the decode kernel, or None when the set exceeds the broadcast cap
+        (caller falls back to the unfiltered decode — always sound)."""
+        slims = [
+            self._postings.filter(
+                (F.col("field") == a.field) & (F.col("term") == a.term)
+            ).select("docid")
+            for a in node.args
+        ]
+        cand = reduce(lambda x, y: x.join(y, "docid"), slims)
+        rows = cand.limit(self.MAX_POS_CANDIDATES + 1).collect()
+        if len(rows) > self.MAX_POS_CANDIDATES:
+            return None
+        return np.array(sorted(int(r["docid"]) for r in rows), dtype=np.int64)
+
     def _iop(self, node: ast.Node, need_pos: bool = True) -> IopResult:
         if isinstance(node, ast.Term):
             df_, ctf_ = self._stats.get((node.field, node.term), (0, 0))
-            pdf = self._postings.filter(
+            src = self._pos_postings() if need_pos else self._postings
+            pdf = src.filter(
                 (F.col("field") == node.field) & (F.col("term") == node.term)
             ).drop("field", "term")
             return IopResult(pdf, node.field, df_, ctf_)
 
-        children = [self._iop(a, need_pos=True) for a in node.args]
+        if (isinstance(node, ast.Near | ast.Window)
+                and all(isinstance(a, ast.Term) for a in node.args)):
+            # two-phase positional evaluation: cheap conjunctive join on the
+            # slim postings finds candidate docs, then positions decode ONLY
+            # for candidates — blocks with no candidate skip entirely via
+            # their [min_docid, max_docid] metadata. On high-df terms this
+            # cuts both the position decode and the join shuffle from
+            # every-posting to candidates-only.
+            cands = self._positional_candidates(node)
+            if cands is not None:
+                fblocks = self._blocks.filter(
+                    F.struct("field", "term").isin(
+                        [F.struct(F.lit(a.field), F.lit(a.term)) for a in node.args]))
+                if cands.size == 0:
+                    fdf = decode_postings(fblocks.limit(0), with_positions=True)
+                else:
+                    fdf = decode_postings(fblocks, with_positions=True,
+                                          docid_filter=cands)
+                children = [
+                    IopResult(
+                        fdf.filter((F.col("field") == a.field)
+                                   & (F.col("term") == a.term)).drop("field", "term"),
+                        a.field,
+                        *self._stats.get((a.field, a.term), (0, 0)),
+                    )
+                    for a in node.args
+                ]
+            else:
+                children = [self._iop(a, need_pos=True) for a in node.args]
+        else:
+            children = [self._iop(a, need_pos=True) for a in node.args]
         field = children[0].field
         if isinstance(node, ast.Syn):
             merged = reduce(

@@ -28,18 +28,31 @@ POSTINGS_POS_SCHEMA = T.StructType(
 )
 
 
-def decode_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+def decode_postings(blocks: DataFrame, with_positions: bool = False,
+                    docid_filter: np.ndarray | None = None) -> DataFrame:
     """blocks (BLOCKS_SCHEMA rows) -> long postings DataFrame.
 
     mapInArrow: per-block numpy varint decode, output assembled from flat
     arrays (positions as one ListArray from (offsets, values)) — no per-
     posting Python objects, which dominated positional-query latency on
-    high-df terms."""
+    high-df terms.
+
+    ``docid_filter``: sorted int64 array of candidate docids (broadcast).
+    Blocks whose [min_docid, max_docid] range contains no candidate are
+    skipped WITHOUT any decode (the positional analog of block-max
+    skipping); surviving blocks emit only candidate rows, so the expensive
+    position decode + downstream join touch candidates, not every posting
+    of a high-df term."""
     import pyarrow as pa
 
     schema = POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA
+    cand_b = None
+    if docid_filter is not None:
+        cand_b = blocks.sparkSession.sparkContext.broadcast(
+            np.asarray(docid_filter, dtype=np.int64))
 
     def decode(batches):
+        carr = cand_b.value if cand_b is not None else None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -50,18 +63,44 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False) -> DataFram
             b_tz = rb.column(ix["tfs_z"]).to_pylist()
             b_lz = rb.column(ix["doclens_z"]).to_pylist()
             b_pz = rb.column(ix["positions_z"]).to_pylist() if with_positions else None
+            if carr is not None:
+                bmin = rb.column(ix["min_docid"]).to_numpy()
+                bmax = rb.column(ix["max_docid"]).to_numpy()
+                has_cand = (np.searchsorted(carr, bmax, "right")
+                            > np.searchsorted(carr, bmin, "left"))
             docids, tfs, doclens, sizes = [], [], [], []
+            keep_blk = []
             pvals, pcounts = [], []
             for bi in range(rb.num_rows):
+                if carr is not None and not has_cand[bi]:
+                    continue  # whole block skipped, zero decode
                 d, t, dl = codec.decode_block(b_dz[bi], b_tz[bi], b_lz[bi])
+                if carr is not None:
+                    idx = np.searchsorted(carr, d.astype(np.int64))
+                    np.clip(idx, 0, carr.size - 1, out=idx)
+                    mask = carr[idx] == d.astype(np.int64)
+                    if not mask.any():
+                        continue
+                else:
+                    mask = None
+                if with_positions:
+                    v, c = codec.decode_positions_flat(b_pz[bi], len(d))
+                    if mask is not None:
+                        v = v[np.repeat(mask, c)]
+                        c = c[mask]
+                    pvals.append(v)
+                    pcounts.append(c)
+                if mask is not None:
+                    d, t, dl = d[mask], t[mask], dl[mask]
                 sizes.append(len(d))
+                keep_blk.append(bi)
                 docids.append(d.astype(np.int64))
                 tfs.append(t.astype(np.int32))
                 doclens.append(dl.astype(np.int32))
-                if with_positions:
-                    v, c = codec.decode_positions_flat(b_pz[bi], len(d))
-                    pvals.append(v)
-                    pcounts.append(c)
+            if not docids:
+                continue
+            b_field = [b_field[i] for i in keep_blk]
+            b_term = [b_term[i] for i in keep_blk]
             sizes = np.asarray(sizes, dtype=np.int64)
             field_np = np.repeat(np.array(b_field, dtype=object), sizes)
             term_np = np.repeat(np.array(b_term, dtype=object), sizes)

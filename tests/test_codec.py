@@ -126,3 +126,32 @@ def test_decode_positions_flat_equivalence():
     flat = np.concatenate(lists) if lists else np.empty(0)
     assert (vals == flat.astype(np.int64)).all()
     assert (vals == np.concatenate(rows).astype(np.int64)).all() if len(vals) else True
+
+
+def test_positions_flat_buf_slices_match_per_doc_encode():
+    """Slicing encode_positions_flat_buf's buffer at its per-doc offsets must
+    be byte-identical to encode_positions_flat per doc — the contract that
+    lets the tokenize kernel pre-encode payloads the block encoder merely
+    concatenates."""
+    import numpy as np
+
+    from searchengines_spark.index import codec
+
+    rng = np.random.default_rng(3)
+    cnt = rng.integers(0, 9, 200)
+    offs = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    vals = np.sort(rng.integers(0, 5000, int(cnt.sum())))
+    # re-sort within each doc
+    parts = [np.sort(vals[offs[i]:offs[i+1]]) for i in range(len(cnt))]
+    flat = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    buf, cuts = codec.encode_positions_flat_buf(flat.astype(np.int64), offs)
+    assert len(cuts) == len(cnt) + 1
+    whole = buf.tobytes()
+    for i in range(len(cnt)):
+        want = codec.encode_positions_flat(
+            parts[i].astype(np.uint64), np.array([cnt[i]], np.int64))
+        got = whole[cuts[i]:cuts[i+1]]
+        assert got == want, i
+        back = codec.decode_positions_payload(got)
+        assert back.tolist() == parts[i].astype(int).tolist()

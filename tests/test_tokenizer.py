@@ -58,13 +58,17 @@ def test_arrow_tokenize_kernel_matches_naive(spark):
                                             pages_to_tokenized)
     from searchengines_spark.tokenizer import tokenize_full
 
+    from searchengines_spark.index import codec
+
     pages_df = generate_pages(spark, 60, seed=11, partitions=3)
     en = pages_df.filter("lang='en'")
     ids = assign_docids(en)
     got = {}
     for r in pages_to_tokenized(en.join(F.broadcast(ids), "url")).collect():
         got[(r["docid"], r["field"], r["term"])] = (
-            r["tf"], list(r["positions"]), r["doclen"])
+            r["tf"],
+            codec.decode_positions_payload(bytes(r["positions_z"])).astype(int).tolist(),
+            r["doclen"])
 
     id_map = {r["url"]: r["docid"] for r in ids.collect()}
     want = {}
@@ -81,3 +85,20 @@ def test_arrow_tokenize_kernel_matches_naive(spark):
             for t, ps in acc.items():
                 want[(d, f, t)] = (len(ps), ps, len(toks))
     assert got == want
+
+
+def test_assign_docids_dedups_duplicate_urls(spark):
+    """assign_docids must produce one dense id per DISTINCT url even when
+    the input repeats urls (re-crawled pages), with ids following url sort
+    order — the in-kernel adjacent-dedup replacing the old distinct()."""
+    import pyspark.sql.functions as F
+
+    from searchengines_spark.corpus import assign_docids
+
+    urls = [f"https://site{i % 7}.example/p{i % 13}" for i in range(200)]
+    df = spark.createDataFrame([(u, bytearray(b"x")) for u in urls], ["url", "html"])
+    ids = assign_docids(df).collect()
+    want = sorted({u for u in urls})
+    assert sorted(r["url"] for r in ids) == want
+    by_url = {r["url"]: r["docid"] for r in ids}
+    assert [by_url[u] for u in want] == list(range(len(want)))
