@@ -129,7 +129,18 @@ class Planner:
         return F.coalesce(F.col(f"len_{field}").cast("double"), F.lit(0.0))
 
     # ----------------------------------------------------------------- IOP
-    MAX_POS_CANDIDATES = 200_000
+    # Candidate-filtered positional decode is a cost-based choice, measured
+    # (bench A/B at 100k docs): the extra candidate-collect jobs cost ~0.5-1s
+    # of fixed latency, while full-position decode of a 100k-posting term is
+    # subsecond AND its cached frame amortizes across queries — so at small
+    # absolute sizes the one-job path always wins. The filter pays off when
+    # the hot side's position payload is genuinely heavy (df in the
+    # millions, decode in the tens of seconds) and the conjunction is
+    # bounded tight by a rare arg. Engage iff BOTH hold:
+    #   min(df of args) <= MAX_POS_CANDIDATES  (collect stays small)
+    #   max(df of args) >= HEAVY_POS_DF        (decode worth skipping)
+    MAX_POS_CANDIDATES = 20_000
+    HEAVY_POS_DF = 2_000_000
 
     def _pos_postings(self) -> DataFrame:
         """Full-position decode of every query term — the fallback for
@@ -145,9 +156,8 @@ class Planner:
 
     def _positional_candidates(self, node: ast.Node) -> np.ndarray | None:
         """Conjunctive candidate docids for a flat NEAR/WINDOW, from the slim
-        (position-free) postings. Returns a sorted array to broadcast into
-        the decode kernel, or None when the set exceeds the broadcast cap
-        (caller falls back to the unfiltered decode — always sound)."""
+        (position-free) postings. Only called when min(df) of the args bounds
+        the set under MAX_POS_CANDIDATES, so the Arrow collect is small."""
         slims = [
             self._postings.filter(
                 (F.col("field") == a.field) & (F.col("term") == a.term)
@@ -155,10 +165,8 @@ class Planner:
             for a in node.args
         ]
         cand = reduce(lambda x, y: x.join(y, "docid"), slims)
-        rows = cand.limit(self.MAX_POS_CANDIDATES + 1).collect()
-        if len(rows) > self.MAX_POS_CANDIDATES:
-            return None
-        return np.array(sorted(int(r["docid"]) for r in rows), dtype=np.int64)
+        ids = cand.toPandas()["docid"].to_numpy()
+        return np.sort(ids.astype(np.int64))
 
     def _iop(self, node: ast.Node, need_pos: bool = True) -> IopResult:
         if isinstance(node, ast.Term):
@@ -177,7 +185,11 @@ class Planner:
             # their [min_docid, max_docid] metadata. On high-df terms this
             # cuts both the position decode and the join shuffle from
             # every-posting to candidates-only.
-            cands = self._positional_candidates(node)
+            dfs = [self._stats.get((a.field, a.term), (0, 0))[0]
+                   for a in node.args]
+            cands = (self._positional_candidates(node)
+                     if min(dfs) <= self.MAX_POS_CANDIDATES
+                     and max(dfs) >= self.HEAVY_POS_DF else None)
             if cands is not None:
                 fblocks = self._blocks.filter(
                     F.struct("field", "term").isin(

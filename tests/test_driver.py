@@ -209,3 +209,30 @@ def test_prf_output_files(spark, tiny_index, tmp_path):
         shutil.copy(qry_out, golden)
     with open(golden) as f:
         assert got == f.read()
+
+
+def test_prf_and_diversity_end_to_end_depth_100(spark, tiny_index, tmp_path):
+    """Full-depth (top-100) end-to-end runs of the PRF and diversity
+    pipelines through run_batch — the reference's HW3/EP3 operating depth."""
+    prf_params = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000,
+                  "Indri:lambda": 0.4, "prf": "Indri", "prf:numDocs": 10,
+                  "prf:numTerms": 10, "prf:Indri:mu": 0.0,
+                  "prf:Indri:origWeight": 0.5, "trecEvalOutputLength": 100}
+    lines = run_batch(tiny_index, prf_params, {"1": "haceba4 badiba5"})
+    assert len(lines) == 100 and all(TREC_RE.match(ln) for ln in lines)
+    ranks = [int(ln.split()[3]) for ln in lines]
+    assert ranks == list(range(1, 101))
+
+    intents = tmp_path / "i100.txt"
+    intents.write_text("1.1:cebaba1\n1.2:dibaba2\n")
+    div_params = {
+        "retrievalAlgorithm": "BM25", "diversity": "true",
+        "diversity:algorithm": "xQuAD", "diversity:lambda": 0.5,
+        "diversity:maxInputRankingsLength": 100,
+        "diversity:maxResultRankingLength": 100,
+        "diversity:intentsFile": str(intents),
+        "trecEvalOutputLength": 100,
+    }
+    lines = run_batch(tiny_index, div_params, {"1": "cebaba1 dibaba2"})
+    assert len(lines) == 100 and all(TREC_RE.match(ln) for ln in lines)
+    assert len({ln.split()[2] for ln in lines}) == 100  # distinct docs

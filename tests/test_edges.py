@@ -64,3 +64,31 @@ def test_empty_field_docs(spark, tmp_path):
     e = Engine(r)
     assert len(e.search("alpha", k=10, use_wand=False).collect()) == 6
     assert len(e.search("tword1.title", k=10, use_wand=False).collect()) == 1
+
+
+def test_candidate_filtered_positional_decode_identical(spark, tiny_index):
+    """Force the cost-based gate open: the candidate-filtered positional
+    path must produce exactly the same ranking as the full-decode path
+    (it is the 100-TB asymptote; the gate keeps it off at small df)."""
+    import math
+
+    from searchengines_spark.engine import Engine
+    from searchengines_spark.query.planner import Planner
+
+    eng = Engine(tiny_index)
+    queries = ["#NEAR/4( cebaba1 dibaba2 )", "#WINDOW/6( haceba4 badiba5 )"]
+    want = {q: [(r["url"], r["score"]) for r in
+                eng.search(q, "bm25", 20).collect()] for q in queries}
+    old_cap, old_heavy = Planner.MAX_POS_CANDIDATES, Planner.HEAVY_POS_DF
+    try:
+        Planner.MAX_POS_CANDIDATES = 10**9
+        Planner.HEAVY_POS_DF = 0
+        for q in queries:
+            got = [(r["url"], r["score"]) for r in
+                   eng.search(q, "bm25", 20).collect()]
+            assert [u for u, _ in got] == [u for u, _ in want[q]], q
+            for (_, gs), (_, ws) in zip(got, want[q]):
+                assert math.isclose(gs, ws, rel_tol=1e-12)
+    finally:
+        Planner.MAX_POS_CANDIDATES = old_cap
+        Planner.HEAVY_POS_DF = old_heavy

@@ -30,3 +30,40 @@ def test_postings_consistent_with_doc_vector(tiny_index):
     assert dv[term] == (one["tf"], list(one["positions"]))
     # tf == number of positions everywhere
     assert all(r["tf"] == len(r["positions"]) for r in posts)
+
+
+def test_inspect_long_tail(spark, tiny_index):
+    """The remaining InspectIndex subcommand analogs: id lookups, docid and
+    field listings, metadata, postings sample, all-field term vector."""
+    from searchengines_spark.inspect import (
+        doc_metadata,
+        doc_vector_all,
+        external_docid,
+        internal_docid,
+        list_docids,
+        list_fields,
+        postings_sample,
+    )
+
+    ids = list_docids(tiny_index, 5).collect()
+    assert [r["docid"] for r in ids] == list(range(5))
+    url0 = ids[0]["url"]
+    assert external_docid(tiny_index, 0) == url0
+    assert internal_docid(tiny_index, url0) == 0
+    assert internal_docid(tiny_index, "https://nope.example/") is None
+    assert external_docid(tiny_index, 10**9) is None
+
+    assert list_fields(tiny_index) == ["body", "inlink", "keywords", "title", "url"]
+
+    md = doc_metadata(tiny_index, 0)
+    assert md["docid"] == 0 and "spam_score" in md and "page_rank" in md
+    assert md["field_lens"]["body"] > 0
+
+    ps = postings_sample(tiny_index, "cebaba1", "body", n=5).collect()
+    assert 0 < len(ps) <= 5
+    assert all(r["tf"] >= 1 and len(r["positions"]) == r["tf"] for r in ps)
+
+    dv = doc_vector_all(tiny_index, url0).collect()
+    fields_seen = {r["field"] for r in dv}
+    assert "body" in fields_seen and len(fields_seen) >= 3
+    assert all(r["tf"] == len(r["positions"]) for r in dv)
