@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash64": A.q_minhash64,
         "lsh_dup_pairs_scaled": A.q_lsh_dup_pairs_scaled,
         "jaccard_topk": A.q_jaccard_topk,
+        "jaccard_topk_scaled": A.q_jaccard_topk_scaled,
         "simhash": A.q_simhash,
         "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
@@ -291,6 +292,10 @@ WHERE j.jaccard >= 0.5""",
         "jaccard_topk": f"""
 WITH {_TOK}, {_SH3} {_JAC}
 SELECT a_id, b_id, jaccard FROM jac ORDER BY jaccard DESC, a_id ASC, b_id ASC LIMIT 15""",
+        "jaccard_topk_scaled": _lsh_scaled_sql().replace(
+            "SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5",
+            "SELECT a_id, b_id, jaccard FROM jac "
+            "ORDER BY jaccard DESC, a_id ASC, b_id ASC LIMIT 15"),
         "simhash": _simhash_sql(),
         "cosine_topk": f"""
 WITH {_COS_NRM},

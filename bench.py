@@ -100,6 +100,16 @@ def main():
             lat.sort()
             extra["serve_p95_sec"] = round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
 
+            # batched throughput: a 12-query workload through the one-action
+            # shared-scan path (the reference's 57-query runs are this shape)
+            batch = {f"b{i}": f"{VOCAB[50 + 2 * i]} {VOCAB[51 + 2 * i]}"
+                     for i in range(12)}
+            t0 = time.time()
+            out = eng.search_batch(batch, model="bm25", k=100)
+            dt = time.time() - t0
+            queries["serve_batch12"] = round(dt, 3)
+            extra["serve_batch_qps"] = round(len([q for q in out if out[q]]) / dt, 2)
+
         if "analytic" in PHASES:
             import __spark_entry__ as E
 

@@ -341,7 +341,34 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_jaccard_topk(spark, sf_dir):
+    """Labeled EXACT baseline (all-pairs) — correctness yardstick only; the
+    scale path is q_jaccard_topk_scaled."""
     return q_jaccard_pairs(spark, sf_dir).orderBy(
+        F.desc("jaccard"), F.asc("a_id"), F.asc("b_id")
+    ).limit(15)
+
+
+def q_jaccard_topk_scaled(spark, sf_dir):
+    """Top-k most-similar pairs restricted to LSH band-collision candidates
+    (the 100 TB shape: the all-pairs join never happens; recall governed by
+    the deterministic b x r scheme, identical in the DuckDB oracle)."""
+    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    mh = _minhash64(sh)
+    band_structs = []
+    for j in range(LSH_BANDS):
+        cols = [F.col(f"m{j * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        band_structs.append(F.struct(
+            F.lit(j).alias("band"), md5hash32(F.concat_ws(",", *cols)).alias("bh")))
+    long = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
+        "doc_id", "x.band", "x.bh")
+    cand = (
+        long.select(F.col("doc_id").alias("a_id"), "band", "bh")
+        .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _jaccard_for_pairs(sh, cand).orderBy(
         F.desc("jaccard"), F.asc("a_id"), F.asc("b_id")
     ).limit(15)
 

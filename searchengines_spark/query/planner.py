@@ -97,13 +97,19 @@ class Planner:
             self._postings = shared_postings
             self._stats = shared_stats or {}
         elif terms:
-            # always the SLIM decode (no positions): Score leaves and the
-            # conjunctive docid joins never need positions, and positional
-            # operators decode positions candidate-filtered (see _iop)
-            self._postings = decode_postings(
-                self.reader.blocks_for(terms), with_positions=False
-            ).cache()
             self._stats = self.reader.term_stats(terms)
+            # decode positions inline ONLY when some positional node will
+            # need the full decode anyway (cost-based: two decode passes on
+            # a cold query cost more than carrying positions once); when
+            # every positional node qualifies for the candidate-filtered
+            # path, or none exists, the slim decode feeds Score leaves and
+            # conjunctive joins
+            inline_pos = need_pos and self._needs_fallback_positions(root)
+            self._postings = decode_postings(
+                self.reader.blocks_for(terms), with_positions=inline_pos
+            ).cache()
+            if inline_pos:
+                self._pos_full = self._postings
         else:
             self._postings = None
             self._stats = {}
@@ -141,6 +147,28 @@ class Planner:
     #   max(df of args) >= HEAVY_POS_DF        (decode worth skipping)
     MAX_POS_CANDIDATES = 20_000
     HEAVY_POS_DF = 2_000_000
+
+    def _pos_gate_open(self, node: ast.Node) -> bool:
+        """True if this flat NEAR/WINDOW qualifies for the candidate-filtered
+        decode (see the cost rationale above MAX_POS_CANDIDATES)."""
+        dfs = [self._stats.get((a.field, a.term), (0, 0))[0] for a in node.args]
+        return (min(dfs) <= self.MAX_POS_CANDIDATES
+                and max(dfs) >= self.HEAVY_POS_DF)
+
+    def _needs_fallback_positions(self, node: ast.Node) -> bool:
+        """Does any positional node in the tree need the FULL position
+        decode? (#SYN always; NEAR/WINDOW with non-Term children; flat
+        NEAR/WINDOW whose stats fail the candidate-filter gate.)"""
+        if isinstance(node, ast.Syn):
+            return True
+        if isinstance(node, ast.Near | ast.Window):
+            if not all(isinstance(a, ast.Term) for a in node.args):
+                return True
+            return not self._pos_gate_open(node)
+        if isinstance(node, ast.Term):
+            return False
+        kids = [node.arg] if isinstance(node, ast.Score) else node.args
+        return any(self._needs_fallback_positions(a) for a in kids)
 
     def _pos_postings(self) -> DataFrame:
         """Full-position decode of every query term — the fallback for
@@ -185,11 +213,8 @@ class Planner:
             # their [min_docid, max_docid] metadata. On high-df terms this
             # cuts both the position decode and the join shuffle from
             # every-posting to candidates-only.
-            dfs = [self._stats.get((a.field, a.term), (0, 0))[0]
-                   for a in node.args]
             cands = (self._positional_candidates(node)
-                     if min(dfs) <= self.MAX_POS_CANDIDATES
-                     and max(dfs) >= self.HEAVY_POS_DF else None)
+                     if self._pos_gate_open(node) else None)
             if cands is not None:
                 fblocks = self._blocks.filter(
                     F.struct("field", "term").isin(
