@@ -40,8 +40,9 @@ SERVE_QUERIES = {
     "ranked_or": ("#OR( dibaba2 fobaba3 )", "rankedboolean"),
 }
 
-ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk", "simhash",
-            "cosine_topk", "near_pairs", "quality"]
+ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
+            "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
+            "simhash_dup_pairs", "cosine_topk", "near_pairs", "quality"]
 
 
 def main():
