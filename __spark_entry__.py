@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_pairs": A.q_lsh_dup_pairs,
         "minhash64": A.q_minhash64,
         "lsh_dup_pairs_scaled": A.q_lsh_dup_pairs_scaled,
+        "dup_clusters": A.q_dup_clusters,
         "jaccard_topk": A.q_jaccard_topk,
         "jaccard_topk_scaled": A.q_jaccard_topk_scaled,
         "simhash": A.q_simhash,
@@ -280,6 +281,22 @@ FROM documents GROUP BY md5(text)""",
         "minhash": f"WITH {_TOK}, {_SH3} {_MH} SELECT * FROM mh",
         "minhash64": f"WITH {_TOK}, {_SH3} {_MH64} SELECT * FROM mh64",
         "lsh_dup_pairs_scaled": _lsh_scaled_sql(),
+        "dup_clusters": f"""
+WITH RECURSIVE {_TOK}, {_SH3} {_MH},
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+){_JAC_CAND},
+dup AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+nodes AS (SELECT a_id AS doc FROM dup UNION SELECT b_id FROM dup),
+edges AS (SELECT a_id AS s, b_id AS d FROM dup UNION SELECT b_id, a_id FROM dup),
+reach(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.doc
+)
+SELECT CAST(doc AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS canon
+FROM reach GROUP BY doc""",
         "simhash_dup_pairs": _simhash_dup_pairs_sql(),
         "lsh_dup_pairs": f"""
 WITH {_TOK}, {_SH3} {_MH} {_JAC},

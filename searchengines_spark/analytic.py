@@ -403,6 +403,46 @@ def _simhash_bands(tok: DataFrame) -> DataFrame:
     return g.select("doc_id", *bands)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution — the step a real dedup pipeline runs
+    after pair generation: connected components over the LSH-verified dup
+    pairs, canonical doc = min doc_id in the component. Iterative min-label
+    propagation (each round: label <- min(label, neighbors' labels)), which
+    converges in O(component diameter) rounds — components here are dup
+    clusters, so diameters are tiny; each round is one join + one groupBy,
+    fully distributed (the 100 TB shape; large-star/small-star is the same
+    idea with better worst-case bounds)."""
+    pairs = q_lsh_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "canon", F.col("doc_id"))
+    for _ in range(12):  # >= diameter of any plausible dup cluster
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("canon").alias("nbr_canon"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("canon"), F.coalesce(F.col("nbr_canon"), F.col("canon")))
+                    .alias("canon"))
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("canon", "old"), "doc_id")
+            .filter(F.col("canon") != F.col("old")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("canon").cast("long").alias("canon"))
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash as four 16-bit bands (sh0 = lowest 16 bits)."""
     return _simhash_bands(tokens(load(spark, sf_dir, "documents")))
