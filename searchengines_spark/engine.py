@@ -74,23 +74,30 @@ class Engine:
         )
 
     def search_batch_df(self, queries: dict[str, str], model: str = "bm25",
-                        k: int = 100, **model_kw) -> DataFrame:
-        """ALL queries compiled into ONE Catalyst plan: a single pruned
-        postings scan covering the union of every query's terms, per-query
-        score frames unioned under a qid tag, one window top-k — so an
-        N-query workload is one Spark action, not N (the reference's
-        57-query runs loop QryEval.java:1381-1416 sequentially; at cluster
-        scale the per-job overhead dominates that shape).
+                        k: int = 100, use_wand: bool = True,
+                        **model_kw) -> DataFrame:
+        """ALL queries compiled into ONE Catalyst plan — an N-query workload
+        is one Spark action, not N (the reference's 57-query runs loop
+        QryEval.java:1381-1416 sequentially; at cluster scale the per-job
+        overhead dominates that shape).
+
+        Flat BM25 bag-of-words queries route through the MULTI-QUERY
+        block-max WAND kernel: one pruned block scan + one stripe shuffle
+        for the whole flat set, per-term block lists built once, a shared
+        per-stripe decode cache across queries — score-identical to the
+        exhaustive fold. Everything else compiles through the planner over
+        a shared slim postings scan; both result frames union into one
+        window top-k.
 
         Returns (qid, url, score, rank). Queries that parse to nothing (all
-        stopwords) are absent. WAND pruning is not applied in batch mode —
-        the exhaustive fold is score-identical and shares the scan."""
+        stopwords) are absent."""
         from functools import reduce
 
         from pyspark.sql import Window
 
         from .query.planner import _collect_terms
         from .query.postings import decode_postings
+        from .query.wand import wand_topk_batch_local
 
         m = make_model(model, **model_kw)
         roots = {}
@@ -104,17 +111,35 @@ class Engine:
                 F.lit("").alias("qid"), "url",
                 F.lit(0.0).alias("score"), F.lit(0).alias("rank")).limit(0)
 
-        all_terms = sorted({t for r in roots.values() for t in _collect_terms(r)})
-        need_pos = any(Planner(self.reader, m)._needs_positions(r) for r in roots.values())
-        shared = decode_postings(
-            self.reader.blocks_for(all_terms), with_positions=need_pos).cache()
-        stats = self.reader.term_stats(all_terms)
+        wand_q: dict[str, tuple[list[str], str]] = {}
+        if use_wand and isinstance(m, BM25):
+            for qid in list(roots):
+                flat = _flat_bm25_terms(roots[qid])
+                if flat is not None:
+                    wand_q[qid] = (flat[0], flat[1])
+                    del roots[qid]
 
         frames = []
-        for qid, root in roots.items():
-            scores = Planner(self.reader, m).plan(
-                root, shared_postings=shared, shared_stats=stats)
-            frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
+        if roots:
+            all_terms = sorted({t for r in roots.values() for t in _collect_terms(r)})
+            need_pos = any(Planner(self.reader, m)._needs_positions(r)
+                           for r in roots.values())
+            shared = decode_postings(
+                self.reader.blocks_for(all_terms), with_positions=need_pos).cache()
+            stats = self.reader.term_stats(all_terms)
+            for qid, root in roots.items():
+                scores = Planner(self.reader, m).plan(
+                    root, shared_postings=shared, shared_stats=stats)
+                frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
+        if wand_q:
+            man = self.reader.manifest
+            stale = (bool(man.get("stale_block_bounds"))
+                     or "bm25_k1" not in man
+                     or (m.k1, m.b) != (man["bm25_k1"], man.get("bm25_b", 0.75)))
+            frames.append(
+                wand_topk_batch_local(self.reader, wand_q, k=k, k1=m.k1, b=m.b,
+                                      recompute_bounds=stale)
+                .select("qid", "docid", "score"))
         unioned = reduce(lambda a, b: a.unionByName(b), frames)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
         return (

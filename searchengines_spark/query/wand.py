@@ -47,12 +47,16 @@ class _TermCursor:
     Blocks decode only when entered; shallow moves never decode."""
 
     __slots__ = ("blocks", "bi", "docids", "tfs", "doclens", "pi",
-                 "idf", "k1", "b", "avg", "decodes", "global_ub")
+                 "idf", "k1", "b", "avg", "decodes", "global_ub", "cache")
 
-    def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float):
+    def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float,
+                 cache: dict | None = None):
         # blocks: [(max_docid, ub, payload)] min_docid-ordered, where payload
         # is ('z', docids_z, tfs_z, doclens_z) for compressed index blocks or
-        # ('raw', docids, tfs, doclens) for broadcast-clipped cold postings
+        # ('raw', docids, tfs, doclens) for broadcast-clipped cold postings.
+        # cache: multi-query batch serving shares one per-stripe decode cache
+        # (payload-identity keyed) so two queries touching the same hot term
+        # decode each block once.
         self.blocks = blocks
         self.bi = 0
         self.docids = None
@@ -63,6 +67,7 @@ class _TermCursor:
         self.avg = avg
         self.decodes = 0
         self.global_ub = max(b_[1] for b_ in blocks) if blocks else 0.0
+        self.cache = cache
 
     def exhausted(self) -> bool:
         return self.bi >= len(self.blocks)
@@ -71,9 +76,16 @@ class _TermCursor:
         if self.docids is None:
             payload = self.blocks[self.bi][2]
             if payload[0] == "z":
-                self.docids, self.tfs, self.doclens = codec.decode_block(
-                    payload[1], payload[2], payload[3])
-                self.decodes += 1
+                key = id(payload) if self.cache is not None else None
+                hit = self.cache.get(key) if key is not None else None
+                if hit is not None:
+                    self.docids, self.tfs, self.doclens = hit
+                else:
+                    self.docids, self.tfs, self.doclens = codec.decode_block(
+                        payload[1], payload[2], payload[3])
+                    self.decodes += 1
+                    if key is not None:
+                        self.cache[key] = (self.docids, self.tfs, self.doclens)
             else:
                 _, self.docids, self.tfs, self.doclens = payload
 
@@ -131,7 +143,8 @@ def _push(heap, k, score, docid):
 
 
 def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
-                 k1: float, b: float, avg: float, require_all: bool) -> tuple[list, int]:
+                 k1: float, b: float, avg: float, require_all: bool,
+                 cache: dict | None = None) -> tuple[list, int]:
     """Block-max WAND over one salt stripe.
     term_blocks: query-term-index -> block tuples. Returns (top-k, decodes)."""
     n_terms = len(idfs)
@@ -139,7 +152,7 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
     for i in range(n_terms):
         blks = term_blocks.get(i)
         if blks:
-            cursors.append((i, _TermCursor(blks, idfs[i], k1, b, avg)))
+            cursors.append((i, _TermCursor(blks, idfs[i], k1, b, avg, cache)))
     if require_all and len(cursors) < n_terms:
         return [], 0
     heap: list[tuple[float, int]] = []
@@ -243,6 +256,129 @@ WAND_SCHEMA = T.StructType([
     T.StructField("decodes", T.LongType(), False),
 ])
 
+WAND_BATCH_SCHEMA = T.StructType([
+    T.StructField("qid", T.StringType(), False),
+    T.StructField("docid", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("decodes", T.LongType(), False),
+])
+
+
+def wand_topk_batch_local(reader: IndexReader,
+                          queries: dict[str, tuple[list[str], str]],
+                          k: int = 100, k1: float = 1.2, b: float = 0.75,
+                          require_all: bool = False,
+                          recompute_bounds: bool = False) -> DataFrame:
+    """Multi-query block-max WAND in ONE stripe pass: every query's terms
+    share a single pruned block scan and one groupBy(salt) shuffle; inside a
+    stripe the per-(field, term) block lists are built once and a shared
+    decode cache means a hot term decodes once no matter how many queries
+    use it. Emits per-stripe local top-k rows (qid, docid, score, decodes);
+    the caller does the tiny global merge (k rows per stripe per query).
+
+    queries: qid -> (terms in query order, field)."""
+    all_pairs = sorted({(f, t) for ts, f in queries.values() for t in ts})
+    stats = reader.term_stats(all_pairs)
+    n_docs = reader.n_docs
+    salt_range = reader.salt_range
+    avgs = {f: reader.avg_doclen(f) for f in {f for ts, f in queries.values()}}
+    idf_of: dict[tuple[str, str], float] = {}
+    for f, t in all_pairs:
+        df_ = stats.get((f, t), (0, 0))[0]
+        idf_of[(f, t)] = (max(0.0, math.log((n_docs - df_ + 0.5) / (df_ + 0.5)))
+                          if df_ else 0.0)
+    spark = reader.spark
+
+    sel = ["field", "term", "salt", "min_docid", "max_docid", "max_score",
+           "max_tf", "min_doclen", "docids_z", "tfs_z", "doclens_z"]
+    blocks = reader.blocks_for(all_pairs).select("striped", *sel)
+
+    def _ub(row_maxscore, row_maxtf, row_mindl, idf, avg):
+        if recompute_bounds:
+            mtf = float(row_maxtf)
+            return idf * mtf / (mtf + k1 * ((1.0 - b) + b * float(row_mindl) / avg))
+        return float(row_maxscore)
+
+    cold_rows = blocks.filter(~F.col("striped")).collect()
+    cold: dict[tuple[str, str], list] = {}
+    for r in cold_rows:
+        key = (r["field"], r["term"])
+        cold.setdefault(key, []).append((
+            int(r["min_docid"]), int(r["max_docid"]),
+            _ub(r["max_score"], r["max_tf"], r["min_doclen"],
+                idf_of[key], avgs[key[0]]),
+            bytes(r["docids_z"]), bytes(r["tfs_z"]), bytes(r["doclens_z"]),
+        ))
+    b_cold = spark.sparkContext.broadcast(cold)
+    b_queries = spark.sparkContext.broadcast(
+        {qid: (list(ts), f) for qid, (ts, f) in queries.items()})
+
+    n_stripes = max(1, -(-n_docs // salt_range))
+    skeleton = spark.range(n_stripes).select(
+        F.lit("").alias("field"), F.lit("").alias("term"),
+        F.col("id").cast("int").alias("salt"),
+        F.lit(0).cast("long").alias("min_docid"), F.lit(-1).cast("long").alias("max_docid"),
+        F.lit(0.0).alias("max_score"), F.lit(0).cast("int").alias("max_tf"),
+        F.lit(0).cast("int").alias("min_doclen"),
+        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"), F.lit(b"").alias("doclens_z"),
+    )
+    hot = blocks.filter(F.col("striped")).select(*sel).unionByName(skeleton)
+
+    def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        salt = int(key[0])
+        lo, hi = salt * salt_range, (salt + 1) * salt_range
+        # per-(field, term) block lists, built ONCE for the whole batch
+        by_key: dict[tuple[str, str], list] = {}
+        for (field, term), g in pdf.groupby(["field", "term"]):
+            if term == "":
+                continue
+            g = g.sort_values("min_docid")
+            idf = idf_of[(field, term)]
+            avg = avgs[field]
+            if recompute_bounds:
+                mtf = g["max_tf"].astype(float)
+                mdl = g["min_doclen"].astype(float)
+                ubs = idf * mtf / (mtf + k1 * ((1.0 - b) + b * mdl / avg))
+            else:
+                ubs = g["max_score"].astype(float)
+            by_key[(field, term)] = [
+                (int(mn), (int(md), float(u), ("z", bytes(dz), bytes(tz), bytes(lz))))
+                for mn, md, u, dz, tz, lz in zip(
+                    g["min_docid"], g["max_docid"], ubs,
+                    g["docids_z"], g["tfs_z"], g["doclens_z"])
+            ]
+        for ckey, blks in b_cold.value.items():
+            for mn, mx, ub, dz, tz, lz in blks:
+                if mx < lo or mn >= hi:
+                    continue
+                d, t, dl = codec.decode_block(dz, tz, lz)
+                s_ = int(np.searchsorted(d, lo))
+                e_ = int(np.searchsorted(d, hi))
+                if s_ >= e_:
+                    continue
+                by_key.setdefault(ckey, []).append(
+                    (int(d[s_]),
+                     (int(d[e_ - 1]), ub, ("raw", d[s_:e_], t[s_:e_], dl[s_:e_]))))
+        # min_docid is the total order: block ranges are disjoint per term,
+        # also across incremental appends (blk numbers can repeat)
+        by_key = {kk: [blk for _, blk in sorted(v, key=lambda x: x[0])]
+                  for kk, v in by_key.items()}
+        cache: dict = {}
+        out_q, out_d, out_s, out_dec = [], [], [], []
+        for qid, (terms, field) in b_queries.value.items():
+            idfs = [idf_of.get((field, t), 0.0) for t in terms]
+            tb = {i: by_key[(field, t)] for i, t in enumerate(terms)
+                  if (field, t) in by_key}
+            top, dec = _wand_stripe(tb, idfs, k, k1, b, avgs[field],
+                                    require_all, cache)
+            for d, s in top:
+                out_q.append(qid); out_d.append(d); out_s.append(s)
+                out_dec.append(dec)
+        return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s,
+                             "decodes": out_dec})
+
+    return hot.groupBy("salt").applyInPandas(run_stripe, WAND_BATCH_SCHEMA)
+
 
 def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
               k: int = 100, k1: float = 1.2, b: float = 0.75,
@@ -256,100 +392,14 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     k1/b), pass recompute_bounds=True: bounds are re-derived per block from
     the stored (max_tf, min_doclen) under CURRENT stats — conservative
     (max_tf paired with min_doclen dominates any real posting) but always
-    sound."""
-    pairs = [(field, t) for t in terms]
-    stats = reader.term_stats(pairs)
-    n_docs, avg = reader.n_docs, reader.avg_doclen(field)
-    salt_range = reader.salt_range
-    idfs = []
-    for t in terms:
-        df_ = stats.get((field, t), (0, 0))[0]
-        idfs.append(max(0.0, math.log((n_docs - df_ + 0.5) / (df_ + 0.5))) if df_ else 0.0)
-    term_ix = {t: i for i, t in enumerate(terms)}
-    spark = reader.spark
+    sound.
 
-    sel = ["term", "salt", "min_docid", "max_docid", "max_score", "max_tf",
-           "min_doclen", "docids_z", "tfs_z", "doclens_z"]
-    blocks = reader.blocks_for(pairs).select("striped", *sel)
-
-    def _ub(row_maxscore, row_maxtf, row_mindl, idf):
-        if recompute_bounds:
-            mtf = float(row_maxtf)
-            return idf * mtf / (mtf + k1 * ((1.0 - b) + b * float(row_mindl) / avg))
-        return float(row_maxscore)
-
-    # cold (unstriped) terms: salt carries no docid-range meaning, so their
-    # blocks broadcast to every stripe and are CLIPPED to the stripe's docid
-    # range in the kernel. Bounded: unstriped means df < salt_min_df.
-    cold_rows = blocks.filter(~F.col("striped")).collect()
-    cold: dict[int, list] = {}
-    for r in cold_rows:
-        cold.setdefault(term_ix[r["term"]], []).append((
-            int(r["min_docid"]), int(r["max_docid"]),
-            _ub(r["max_score"], r["max_tf"], r["min_doclen"], idfs[term_ix[r["term"]]]),
-            bytes(r["docids_z"]), bytes(r["tfs_z"]), bytes(r["doclens_z"]),
-        ))
-    b_cold = spark.sparkContext.broadcast(cold)
-
-    # stripe skeleton: every docid-range stripe must exist even with no hot
-    # blocks in it (docs of cold-only queries live somewhere)
-    n_stripes = max(1, -(-n_docs // salt_range))
-    skeleton = spark.range(n_stripes).select(
-        F.lit("").alias("term"), F.col("id").cast("int").alias("salt"),
-        F.lit(0).cast("long").alias("min_docid"), F.lit(-1).cast("long").alias("max_docid"),
-        F.lit(0.0).alias("max_score"), F.lit(0).cast("int").alias("max_tf"),
-        F.lit(0).cast("int").alias("min_doclen"),
-        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"), F.lit(b"").alias("doclens_z"),
-    )
-    hot = blocks.filter(F.col("striped")).select(*sel).unionByName(skeleton)
-
-    def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        salt = int(key[0])
-        lo, hi = salt * salt_range, (salt + 1) * salt_range
-        tb: dict[int, list] = {}
-        for term, g in pdf.groupby("term"):
-            if term == "":
-                continue
-            # min_docid is the total order: block docid ranges are disjoint
-            # even across incremental appends (blk numbers can repeat)
-            g = g.sort_values("min_docid")
-            idf = idfs[term_ix[term]]
-            if recompute_bounds:
-                mtf = g["max_tf"].astype(float)
-                mdl = g["min_doclen"].astype(float)
-                ubs = idf * mtf / (mtf + k1 * ((1.0 - b) + b * mdl / avg))
-            else:
-                ubs = g["max_score"].astype(float)
-            tb[term_ix[term]] = [
-                (int(mn), (int(md), float(u), ("z", bytes(dz), bytes(tz), bytes(lz))))
-                for mn, md, u, dz, tz, lz in zip(
-                    g["min_docid"], g["max_docid"], ubs,
-                    g["docids_z"], g["tfs_z"], g["doclens_z"])
-            ]
-        # merge in cold postings, clipped to this stripe's docid range
-        for ti, blks in b_cold.value.items():
-            for mn, mx, ub, dz, tz, lz in blks:
-                if mx < lo or mn >= hi:
-                    continue
-                d, t, dl = codec.decode_block(dz, tz, lz)
-                s_ = int(np.searchsorted(d, lo))
-                e_ = int(np.searchsorted(d, hi))
-                if s_ >= e_:
-                    continue
-                tb.setdefault(ti, []).append(
-                    (int(d[s_]), (int(d[e_ - 1]), ub, ("raw", d[s_:e_], t[s_:e_], dl[s_:e_])))
-                )
-        # min_docid is the total order: block ranges are disjoint per term
-        # (also across incremental appends, where blk numbers can repeat)
-        tb2 = {ti: [blk for _, blk in sorted(blks, key=lambda x: x[0])]
-               for ti, blks in tb.items()}
-        top, dec = _wand_stripe(tb2, idfs, k, k1, b, avg, require_all)
-        return pd.DataFrame([(d, s, dec) for d, s in top],
-                            columns=["docid", "score", "decodes"])
-
-    local = hot.groupBy("salt").applyInPandas(run_stripe, WAND_SCHEMA)
+    Delegates to the multi-query kernel with a batch of one."""
+    local = wand_topk_batch_local(
+        reader, {"q": (list(terms), field)}, k=k, k1=k1, b=b,
+        require_all=require_all, recompute_bounds=recompute_bounds)
     if debug:
-        return local
+        return local.select("docid", "score", "decodes")
     urls = reader.docid_url_map()
     return (
         local.join(urls, "docid")
