@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
+        "events_window": A.q_events_window,
+        "events_sessions": A.q_events_sessions,
+        "events_props": A.q_events_props,
         "lang_id": A.q_lang_id,
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
@@ -330,6 +333,36 @@ dots AS (
   GROUP BY e.vec_id
 )
 SELECT vec_id, ROUND(dot/(ne*nq), 6) AS cos FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "events_window": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - COALESCE(epoch(LAG(ts) OVER w), -1e9) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id""",
+        "events_props": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type""",
         "lang_id": f"""
 WITH {_TOK}
 SELECT doc_id,

@@ -520,6 +520,53 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------- events
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window counts + value sum by type — the
+    batch twin of the streaming watermark+window aggregation
+    (streaming.stream_event_window_stats)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), ROUND_DP).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) per
+    user: lag -> new-session flag -> running sum = session id -> per-user
+    rollup. The per-user window sort is the standard distributed shape
+    (partitionBy user); the streaming twin is the applyInPandasWithState
+    operator in streaming.py."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    flagged = ev.withColumn(
+        "new_s",
+        (sec - F.coalesce(F.lag(sec).over(w), F.lit(-1e9)) > 1800.0).cast("int"))
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(w))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_events_props(spark, sf_dir):
+    """Semi-structured extraction: JSON prop k summed by event type."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 # ------------------------------------------------------------ text quality
 def q_lang_id(spark, sf_dir):
     """Stopword-ratio language heuristic."""

@@ -45,3 +45,101 @@ def stream_index(spark: SparkSession, watch_dir: str, index_dir: str,
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Event-stream operators: watermarked windowed aggregation + a custom
+# stateful operator (gap sessionization) via applyInPandasWithState.
+# --------------------------------------------------------------------------
+
+EVENTS_DDL = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def stream_event_window_stats(spark: SparkSession, src_dir: str, out_dir: str,
+                              checkpoint_dir: str, available_now: bool = True,
+                              window: str = "1 hour", lateness: str = "1 hour"):
+    """Watermarked tumbling-window aggregation over an event stream:
+    counts + value sums per (event-time window, event_type), append mode —
+    a window is emitted exactly once, after the watermark passes its end,
+    with late events inside the lateness bound folded in. The batch twin is
+    analytic.q_events_window; the streaming state store holds only open
+    windows (bounded by lateness), which is what survives at firehose
+    scale. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(src_dir)
+    # watermarks require TimestampType; session tz is UTC so the NTZ cast is
+    # wall-clock-identical
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    writer = (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="30 seconds")
+    return writer.start()
+
+
+SESSION_OUT_DDL = ("user_id long, start_sec double, end_sec double, "
+                   "n_events long")
+SESSION_STATE_DDL = "start_sec double, last_sec double, n_events long"
+
+
+def stream_sessionize(spark: SparkSession, src_dir: str, out_dir: str,
+                      checkpoint_dir: str, gap_sec: float = 1800.0,
+                      available_now: bool = True):
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization per user. Per-key state = the OPEN session (start, last
+    event, count); an event later than ``gap_sec`` after the last closes the
+    session and emits it. Open sessions stay in the state store across
+    micro-batches (the streaming analog of analytic.q_events_sessions —
+    closed sessions match it exactly; each user's final open session emits
+    only when a later batch closes it). Returns the StreamingQuery."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(src_dir)
+
+    def sessionize(key, pdf_iter, state):
+        (user_id,) = key
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=["user_id", "start_sec", "end_sec", "n_events"])
+            return
+        ts = pd.concat(chunks)["ts"].sort_values()
+        # normalize to ns regardless of the arriving datetime64 unit
+        ev_sec = ts.astype("datetime64[ns]").astype("int64") / 1e9
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for s in ev_sec:
+            s = float(s)
+            if start is None:
+                start, last, n = s, s, 1
+            elif s - last > gap_sec:
+                out.append((user_id, start, last, n))
+                start, last, n = s, s, 1
+            else:
+                last, n = s, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(out, columns=["user_id", "start_sec", "end_sec", "n_events"])
+
+    sess = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize, SESSION_OUT_DDL, SESSION_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+    writer = (
+        sess.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="30 seconds")
+    return writer.start()
