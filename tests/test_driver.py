@@ -236,3 +236,26 @@ def test_prf_and_diversity_end_to_end_depth_100(spark, tiny_index, tmp_path):
     lines = run_batch(tiny_index, div_params, {"1": "cebaba1 dibaba2"})
     assert len(lines) == 100 and all(TREC_RE.match(ln) for ln in lines)
     assert len({ln.split()[2] for ln in lines}) == 100  # distinct docs
+
+
+def test_search_batch_mixed_fields_and_models(spark, tiny_index):
+    """Batch WAND routing must handle per-query fields (title vs body) and
+    coexist with structured queries in one batch, result-identical to the
+    sequential path."""
+    import math
+
+    from searchengines_spark.engine import Engine
+
+    eng = Engine(tiny_index)
+    queries = {
+        "t1": "haceba4.title badiba5.title",   # flat BM25, title field
+        "b1": "haceba4 badiba5",               # flat BM25, body
+        "s1": "#AND( haceba4 badiba5 )",       # structured -> planner
+    }
+    batch = eng.search_batch(queries, "bm25", 15)
+    for qid, q in queries.items():
+        want = [(r["url"], r["score"]) for r in eng.search(q, "bm25", 15).collect()]
+        got = batch[qid]
+        assert [u for u, _ in got] == [u for u, _ in want], qid
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), qid
