@@ -42,7 +42,8 @@ SERVE_QUERIES = {
 
 ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
-            "simhash_dup_pairs", "cosine_topk", "near_pairs", "quality"]
+            "simhash_dup_pairs", "cosine_topk", "near_pairs", "quality",
+            "events_window", "events_sessions"]
 
 
 def main():

@@ -419,23 +419,26 @@ def q_dup_clusters(spark, sf_dir):
         .cache()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "canon", F.col("doc_id"))
+        "canon", F.col("doc_id")).cache()
     for _ in range(12):  # >= diameter of any plausible dup cluster
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("canon").alias("nbr_canon"))
         )
+        # cache each round: iterative algorithms otherwise recompute the
+        # whole lineage chain every iteration (O(rounds^2) work)
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("canon"), F.coalesce(F.col("nbr_canon"), F.col("canon")))
                     .alias("canon"))
-        )
+        ).cache()
         changed = (
             new_labels.join(labels.withColumnRenamed("canon", "old"), "doc_id")
             .filter(F.col("canon") != F.col("old")).limit(1).count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -41,6 +41,17 @@ class Engine:
     def __init__(self, reader: IndexReader):
         self.reader = reader
 
+    def _wand_stale(self, m) -> bool:
+        """Block max_score bounds are trustworthy only if the manifest
+        records the exact (k1, b) they were encoded with and no append has
+        happened since; anything else -> conservative bound recompute. A
+        manifest without recorded encode params is treated as stale rather
+        than assuming defaults."""
+        man = self.reader.manifest
+        return (bool(man.get("stale_block_bounds"))
+                or "bm25_k1" not in man
+                or (m.k1, m.b) != (man["bm25_k1"], man.get("bm25_b", 0.75)))
+
     def search(self, query: str, model: str = "bm25", k: int = 100,
                use_wand: bool = True, **model_kw) -> DataFrame:
         """Returns (url, score) top-k, reference sort rule. Flat BM25
@@ -55,15 +66,9 @@ class Engine:
             flat = _flat_bm25_terms(root)
             if flat is not None:
                 terms, field = flat
-                man = self.reader.manifest
-                # a manifest without recorded encode params means we cannot
-                # trust the block max_score bounds were built with (k1, b) —
-                # treat as stale rather than assuming defaults
-                stale = (bool(man.get("stale_block_bounds"))
-                         or "bm25_k1" not in man
-                         or (m.k1, m.b) != (man["bm25_k1"], man.get("bm25_b", 0.75)))
                 return wand_topk(self.reader, terms, field=field, k=k,
-                                 k1=m.k1, b=m.b, recompute_bounds=stale)
+                                 k1=m.k1, b=m.b,
+                                 recompute_bounds=self._wand_stale(m))
         scores = Planner(self.reader, m).plan(root)
         urls = self.reader.docid_url_map()
         return (
@@ -132,13 +137,9 @@ class Engine:
                     root, shared_postings=shared, shared_stats=stats)
                 frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
         if wand_q:
-            man = self.reader.manifest
-            stale = (bool(man.get("stale_block_bounds"))
-                     or "bm25_k1" not in man
-                     or (m.k1, m.b) != (man["bm25_k1"], man.get("bm25_b", 0.75)))
             frames.append(
                 wand_topk_batch_local(self.reader, wand_q, k=k, k1=m.k1, b=m.b,
-                                      recompute_bounds=stale)
+                                      recompute_bounds=self._wand_stale(m))
                 .select("qid", "docid", "score"))
         unioned = reduce(lambda a, b: a.unionByName(b), frames)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))

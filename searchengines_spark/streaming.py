@@ -101,7 +101,10 @@ def stream_sessionize(spark: SparkSession, src_dir: str, out_dir: str,
     session and emits it. Open sessions stay in the state store across
     micro-batches (the streaming analog of analytic.q_events_sessions —
     closed sessions match it exactly; each user's final open session emits
-    only when a later batch closes it). Returns the StreamingQuery."""
+    only when a later batch closes it). Events are sorted WITHIN a
+    micro-batch; cross-batch order relies on the source delivering files in
+    event-time order (true for crawl-style drops). Returns the
+    StreamingQuery."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
