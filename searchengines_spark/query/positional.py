@@ -73,16 +73,137 @@ def batch_positions(arg_cols: list[np.ndarray], n: int, ordered: bool) -> np.nda
             cand &= _pair_any(A, offsA, B, offsB, 1, n)
         else:
             cand &= _pair_any(A, offsA, B, offsB, -(n - 1), n - 1)
-    fn = near_positions if ordered else window_positions
     out = np.empty(m, dtype=object)
     empty: list[int] = []
-    for r in range(m):
-        if cand[r]:
+    out[:] = [empty] * m
+    if safe:
+        # vectorized pointer walk over ALL surviving docs at once: per
+        # round, every active doc advances its pointers with numpy gathers
+        # / searchsorted — rounds are bounded by the max occurrence count
+        # of a doc, so the Python-interpreter cost is O(rounds), not
+        # O(survivor docs)
+        surv = np.flatnonzero(cand)
+        if surv.size:
+            walk = _near_walk_batch if ordered else _window_walk_batch
+            rows, vals = walk(flats, surv, n)
+            if rows.size:
+                order = np.argsort(rows, kind="stable")
+                rows, vals = rows[order], vals[order]
+                bounds = np.flatnonzero(np.diff(rows)) + 1
+                starts = np.append(0, bounds)
+                stops = np.append(bounds, rows.size)
+                uniq = rows[starts]
+                for u, s, e in zip(uniq.tolist(), starts.tolist(), stops.tolist()):
+                    out[u] = vals[s:e].tolist()
+    else:
+        # >16M-token field: row-shift packing unsound -> exact scalar walk
+        fn = near_positions if ordered else window_positions
+        for r in range(m):
             res = fn([c[r] for c in arg_cols], n)
             out[r] = [int(x) for x in res]
-        else:
-            out[r] = empty
     return out
+
+
+def _near_walk_batch(flats: list[tuple[np.ndarray, np.ndarray]],
+                     surv: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized consuming ordered-proximity walk (same semantics as
+    ``near_positions``) over the surviving doc rows. Returns (doc-row,
+    emitted position) pairs in per-doc emission order.
+
+    Per doc the scalar walk probes arg i with a non-decreasing ``prev``, so
+    "advance ptr i while pls[i][ptr] <= prev" equals a searchsorted from the
+    row start clamped below by the consuming pointer — which is what lets
+    every active doc advance in one numpy pass per round. Each round either
+    emits a match (all pointers consume) or advances ptr0, so rounds are
+    bounded by the doc's arg0 occurrence count."""
+    k = len(flats)
+    shifted = []
+    for A, offs in flats:
+        lens = np.diff(offs)
+        rowid = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), lens)
+        shifted.append(A + rowid * _BIG)
+    act = surv.astype(np.int64)
+    ptrs = [f[1][act].copy() for f in flats]  # absolute index into flat_i
+    ends = [f[1][act + 1] for f in flats]
+    out_rows: list[np.ndarray] = []
+    out_vals: list[np.ndarray] = []
+    while act.size:
+        alive = ptrs[0] < ends[0]
+        if not alive.all():
+            act = act[alive]
+            ptrs = [p[alive] for p in ptrs]
+            ends = [e[alive] for e in ends]
+            if not act.size:
+                break
+        prev = flats[0][0][ptrs[0]]
+        tmp = [ptrs[0]]
+        ok = np.ones(act.size, dtype=bool)
+        dead = np.zeros(act.size, dtype=bool)
+        for i in range(1, k):
+            idx = np.searchsorted(shifted[i], prev + act * _BIG, side="right")
+            np.maximum(idx, ptrs[i], out=idx)
+            exh = ok & (idx >= ends[i])
+            dead |= exh
+            ok &= ~exh
+            safe_idx = np.minimum(idx, len(flats[i][0]) - 1) if len(flats[i][0]) else idx
+            cur = flats[i][0][safe_idx] if len(flats[i][0]) else prev
+            far = ok & (cur - prev > n)
+            ok &= ~far
+            prev = np.where(ok, cur, prev)
+            tmp.append(idx)
+        if ok.any():
+            out_rows.append(act[ok])
+            out_vals.append(prev[ok])
+            for i in range(k):
+                ptrs[i][ok] = tmp[i][ok] + 1
+        fail = ~ok & ~dead
+        ptrs[0][fail] += 1
+        if dead.any():
+            keep = ~dead
+            act = act[keep]
+            ptrs = [p[keep] for p in ptrs]
+            ends = [e[keep] for e in ends]
+    if not out_rows:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_rows), np.concatenate(out_vals)
+
+
+def _window_walk_batch(flats: list[tuple[np.ndarray, np.ndarray]],
+                       surv: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized consuming unordered-window walk (same semantics as
+    ``window_positions``): per round gather every arg's current position,
+    match when max-min < n (emit max, consume all), else advance the min
+    pointer. Rounds bounded by the doc's total occurrence count."""
+    k = len(flats)
+    act = surv.astype(np.int64)
+    ptrs = [f[1][act].copy() for f in flats]
+    ends = [f[1][act + 1] for f in flats]
+    out_rows: list[np.ndarray] = []
+    out_vals: list[np.ndarray] = []
+    while act.size:
+        alive = np.ones(act.size, dtype=bool)
+        for i in range(k):
+            alive &= ptrs[i] < ends[i]
+        if not alive.all():
+            act = act[alive]
+            ptrs = [p[alive] for p in ptrs]
+            ends = [e[alive] for e in ends]
+            if not act.size:
+                break
+        cur = np.stack([flats[i][0][ptrs[i]] for i in range(k)])
+        lo = cur.min(axis=0)
+        hi = cur.max(axis=0)
+        ok = hi - lo < n
+        if ok.any():
+            out_rows.append(act[ok])
+            out_vals.append(hi[ok])
+        amin = cur.argmin(axis=0)
+        for i in range(k):
+            adv = ok | (~ok & (amin == i))
+            ptrs[i][adv] += 1
+    if not out_rows:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_rows), np.concatenate(out_vals)
 
 
 def near_positions(pls: list[list[int]], n: int) -> list[int]:
