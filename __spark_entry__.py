@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
+        "embed_dup_pairs": A.q_embed_dup_pairs,
         "events_window": A.q_events_window,
         "events_sessions": A.q_events_sessions,
         "events_props": A.q_events_props,
@@ -333,6 +334,31 @@ dots AS (
   GROUP BY e.vec_id
 )
 SELECT vec_id, ROUND(dot/(ne*nq), 6) AS cos FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "embed_dup_pairs": f"""
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding,1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+planes AS (SELECT CAST(unnest(range({A.SLSH_PLANES})) AS INT) AS p),
+bits AS (
+  SELECT e.vec_id, p.p,
+         CASE WHEN SUM((({_H32.format(col="'plane_' || p.p || '_' || e.i")} % 2001) - 1000)/1000.0 * e.x) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM ex e CROSS JOIN planes p GROUP BY e.vec_id, p.p),
+bands AS (
+  SELECT vec_id, CAST(p // {A.SLSH_BAND_BITS} AS INT) AS band,
+         SUM(bit * (1 << CAST(p % {A.SLSH_BAND_BITS} AS INT))) AS bv
+  FROM bits GROUP BY vec_id, CAST(p // {A.SLSH_BAND_BITS} AS INT)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.a_id, c.b_id,
+         SUM(ea.x*eb.x)/(SQRT(SUM(ea.x*ea.x))*SQRT(SUM(eb.x*eb.x))) AS c
+  FROM cand c JOIN ex ea ON ea.vec_id = c.a_id
+              JOIN ex eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+  GROUP BY c.a_id, c.b_id)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       ROUND(c, 6) AS cos
+FROM dots WHERE c >= {A.EMB_COS_T}""",
         "events_window": """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value

@@ -42,7 +42,8 @@ SERVE_QUERIES = {
 
 ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
-            "simhash_dup_pairs", "cosine_topk", "near_pairs", "quality",
+            "simhash_dup_pairs", "cosine_topk", "embed_dup_pairs",
+            "near_pairs", "quality",
             "events_window", "events_sessions"]
 
 
@@ -53,7 +54,10 @@ def main():
     queries: dict[str, float] = {}
     extra: dict = {"n_pages": N_PAGES, "cpus": CPUS}
     t_all = time.time()
-    idx_dir = tempfile.mkdtemp(prefix="benchidx_")
+    # scratch index on tmpfs when available: the bench measures engine
+    # throughput, not this VM's virtio writeback; sf0.1 scratch is ~200MB
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    idx_dir = tempfile.mkdtemp(prefix="benchidx_", dir=scratch_root)
     try:
         if "build" in PHASES or "serve" in PHASES:
             from searchengines_spark.corpus import generate_pages

@@ -42,6 +42,14 @@ STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 # DuckDB oracle regenerates the identical scheme.
 LSH_BANDS, LSH_ROWS = 16, 4
 
+# Sign-LSH (random-hyperplane) scheme for embedding-cosine near-dup: 64
+# deterministic hyperplanes (coefficients hashed from (plane, dim), so the
+# DuckDB oracle regenerates the identical planes) cut into 8 bands of 8
+# sign bits. A pair collides when any band matches exactly; the exact
+# cosine is then computed ONLY for colliding pairs.
+SLSH_PLANES, SLSH_BAND_BITS = 64, 8
+EMB_COS_T = 0.35
+
 
 def _gen_ab(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
     x, out = seed, []
@@ -520,6 +528,57 @@ def q_ann_ivf_topk(spark, sf_dir):
         .select("vec_id", F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), ROUND_DP).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup via random-hyperplane (sign) LSH: 64
+    deterministic hyperplanes -> 8 bands x 8 sign bits per vector, band-
+    bucket equi-join for candidates, exact cosine computed ONLY for
+    colliding pairs (>= EMB_COS_T kept). The 100 TB shape: the plane table
+    is 64x64 rows (broadcast), signatures are one shuffle by vec_id, and
+    the verify join is candidate-sized — no all-pairs stage anywhere.
+    Hyperplane coefficients are hashed from (plane, dim), so the DuckDB
+    oracle regenerates the identical scheme bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x")
+    )
+    planes = spark.range(SLSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    coef = (
+        (md5hash32(F.concat(F.lit("plane_"), F.col("p").cast("string"),
+                            F.lit("_"), F.col("i").cast("string"))) % F.lit(2001))
+        - F.lit(1000)
+    ) / F.lit(1000.0)
+    bits = (
+        ex.join(F.broadcast(planes))
+        .groupBy("vec_id", "p")
+        .agg(F.when(F.sum(coef * F.col("x")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
+    )
+    bands = bits.groupBy(
+        "vec_id", F.expr(f"p div {SLSH_BAND_BITS}").cast("int").alias("band")
+    ).agg(F.sum(F.col("bit") * F.expr(f"shiftleft(1, p % {SLSH_BAND_BITS})")).alias("bv"))
+    cand = (
+        bands.select(F.col("vec_id").alias("a_id"), "band", "bv")
+        .join(bands.select(F.col("vec_id").alias("b_id"), "band", "bv"), ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    dots = (
+        cand.join(ex.select(F.col("vec_id").alias("a_id"), "i", F.col("x").alias("xa")), "a_id")
+        .join(ex.select(F.col("vec_id").alias("b_id"), "i", F.col("x").alias("xb")), ["b_id", "i"])
+        .groupBy("a_id", "b_id")
+        .agg((F.sum(F.col("xa") * F.col("xb"))
+              / (F.sqrt(F.sum(F.col("xa") * F.col("xa")))
+                 * F.sqrt(F.sum(F.col("xb") * F.col("xb"))))).alias("c"))
+    )
+    return dots.filter(F.col("c") >= EMB_COS_T).select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.round("c", ROUND_DP).alias("cos"),
     )
 
 
