@@ -172,21 +172,31 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         ("doclens_z", pa.binary()), ("positions_z", pa.binary()),
     ]
 
-    def encode_run(run, cols) -> None:
-        # run = (field, term, salt, df_val, docids, tfs, doclens, pbytes, pboffs)
-        # where pbytes is the run's concatenated PRE-ENCODED per-posting
-        # position payloads (tokenize kernel output) and pboffs the
-        # run-relative byte offset of each posting (len(docids)+1). The block
-        # position payload is a pure byte slice — the tokenize pass already
-        # paid the varint encode, and the payload is byte-identical to
-        # re-encoding here (delta restarts at every doc).
-        field, term, salt, df_val, docids, tfs, doclens, pbytes, pboffs = run
-        striped = bool(df_val >= salt_min_df)
-        avg = b_avg.value.get(field, 1.0)
+    def encode_chunk(fields, terms, salts, dfs, run_starts,
+                     docids, tfs, doclens, zdata, zoffs):
+        # One vectorized pass over a CHUNK of complete runs (runs are
+        # contiguous row ranges): fields/terms/salts/dfs are per-RUN arrays,
+        # run_starts the chunk-relative row index where each run begins;
+        # docids/tfs/doclens per-row; zdata a byte buffer of pre-encoded
+        # position payloads with zoffs[i] the start byte of row i (len
+        # rows+1). The tokenize pass already paid the position varint
+        # encode, so block payloads are pure byte slices. No per-run or
+        # per-posting Python — per-run loops anti-scaled on web corpora
+        # where the vocabulary is huge and the median run is a handful of
+        # postings. Returns None for an empty chunk, else one RecordBatch.
         n = len(docids)
+        if n == 0:
+            return None
+        n_runs = len(run_starts)
+        run_starts = np.asarray(run_starts, dtype=np.int64)
+        run_ends = np.append(run_starts[1:], n)
+        run_lens = run_ends - run_starts
+        run_id = np.repeat(np.arange(n_runs, dtype=np.int64), run_lens)
+        row_off = np.arange(n, dtype=np.int64) - run_starts[run_id]
+        bstarts = np.flatnonzero(row_off % codec.BLOCK_SIZE == 0)
+        brun = run_id[bstarts]
+        bends = np.minimum(bstarts + codec.BLOCK_SIZE, run_ends[brun])
         docids_u = docids.astype(np.uint64)
-        bstarts = np.arange(0, n, codec.BLOCK_SIZE, dtype=np.int64)
-        bends = np.minimum(bstarts + codec.BLOCK_SIZE, n)
         dd = docids_u.copy()
         if n > 1:
             dd[1:] -= docids_u[:-1]
@@ -194,25 +204,48 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         d_sl = codec.encode_varint_sliced(dd, bstarts)
         t_sl = codec.encode_varint_sliced(tfs.astype(np.uint64), bstarts)
         l_sl = codec.encode_varint_sliced(doclens.astype(np.uint64), bstarts)
-        bcuts = pboffs[np.append(bstarts, n)]
-        p_sl = [pbytes[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
+        bcuts = zoffs[np.append(bstarts, n)]
+        p_sl = [zdata[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
         # block metadata, all reduceat: BM25 upper bound (same float shape as
         # codec.bm25_upper_bound: max of tf-weights, then x idf), max tf, min dl
+        dfs_f = dfs.astype(np.float64)
+        idf_r = np.maximum(0.0, np.log((b_n_docs - dfs_f + 0.5) / (dfs_f + 0.5)))
+        avg_map = b_avg.value
+        avg_r = np.array([avg_map.get(f, 1.0) for f in fields.tolist()],
+                         dtype=np.float64)
         tfd = tfs.astype(np.float64)
         dld = doclens.astype(np.float64)
-        idf = max(0.0, np.log((b_n_docs - df_val + 0.5) / (df_val + 0.5)))
-        tfw = tfd / (tfd + k1 * ((1.0 - b) + b * (dld / avg)))
-        bmax = np.maximum.reduceat(tfw, bstarts) * idf
+        tfw = tfd / (tfd + k1 * ((1.0 - b) + b * (dld / avg_r[run_id])))
+        bmax = np.maximum.reduceat(tfw, bstarts) * idf_r[brun]
         max_tf = np.maximum.reduceat(tfs, bstarts)
         min_dl = np.minimum.reduceat(doclens, bstarts)
-        for i in range(len(bstarts)):
-            s, e = int(bstarts[i]), int(bends[i])
-            row = (field, term, int(salt), i, e - s,
-                   int(docids[s]), int(docids[e - 1]), float(bmax[i]),
-                   int(max_tf[i]), int(min_dl[i]), striped,
-                   d_sl[i], t_sl[i], l_sl[i], p_sl[i])
-            for c, v in zip(cols, row):
-                c.append(v)
+        arrays = [
+            pa.array(fields[brun], type=pa.string()),
+            pa.array(terms[brun], type=pa.string()),
+            pa.array(salts[brun].astype(np.int32), type=pa.int32()),
+            pa.array((row_off[bstarts] // codec.BLOCK_SIZE).astype(np.int32),
+                     type=pa.int32()),
+            pa.array((bends - bstarts).astype(np.int32), type=pa.int32()),
+            pa.array(docids[bstarts].astype(np.int64), type=pa.int64()),
+            pa.array(docids[bends - 1].astype(np.int64), type=pa.int64()),
+            pa.array(bmax, type=pa.float64()),
+            pa.array(max_tf.astype(np.int32), type=pa.int32()),
+            pa.array(min_dl.astype(np.int32), type=pa.int32()),
+            pa.array(dfs[brun] >= salt_min_df, type=pa.bool_()),
+            pa.array(d_sl, type=pa.binary()),
+            pa.array(t_sl, type=pa.binary()),
+            pa.array(l_sl, type=pa.binary()),
+            pa.array(p_sl, type=pa.binary()),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, names=[nm for nm, _ in out_types])
+
+    def encode_run_chunk(run):
+        # a single carried run, encoded through the same vectorized path
+        field, term, salt, df_val, docids, tfs, doclens, pbytes, pboffs = run
+        return encode_chunk(
+            np.array([field], dtype=object), np.array([term], dtype=object),
+            np.array([salt], dtype=np.int64), np.array([df_val], dtype=np.int64),
+            np.zeros(1, dtype=np.int64), docids, tfs, doclens, pbytes, pboffs)
 
     def encode_stream(batches):
         carry = None
@@ -251,7 +284,6 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                         int(dfc[s]), docid[s:e], tf[s:e], doclen[s:e],
                         zdata[zoffs[s]:zoffs[e]], zoffs[s:e + 1] - zoffs[s])
 
-            cols = [[] for _ in out_types]
             first = make_run(starts[0], ends[0])
             if carry is not None:
                 if carry[:3] == first[:3]:
@@ -265,25 +297,39 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                         merged_offs,
                     )
                 else:
-                    encode_run(carry, cols)
+                    rb_out = encode_run_chunk(carry)
+                    if rb_out is not None:
+                        yield rb_out
                 carry = None
-            runs = [first] + [make_run(s, e) for s, e in zip(starts[1:], ends[1:])]
-            # hold back the (possibly incomplete) final run for the next batch
-            carry = runs.pop()
-            for run in runs:
-                encode_run(run, cols)
-            if cols[0]:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(c, type=ty) for c, (_, ty) in zip(cols, out_types)],
-                    names=[nm for nm, _ in out_types],
-                )
+            if len(starts) == 1:
+                # the whole batch is one (possibly incomplete) run
+                carry = first
+                continue
+            # the (merged) first run is not contiguous with the batch
+            # arrays — encode it as its own 1-run chunk; the middle runs
+            # [ends[0], starts[-1]) encode as one vectorized chunk; the
+            # final run is held back for the next batch
+            rb_out = encode_run_chunk(first)
+            if rb_out is not None:
+                yield rb_out
+            mid_s, mid_e = int(ends[0]), int(starts[-1])
+            if mid_e > mid_s:
+                rs = starts[1:-1]
+                fvoc = np.array(f_vocab, dtype=object)
+                tvoc = np.array(t_vocab, dtype=object)
+                rb_out = encode_chunk(
+                    fvoc[f_idx[rs]], tvoc[t_idx[rs]],
+                    salt[rs].astype(np.int64), dfc[rs].astype(np.int64),
+                    rs - mid_s,
+                    docid[mid_s:mid_e], tf[mid_s:mid_e], doclen[mid_s:mid_e],
+                    zdata, zoffs[mid_s:mid_e + 1])
+                if rb_out is not None:
+                    yield rb_out
+            carry = make_run(starts[-1], ends[-1])
         if carry is not None:
-            cols = [[] for _ in out_types]
-            encode_run(carry, cols)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=ty) for c, (_, ty) in zip(cols, out_types)],
-                names=[nm for nm, _ in out_types],
-            )
+            rb_out = encode_run_chunk(carry)
+            if rb_out is not None:
+                yield rb_out
 
     return part.mapInArrow(encode_stream, BLOCKS_SCHEMA).withColumn(
         "bucket", term_bucket_col(F.col("term"))
