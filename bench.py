@@ -54,10 +54,12 @@ def main():
     queries: dict[str, float] = {}
     extra: dict = {"n_pages": N_PAGES, "cpus": CPUS}
     t_all = time.time()
-    # scratch index on tmpfs when available: the bench measures engine
-    # throughput, not this VM's virtio writeback; sf0.1 scratch is ~200MB
-    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    idx_dir = tempfile.mkdtemp(prefix="benchidx_", dir=scratch_root)
+    # scratch placement is measurable on this sandbox: A/B at 32-wide shows
+    # tmpfs scratch 2.6x-slows the tokenize stage (tmpfs I/O competes with
+    # the allocation-heavy kernels for DRAM bandwidth), while virtio disk
+    # offloads writeback to the host. Default disk; BENCH_SCRATCH overrides.
+    scratch_root = os.environ.get("BENCH_SCRATCH", "")
+    idx_dir = tempfile.mkdtemp(prefix="benchidx_", dir=scratch_root or None)
     try:
         if "build" in PHASES or "serve" in PHASES:
             from searchengines_spark.corpus import generate_pages

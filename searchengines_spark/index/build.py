@@ -157,7 +157,7 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
     # Final file layout (bucket-contiguous, few files) is the merge stage's
     # job, which range-partitions the ~100x smaller COMPRESSED blocks.
     part = (
-        with_df.repartition(max(spark.sparkContext.defaultParallelism * 2, 16),
+        with_df.repartition(max(spark.sparkContext.defaultParallelism * 4, 16),
                             "field", "term", "salt")
         .sortWithinPartitions("field", "term", "salt", "docid")
     )
