@@ -130,7 +130,8 @@ class Engine:
             need_pos = any(Planner(self.reader, m)._needs_positions(r)
                            for r in roots.values())
             shared = decode_postings(
-                self.reader.blocks_for(all_terms), with_positions=need_pos).cache()
+                self.reader.blocks_for(all_terms), with_positions=need_pos,
+                payload_codec=self.reader.payload_codec).cache()
             stats = self.reader.term_stats(all_terms)
             for qid, root in roots.items():
                 scores = Planner(self.reader, m).plan(

@@ -119,7 +119,8 @@ SALT_MIN_DF = 8 * codec.BLOCK_SIZE  # only terms with df >= this get striped
 def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                   avg_len: dict[str, float], n_docs: int, salt_range: int,
                   k1: float = 1.2, b: float = 0.75,
-                  salt_min_df: int = SALT_MIN_DF) -> DataFrame:
+                  salt_min_df: int = SALT_MIN_DF,
+                  payload_codec: str = "varint") -> DataFrame:
     """Salted block-encode kernel, shared by the batch build and incremental
     append.
 
@@ -201,9 +202,11 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         if n > 1:
             dd[1:] -= docids_u[:-1]
         dd[bstarts] = docids_u[bstarts]  # delta restarts at block start
-        d_sl = codec.encode_varint_sliced(dd, bstarts)
-        t_sl = codec.encode_varint_sliced(tfs.astype(np.uint64), bstarts)
-        l_sl = codec.encode_varint_sliced(doclens.astype(np.uint64), bstarts)
+        enc_sliced = (codec.encode_varint_sliced if payload_codec == "varint"
+                      else codec.encode_pfor_sliced)
+        d_sl = enc_sliced(dd, bstarts)
+        t_sl = enc_sliced(tfs.astype(np.uint64), bstarts)
+        l_sl = enc_sliced(doclens.astype(np.uint64), bstarts)
         bcuts = zoffs[np.append(bstarts, n)]
         p_sl = [zdata[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
         # block metadata, all reduceat: BM25 upper bound (same float shape as
@@ -346,8 +349,14 @@ def build_index(
     bm25_k1: float = 1.2,
     bm25_b: float = 0.75,
     salt_min_df: int = SALT_MIN_DF,
+    payload_codec: str = "varint",
 ) -> dict:
-    """Build (or resume) the full index. Returns build metrics."""
+    """Build (or resume) the full index. Returns build metrics.
+    payload_codec: block payload compression for docids/tfs/doclens —
+    "varint" (LEB128) or "pfor" (patched frame-of-reference); positions are
+    always varint (pre-encoded per posting by the tokenize kernel)."""
+    if payload_codec not in codec.PAYLOAD_CODECS:
+        raise ValueError(f"unknown payload_codec {payload_codec!r}")
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     metrics: dict = {}
@@ -387,6 +396,7 @@ def build_index(
     metrics["n_salts"] = n_salts
     metrics["bm25_k1"] = bm25_k1
     metrics["bm25_b"] = bm25_b
+    metrics["payload_codec"] = payload_codec
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
@@ -470,6 +480,9 @@ def build_index(
         if os.path.exists(man_path):
             with open(man_path) as f:
                 old_man = json.load(f)
+        # same rule for the payload codec: blocks keep the codec they were
+        # actually encoded with
+        metrics["payload_codec"] = old_man.get("payload_codec", "varint")
         if "bm25_k1" in old_man:
             metrics["bm25_k1"] = old_man["bm25_k1"]
             metrics["bm25_b"] = old_man["bm25_b"]
@@ -486,7 +499,8 @@ def build_index(
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
         blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),
-                               salt_range, bm25_k1, bm25_b, salt_min_df)
+                               salt_range, bm25_k1, bm25_b, salt_min_df,
+                               payload_codec=payload_codec)
         blocks.write.mode("overwrite").parquet(segments_path)
         _mark_stage(index_dir, "segments")
         _lap("segments")
@@ -566,6 +580,7 @@ class IndexReader:
             self.manifest = {}
         self.salt_range = int(self.manifest.get("salt_range") or max(1, -(-self.n_docs // 32)))
         self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
+        self.payload_codec = self.manifest.get("payload_codec", "varint")
         # (field, term) -> (df, ctf) or None for known-absent; the reference's
         # ctf memoization across queries (QryEval.java:644-651). Readers are
         # per-index-version objects, so no staleness across appends.

@@ -279,11 +279,120 @@ def encode_block(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> tu
     )
 
 
-def decode_block(docids_b: bytes, tfs_b: bytes, doclens_b: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+# --------------------------------------------------------------------------
+# PForDelta (patched frame-of-reference) block codec — the classic
+# alternative to LEB128 for posting blocks [Zukowski et al., ICDE 2006;
+# public algorithm]. Values are bit-packed at a width b chosen to minimize
+# block bytes; the few values that need more than b bits keep their low b
+# bits in the lanes and patch their high bits through an exception list.
+# Selected per index via build_index(payload_codec="pfor") and recorded in
+# MANIFEST.json; position payloads stay varint (they are pre-encoded per
+# posting by the tokenize kernel and byte-sliced at block assembly).
+#
+# Block layout (little-endian):
+#   byte 0: lane bit width b (0..64)
+#   varint: n values
+#   varint: n exceptions
+#   ceil(n*b/8) bytes: low-b bits of every value, bitorder='little'
+#   exceptions: per exception varint(position), varint(value >> b)
+# --------------------------------------------------------------------------
+
+
+def encode_pfor(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # bit length of each value (0 for value 0)
+    bl = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    while tmp.any():
+        nz = tmp > 0
+        bl[nz] += 1
+        tmp >>= np.uint64(1)
+    maxb = int(bl.max())
+    # deterministic width choice: minimize lane bytes + exception bytes
+    # (exception cost ~ 1-2 bytes position + high-bits varint)
+    hist = np.bincount(bl, minlength=maxb + 1)
+    n_exc_at = n - np.cumsum(hist)  # n_exc_at[b] = #values with bl > b
+    best_b, best_cost = maxb, (n * maxb + 7) // 8
+    for b in range(maxb + 1):
+        cost = (n * b + 7) // 8 + int(n_exc_at[b]) * (2 + max(0, maxb - b + 6) // 7)
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    exc_pos = np.flatnonzero(bl > b)
+    out = bytearray()
+    out.append(b)
+    out += encode_varint(np.array([n], dtype=np.uint64))
+    out += encode_varint(np.array([exc_pos.size], dtype=np.uint64))
+    if b:
+        low = v & np.uint64((1 << b) - 1) if b < 64 else v
+        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.uint8).reshape(-1)
+        out += np.packbits(bits, bitorder="little").tobytes()
+    if exc_pos.size:
+        inter = np.empty(2 * exc_pos.size, dtype=np.uint64)
+        inter[0::2] = exc_pos.astype(np.uint64)
+        inter[1::2] = v[exc_pos] >> np.uint64(b)
+        out += encode_varint(inter)
+    return bytes(out)
+
+
+def decode_pfor(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    b = int(raw[0])
+    # header varints: n, n_exc (walk them scalar — two tiny values)
+    pos = 1
+    hdr = []
+    for _ in range(2):
+        val, shift = 0, 0
+        while True:
+            byte = int(raw[pos]); pos += 1
+            val |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                break
+        hdr.append(val)
+    n, n_exc = hdr
+    if b:
+        nbytes = (n * b + 7) // 8
+        bits = np.unpackbits(raw[pos:pos + nbytes], bitorder="little")[:n * b]
+        weights = np.uint64(1) << np.arange(b, dtype=np.uint64)
+        vals = (bits.reshape(n, b).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
+        pos += nbytes
+    else:
+        vals = np.zeros(n, dtype=np.uint64)
+    if n_exc:
+        inter = decode_varint(raw[pos:].tobytes())
+        epos = inter[0::2].astype(np.int64)
+        vals[epos] |= inter[1::2] << np.uint64(b)
+    return vals
+
+
+def encode_pfor_sliced(values: np.ndarray, cut_idx: np.ndarray) -> list[bytes]:
+    """Per-slice PFOR blocks (analog of encode_varint_sliced — widths are
+    per block, so slices encode independently; slices are <= BLOCK_SIZE
+    values, keeping the per-block Python cost bounded)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    cuts = np.asarray(cut_idx, dtype=np.int64)
+    bounds = np.append(cuts, v.size)
+    return [encode_pfor(v[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+PAYLOAD_CODECS = ("varint", "pfor")
+
+
+def decode_block(docids_b: bytes, tfs_b: bytes, doclens_b: bytes,
+                 payload_codec: str = "varint") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    dec = decode_varint if payload_codec == "varint" else decode_pfor
     return (
-        delta_decode(decode_varint(docids_b)),
-        decode_varint(tfs_b),
-        decode_varint(doclens_b),
+        delta_decode(dec(docids_b)),
+        dec(tfs_b),
+        dec(doclens_b),
     )
 
 

@@ -145,7 +145,8 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
 
     blocks = encode_blocks(spark, delta_terms, new_ts, avg_len, n_docs,
                            salt_range, bm25_k1, bm25_b,
-                           salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)))
+                           salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)),
+                           payload_codec=manifest.get("payload_codec", "varint"))
     blocks.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "blocks")
     )
@@ -194,7 +195,8 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
 
     blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, n_docs,
-                           salt_range, bm25_k1, bm25_b, salt_min_df)
+                           salt_range, bm25_k1, bm25_b, salt_min_df,
+                           payload_codec=manifest.get("payload_codec", "varint"))
     seg_tmp = os.path.join(index_dir, "blocks_segments_new")
     blocks.write.mode("overwrite").parquet(seg_tmp)
     _swap(index_dir, "blocks_segments")

@@ -35,7 +35,8 @@ def term_dictionary(reader: IndexReader, field: str = "body",
 def postings_for(reader: IndexReader, term: str, field: str = "body",
                  with_positions: bool = True) -> DataFrame:
     """listPostings analog: decoded posting list joined to external ids."""
-    p = decode_postings(reader.blocks_for([(field, term)]), with_positions)
+    p = decode_postings(reader.blocks_for([(field, term)]), with_positions,
+                        payload_codec=reader.payload_codec)
     return p.join(reader.docid_url_map(), "docid").orderBy("docid")
 
 

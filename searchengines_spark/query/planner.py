@@ -106,7 +106,8 @@ class Planner:
             # conjunctive joins
             inline_pos = need_pos and self._needs_fallback_positions(root)
             self._postings = decode_postings(
-                self.reader.blocks_for(terms), with_positions=inline_pos
+                self.reader.blocks_for(terms), with_positions=inline_pos,
+                payload_codec=self.reader.payload_codec,
             ).cache()
             if inline_pos:
                 self._pos_full = self._postings
@@ -179,7 +180,8 @@ class Planner:
                 self._pos_full = self._postings
             else:
                 self._pos_full = decode_postings(
-                    self._blocks, with_positions=True).cache()
+                    self._blocks, with_positions=True,
+                    payload_codec=self.reader.payload_codec).cache()
         return self._pos_full
 
     def _positional_candidates(self, node: ast.Node) -> np.ndarray | None:
@@ -220,10 +222,12 @@ class Planner:
                     F.struct("field", "term").isin(
                         [F.struct(F.lit(a.field), F.lit(a.term)) for a in node.args]))
                 if cands.size == 0:
-                    fdf = decode_postings(fblocks.limit(0), with_positions=True)
+                    fdf = decode_postings(fblocks.limit(0), with_positions=True,
+                                          payload_codec=self.reader.payload_codec)
                 else:
                     fdf = decode_postings(fblocks, with_positions=True,
-                                          docid_filter=cands)
+                                          docid_filter=cands,
+                                          payload_codec=self.reader.payload_codec)
                 children = [
                     IopResult(
                         fdf.filter((F.col("field") == a.field)

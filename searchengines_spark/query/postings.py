@@ -29,7 +29,8 @@ POSTINGS_POS_SCHEMA = T.StructType(
 
 
 def decode_postings(blocks: DataFrame, with_positions: bool = False,
-                    docid_filter: np.ndarray | None = None) -> DataFrame:
+                    docid_filter: np.ndarray | None = None,
+                    payload_codec: str = "varint") -> DataFrame:
     """blocks (BLOCKS_SCHEMA rows) -> long postings DataFrame.
 
     mapInArrow: per-block numpy varint decode, output assembled from flat
@@ -74,7 +75,8 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False,
             for bi in range(rb.num_rows):
                 if carr is not None and not has_cand[bi]:
                     continue  # whole block skipped, zero decode
-                d, t, dl = codec.decode_block(b_dz[bi], b_tz[bi], b_lz[bi])
+                d, t, dl = codec.decode_block(b_dz[bi], b_tz[bi], b_lz[bi],
+                                              payload_codec)
                 if carr is not None:
                     idx = np.searchsorted(carr, d.astype(np.int64))
                     np.clip(idx, 0, carr.size - 1, out=idx)

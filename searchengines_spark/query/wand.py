@@ -52,7 +52,8 @@ class _TermCursor:
     def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float,
                  cache: dict | None = None):
         # blocks: [(max_docid, ub, payload)] min_docid-ordered, where payload
-        # is ('z', docids_z, tfs_z, doclens_z) for compressed index blocks or
+        # is (codec_name, docids_z, tfs_z, doclens_z) for compressed index
+        # blocks ('varint'/'pfor', the index's payload codec) or
         # ('raw', docids, tfs, doclens) for broadcast-clipped cold postings.
         # cache: multi-query batch serving shares one per-stripe decode cache
         # (payload-identity keyed) so two queries touching the same hot term
@@ -75,14 +76,15 @@ class _TermCursor:
     def _decode(self):
         if self.docids is None:
             payload = self.blocks[self.bi][2]
-            if payload[0] == "z":
+            if payload[0] != "raw":
                 key = id(payload) if self.cache is not None else None
                 hit = self.cache.get(key) if key is not None else None
                 if hit is not None:
                     self.docids, self.tfs, self.doclens = hit
                 else:
+                    # payload[0] carries the index's payload codec name
                     self.docids, self.tfs, self.doclens = codec.decode_block(
-                        payload[1], payload[2], payload[3])
+                        payload[1], payload[2], payload[3], payload[0])
                     self.decodes += 1
                     if key is not None:
                         self.cache[key] = (self.docids, self.tfs, self.doclens)
@@ -282,6 +284,7 @@ def wand_topk_batch_local(reader: IndexReader,
     n_docs = reader.n_docs
     salt_range = reader.salt_range
     avgs = {f: reader.avg_doclen(f) for f in {f for ts, f in queries.values()}}
+    pcodec = reader.payload_codec
     idf_of: dict[tuple[str, str], float] = {}
     for f, t in all_pairs:
         df_ = stats.get((f, t), (0, 0))[0]
@@ -342,7 +345,7 @@ def wand_topk_batch_local(reader: IndexReader,
             else:
                 ubs = g["max_score"].astype(float)
             by_key[(field, term)] = [
-                (int(mn), (int(md), float(u), ("z", bytes(dz), bytes(tz), bytes(lz))))
+                (int(mn), (int(md), float(u), (pcodec, bytes(dz), bytes(tz), bytes(lz))))
                 for mn, md, u, dz, tz, lz in zip(
                     g["min_docid"], g["max_docid"], ubs,
                     g["docids_z"], g["tfs_z"], g["doclens_z"])
@@ -351,7 +354,7 @@ def wand_topk_batch_local(reader: IndexReader,
             for mn, mx, ub, dz, tz, lz in blks:
                 if mx < lo or mn >= hi:
                     continue
-                d, t, dl = codec.decode_block(dz, tz, lz)
+                d, t, dl = codec.decode_block(dz, tz, lz, pcodec)
                 s_ = int(np.searchsorted(d, lo))
                 e_ = int(np.searchsorted(d, hi))
                 if s_ >= e_:

@@ -33,7 +33,7 @@ def make_stripe(rng, n_terms=4, n_docs=400, block=16, density=0.3):
             dl = doclens[d.astype(np.int64)]
             dz, tz, lz = codec.encode_block(d, tf, dl)
             ms = codec.bm25_upper_bound(tf, dl, df, n_docs, avg, K1, B)
-            blks.append((int(d[-1]), ms, ("z", dz, tz, lz)))
+            blks.append((int(d[-1]), ms, ("varint", dz, tz, lz)))
         if blks:
             term_blocks[t] = blks
     return term_blocks, postings, idfs, doclens, avg, n_docs

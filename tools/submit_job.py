@@ -29,6 +29,7 @@ def main() -> None:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-salts", type=int, default=32)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--payload-codec", default="varint", choices=["varint", "pfor"])
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
@@ -49,7 +50,8 @@ def main() -> None:
 
         pages = spark.read.parquet(args.pages)
         m = build_index(spark, pages, args.index_dir,
-                        n_salts=args.n_salts, resume=args.resume)
+                        n_salts=args.n_salts, resume=args.resume,
+                        payload_codec=args.payload_codec)
         print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
     elif args.cmd == "query":
         from searchengines_spark.engine import Engine
