@@ -349,12 +349,14 @@ def build_index(
     bm25_k1: float = 1.2,
     bm25_b: float = 0.75,
     salt_min_df: int = SALT_MIN_DF,
-    payload_codec: str = "varint",
+    payload_codec: str = "pfor",
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
     payload_codec: block payload compression for docids/tfs/doclens —
-    "varint" (LEB128) or "pfor" (patched frame-of-reference); positions are
-    always varint (pre-encoded per posting by the tokenize kernel)."""
+    "pfor" (patched frame-of-reference, default: ~24%% smaller blocks than
+    varint at equal build/serve speed) or "varint" (LEB128); positions are
+    always varint (pre-encoded per posting by the tokenize kernel).
+    Pre-existing indexes keep the codec recorded in their manifest."""
     if payload_codec not in codec.PAYLOAD_CODECS:
         raise ValueError(f"unknown payload_codec {payload_codec!r}")
     os.makedirs(index_dir, exist_ok=True)

@@ -62,14 +62,16 @@ def test_decode_block_dispatch():
 
 # ------------------------------------------------------------- end-to-end
 @pytest.fixture(scope="module")
-def pfor_index(spark, tmp_path_factory):
+def varint_index(spark, tmp_path_factory):
+    # pfor is the build default (and what tiny_index uses); this fixture is
+    # the cross-codec counterpart on the same corpus
     from searchengines_spark.corpus import generate_pages
     from searchengines_spark.index import IndexReader, build_index
 
-    d = str(tmp_path_factory.mktemp("pforidx"))
+    d = str(tmp_path_factory.mktemp("varintidx"))
     pages = generate_pages(spark, 300, seed=42, partitions=4)
-    m = build_index(spark, pages, d, n_salts=4, payload_codec="pfor")
-    assert m["payload_codec"] == "pfor"
+    m = build_index(spark, pages, d, n_salts=4, payload_codec="varint")
+    assert m["payload_codec"] == "varint"
     return IndexReader(spark, d)
 
 
@@ -82,26 +84,28 @@ QUERIES = [
 
 
 @pytest.mark.parametrize("q,model,kw", QUERIES)
-def test_pfor_index_serves_identically(spark, tiny_index, pfor_index, q, model, kw):
-    """Same corpus, same query — a pfor index must return exactly the
-    varint index's results (urls, scores) on every serving path."""
+def test_codecs_serve_identically(spark, tiny_index, varint_index, q, model, kw):
+    """Same corpus, same query — the pfor (default) and varint indexes must
+    return exactly the same results (urls, scores) on every serving path."""
     import math
 
     from searchengines_spark.engine import Engine
 
-    assert pfor_index.payload_codec == "pfor"
+    assert tiny_index.payload_codec == "pfor"
+    assert varint_index.payload_codec == "varint"
     want = [(r["url"], r["score"]) for r in
-            Engine(tiny_index).search(q, model, 20, **kw).collect()]
+            Engine(varint_index).search(q, model, 20, **kw).collect()]
     got = [(r["url"], r["score"]) for r in
-           Engine(pfor_index).search(q, model, 20, **kw).collect()]
+           Engine(tiny_index).search(q, model, 20, **kw).collect()]
     assert [u for u, _ in got] == [u for u, _ in want]
     for (_, a), (_, b) in zip(got, want):
         assert math.isclose(a, b, rel_tol=0, abs_tol=1e-12)
 
 
-def test_pfor_append_keeps_codec(spark, pfor_index):
-    """Incremental append onto a pfor index encodes its delta blocks with
-    the manifest codec (append path reads payload_codec from MANIFEST)."""
+def test_append_keeps_manifest_codec(spark, varint_index):
+    """Incremental append encodes its delta blocks with the codec recorded
+    in MANIFEST — a varint index appended under a pfor-default build stays
+    varint (old indexes never get mixed-codec blocks)."""
     import json
     import os
 
@@ -109,14 +113,13 @@ def test_pfor_append_keeps_codec(spark, pfor_index):
     from searchengines_spark.index import IndexReader
     from searchengines_spark.index.incremental import append_pages
 
-    idx_dir = pfor_index.index_dir
+    idx_dir = varint_index.index_dir
     extra = generate_pages(spark, 30, seed=99, partitions=1)
     append_pages(spark, idx_dir, extra)
     with open(os.path.join(idx_dir, "MANIFEST.json")) as f:
         man = json.load(f)
-    assert man.get("payload_codec") == "pfor"
+    assert man.get("payload_codec") == "varint"
     r2 = IndexReader(spark, idx_dir)
-    # appended postings decode through the pfor path
     n = r2.blocks_for([("body", "cebaba1")]).count()
     assert n > 0
     from searchengines_spark.engine import Engine

@@ -29,7 +29,7 @@ def main() -> None:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--n-salts", type=int, default=32)
     b.add_argument("--resume", action="store_true")
-    b.add_argument("--payload-codec", default="varint", choices=["varint", "pfor"])
+    b.add_argument("--payload-codec", default="pfor", choices=["varint", "pfor"])
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
