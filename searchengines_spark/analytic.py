@@ -546,16 +546,23 @@ def q_embed_dup_pairs(spark, sf_dir):
     ).select(
         "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x")
     )
+    # materialize the (plane, dim) coefficient table ONCE — planes x dims
+    # rows (e.g. 64x64) — and broadcast-join it, instead of evaluating an
+    # md5 per (posting-row x plane): the hash count drops from O(n_vecs x
+    # dim x planes) to O(dim x planes)
+    dims = ex.select("i").distinct()
     planes = spark.range(SLSH_PLANES).select(F.col("id").cast("int").alias("p"))
-    coef = (
-        (md5hash32(F.concat(F.lit("plane_"), F.col("p").cast("string"),
-                            F.lit("_"), F.col("i").cast("string"))) % F.lit(2001))
-        - F.lit(1000)
-    ) / F.lit(1000.0)
+    coef_tbl = planes.crossJoin(dims).select(
+        "p", "i",
+        (((md5hash32(F.concat(F.lit("plane_"), F.col("p").cast("string"),
+                              F.lit("_"), F.col("i").cast("string"))) % F.lit(2001))
+          - F.lit(1000)) / F.lit(1000.0)).alias("coef"),
+    )
     bits = (
-        ex.join(F.broadcast(planes))
+        ex.join(F.broadcast(coef_tbl), "i")
         .groupBy("vec_id", "p")
-        .agg(F.when(F.sum(coef * F.col("x")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
+        .agg(F.when(F.sum(F.col("coef") * F.col("x")) >= 0, F.lit(1))
+             .otherwise(F.lit(0)).alias("bit"))
     )
     bands = bits.groupBy(
         "vec_id", F.expr(f"p div {SLSH_BAND_BITS}").cast("int").alias("band")
