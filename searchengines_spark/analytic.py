@@ -223,16 +223,21 @@ def q_window_pairs(spark, sf_dir):
 
 
 # ----------------------------------------------------------- dedup / simhash
-def _shingles(tok: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc via window lead (portable to SQL)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = tok.select(
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc, built doc-locally from the token
+    array (no per-doc window sort, no token explode — the shuffle-free
+    twin of the oracle's window-lead formulation; adjacent-triple values
+    are identical either way)."""
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("arr"))
+    sh = toks.select(
         "doc_id",
-        F.concat_ws(" ", "term", F.lead("term", 1).over(w), F.lead("term", 2).over(w)).alias("shingle"),
-        F.lead("term", 2).over(w).alias("_ok"),
-    ).filter(F.col("_ok").isNotNull()).drop("_ok")
+        F.explode(F.when(
+            F.size("arr") >= 3,
+            F.expr("transform(sequence(0, size(arr) - 3), "
+                   "j -> concat_ws(' ', arr[j], arr[j+1], arr[j+2]))"),
+        ).otherwise(F.array().cast("array<string>"))).alias("shingle"),
+    )
     return sh.distinct()
 
 
@@ -247,7 +252,7 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_minhash(spark, sf_dir):
     """MinHash signatures (4 permutations) over distinct 3-shingles."""
-    sh = _shingles(tokens(load(spark, sf_dir, "documents"))).withColumn("h", md5hash32(F.col("shingle")))
+    sh = _shingles(load(spark, sf_dir, "documents")).withColumn("h", md5hash32(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -280,7 +285,7 @@ def _jaccard_for_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
 def q_lsh_dup_pairs(spark, sf_dir):
     """LSH banding: candidate pairs sharing band (mh0, mh1), verified with
     true 3-shingle Jaccard >= 0.5 computed only on the candidates."""
-    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    sh = _shingles(load(spark, sf_dir, "documents"))
     mh = q_minhash(spark, sf_dir)
     a = mh.select(F.col("doc_id").alias("a_id"), "mh0", "mh1")
     b = mh.select(F.col("doc_id").alias("b_id"), "mh0", "mh1")
@@ -299,7 +304,7 @@ def _minhash64(sh: DataFrame) -> DataFrame:
 
 
 def q_minhash64(spark, sf_dir):
-    return _minhash64(_shingles(tokens(load(spark, sf_dir, "documents"))))
+    return _minhash64(_shingles(load(spark, sf_dir, "documents")))
 
 
 def q_lsh_dup_pairs_scaled(spark, sf_dir):
@@ -308,7 +313,7 @@ def q_lsh_dup_pairs_scaled(spark, sf_dir):
     verification restricted to candidates. This is the 100 TB shape: one
     groupBy for signatures, one equi-join on (band, bandhash), one
     candidate-sized verify join — no all-pairs stage anywhere."""
-    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    sh = _shingles(load(spark, sf_dir, "documents"))
     mh = _minhash64(sh)
     band_structs = []
     for j in range(LSH_BANDS):
@@ -329,7 +334,7 @@ def q_lsh_dup_pairs_scaled(spark, sf_dir):
 
 def q_jaccard_pairs(spark, sf_dir):
     """All-pairs 3-shingle Jaccard (intersection self-join)."""
-    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    sh = _shingles(load(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.select(F.col("doc_id").alias("a_id"), "shingle")
@@ -360,7 +365,7 @@ def q_jaccard_topk_scaled(spark, sf_dir):
     """Top-k most-similar pairs restricted to LSH band-collision candidates
     (the 100 TB shape: the all-pairs join never happens; recall governed by
     the deterministic b x r scheme, identical in the DuckDB oracle)."""
-    sh = _shingles(tokens(load(spark, sf_dir, "documents")))
+    sh = _shingles(load(spark, sf_dir, "documents"))
     mh = _minhash64(sh)
     band_structs = []
     for j in range(LSH_BANDS):
