@@ -327,10 +327,7 @@ def encode_pfor(values: np.ndarray) -> bytes:
     out += encode_varint(np.array([n], dtype=np.uint64))
     out += encode_varint(np.array([exc_pos.size], dtype=np.uint64))
     if b:
-        low = v & np.uint64((1 << b) - 1) if b < 64 else v
-        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.uint8).reshape(-1)
-        out += np.packbits(bits, bitorder="little").tobytes()
+        out += _pack_low_bits(v, b)
     if exc_pos.size:
         inter = np.empty(2 * exc_pos.size, dtype=np.uint64)
         inter[0::2] = exc_pos.astype(np.uint64)
@@ -373,14 +370,122 @@ def decode_pfor(buf: bytes) -> np.ndarray:
     return vals
 
 
+def _pack_low_bits(vals: np.ndarray, w: int) -> bytes:
+    """Little-endian bit-pack the low ``w`` bits of each uint64 value
+    (value-major, LSB first) — same bit layout as
+    ``packbits(((v[:,None] >> arange(w)) & 1), bitorder='little')`` but via
+    per-bit uint8 column ops over the values' little-endian byte view: no
+    (n x w) uint64 temporaries, ~8x less memory traffic."""
+    n = vals.size
+    vb = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8).reshape(n, 8)
+    bits = np.empty((n, w), dtype=np.uint8)
+    for t in range(w):
+        bits[:, t] = (vb[:, t >> 3] >> (t & 7)) & 1
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length per uint64 value (0 for value 0): 6 shift
+    passes instead of one pass per bit."""
+    bl = np.zeros(v.size, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1) << np.uint64(shift)
+        bl[m] += shift
+        x[m] >>= np.uint64(shift)
+    bl[v > np.uint64(0)] += 1
+    return bl
+
+
 def encode_pfor_sliced(values: np.ndarray, cut_idx: np.ndarray) -> list[bytes]:
-    """Per-slice PFOR blocks (analog of encode_varint_sliced — widths are
-    per block, so slices encode independently; slices are <= BLOCK_SIZE
-    values, keeping the per-block Python cost bounded)."""
+    """Per-slice PFOR blocks, vectorized ACROSS slices (analog of
+    encode_varint_sliced). Byte-identical to calling ``encode_pfor`` per
+    slice, but: one bit-length pass, one (slice x width) cost matrix for
+    width selection, one packbits per distinct width (a 128-value block's
+    lane area is always byte-aligned: 128*b % 8 == 0), and one
+    encode_varint_sliced call for all exception payloads — the per-slice
+    Python work is reduced to assembling three byte strings."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     cuts = np.asarray(cut_idx, dtype=np.int64)
     bounds = np.append(cuts, v.size)
-    return [encode_pfor(v[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+    ns = np.diff(bounds)
+    S = int(ns.size)
+    if v.size == 0 or S == 0:
+        return [b"" for _ in range(S)]
+
+    bl = _bit_lengths(v)
+    slice_id = np.repeat(np.arange(S, dtype=np.int64), ns)
+
+    # per-slice bit-length histogram -> exception counts at every width
+    hist = np.bincount(slice_id * 65 + bl, minlength=S * 65).reshape(S, 65)
+    widths = np.arange(65, dtype=np.int64)[None, :]
+    maxb = np.where(hist > 0, widths, 0).max(axis=1)  # per-slice max bl
+    n_exc_at = ns[:, None] - np.cumsum(hist, axis=1)  # #values with bl > b
+
+    # replicate encode_pfor's width rule exactly: start from (maxb,
+    # lane-only cost), scan b ascending, take strictly-better costs only
+    exc_cost = 2 + np.maximum(0, maxb[:, None] - widths + 6) // 7
+    cost = (ns[:, None] * widths + 7) // 8 + n_exc_at * exc_cost
+    cost = np.where(widths <= maxb[:, None], cost, np.iinfo(np.int64).max)
+    amin = cost.min(axis=1)
+    lane_maxb = (ns * maxb + 7) // 8
+    best_b = np.where(amin < lane_maxb, cost.argmin(axis=1), maxb).astype(np.int64)
+
+    b_of_val = best_b[slice_id]
+    exc_mask = bl > b_of_val
+
+    # headers: byte(b) + varint(n) + varint(n_exc), all slices in one call
+    hdr_vals = np.empty(2 * S, dtype=np.uint64)
+    hdr_vals[0::2] = ns.astype(np.uint64)
+    hdr_vals[1::2] = n_exc_at[np.arange(S), best_b].astype(np.uint64)
+    hdr_parts = encode_varint_sliced(hdr_vals, np.arange(0, 2 * S, 2))
+
+    # lanes: group slices by width; byte-aligned slices (n*b % 8 == 0,
+    # which includes every full 128-value block) pack together in one
+    # packbits; ragged ones pack individually
+    lanes: list[bytes] = [b""] * S
+    starts = bounds[:-1]
+    for w in np.unique(best_b):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(best_b == w)
+        aligned = sel[(ns[sel] * w) % 8 == 0]
+        ragged = sel[(ns[sel] * w) % 8 != 0]
+        if aligned.size:
+            idx = np.concatenate([np.arange(starts[s], bounds[s + 1]) for s in aligned])
+            packed = _pack_low_bits(v[idx], w)
+            szs = ns[aligned] * w // 8
+            offs = np.zeros(aligned.size + 1, dtype=np.int64)
+            np.cumsum(szs, out=offs[1:])
+            for j, s in enumerate(aligned):
+                lanes[s] = packed[offs[j]:offs[j + 1]]
+        for s in ragged:
+            lanes[s] = _pack_low_bits(v[starts[s]:bounds[s + 1]], w)
+
+    # exceptions: slice-local (position, high-bits) pairs, varint-encoded
+    # for all slices in one call
+    excs: list[bytes] = [b""] * S
+    if exc_mask.any():
+        eidx = np.flatnonzero(exc_mask)
+        esl = slice_id[eidx]
+        inter = np.empty(2 * eidx.size, dtype=np.uint64)
+        inter[0::2] = (eidx - starts[esl]).astype(np.uint64)
+        inter[1::2] = v[eidx] >> b_of_val[eidx].astype(np.uint64)
+        # cut before the first pair of each slice that has exceptions
+        has = np.flatnonzero(np.bincount(esl, minlength=S))
+        first_pair = np.searchsorted(esl, has)
+        parts = encode_varint_sliced(inter, 2 * first_pair)
+        for j, s in enumerate(has):
+            excs[int(s)] = parts[j]
+
+    out: list[bytes] = []
+    for s in range(S):
+        if ns[s] == 0:
+            out.append(b"")
+        else:
+            out.append(bytes([int(best_b[s])]) + hdr_parts[s] + lanes[s] + excs[s])
+    return out
 
 
 PAYLOAD_CODECS = ("varint", "pfor")

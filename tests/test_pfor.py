@@ -39,6 +39,43 @@ def test_pfor_sliced_matches_per_slice():
         assert np.array_equal(codec.decode_pfor(sl[j]), v[s:e])
 
 
+def test_pfor_sliced_matches_per_slice_edge_cases():
+    """The sliced encoder vectorizes ACROSS slices (grouped packbits, shared
+    exception varint pass); it must stay byte-identical to per-slice
+    encode_pfor on ragged tails, empty slices, all-zero slices,
+    exception-heavy mixes, and 64-bit values."""
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n = int(rng.integers(0, 1500))
+        kind = trial % 5
+        if kind == 0:
+            v = rng.integers(0, 2 ** int(rng.integers(1, 63)), n).astype(np.uint64)
+        elif kind == 1:
+            v = np.zeros(n, np.uint64)
+        elif kind == 2:
+            v = rng.integers(0, 5, n).astype(np.uint64)
+        elif kind == 3:  # mostly small with scattered huge exceptions
+            v = rng.integers(0, 100, n).astype(np.uint64)
+            if n:
+                k = max(1, n // 40)
+                v[rng.integers(0, n, k)] = rng.integers(0, 2 ** 63, k).astype(np.uint64)
+        else:  # near-max 64-bit
+            v = np.uint64(0xFFFFFFFFFFFFFFFF) - rng.integers(0, 3, n).astype(np.uint64)
+        if n == 0:
+            cuts = np.array([0, 0], np.int64)
+        else:
+            extra = np.unique(rng.integers(0, n, int(rng.integers(0, 8))))
+            cuts = np.unique(np.concatenate(
+                [[0], np.arange(0, n, codec.BLOCK_SIZE), extra]))
+            if trial % 3 == 0 and len(cuts) > 1:  # duplicate cut -> empty slice
+                cuts = np.sort(np.concatenate([cuts, cuts[len(cuts) // 2:len(cuts) // 2 + 1]]))
+        sl = codec.encode_pfor_sliced(v, cuts)
+        bounds = np.append(cuts, n)
+        for j, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+            assert sl[j] == codec.encode_pfor(v[s:e]), (trial, j)
+            assert np.array_equal(codec.decode_pfor(sl[j]), v[s:e]), (trial, j)
+
+
 def test_pfor_beats_varint_on_uniform_blocks():
     # the case pfor exists for: 128 small uniform deltas pack at a few bits
     # each, while varint pays a whole byte per value
