@@ -132,6 +132,10 @@ class Engine:
             shared = decode_postings(
                 self.reader.blocks_for(all_terms), with_positions=need_pos,
                 payload_codec=self.reader.payload_codec).cache()
+            # fill the cache before N query legs reference it — concurrent
+            # legs of one lazy action would each recompute the decode
+            # (Spark's cache has no cross-task compute lock)
+            shared.count()
             stats = self.reader.term_stats(all_terms)
             for qid, root in roots.items():
                 scores = Planner(self.reader, m).plan(

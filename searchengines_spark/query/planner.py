@@ -182,6 +182,14 @@ class Planner:
                 self._pos_full = decode_postings(
                     self._blocks, with_positions=True,
                     payload_codec=self.reader.payload_codec).cache()
+                # Materialize NOW (one small job): every positional operator
+                # references this frame from >= 2 plan legs (one per arg),
+                # and Spark's cache has no cross-task compute lock — inside
+                # a single lazy action the legs race and each re-runs the
+                # whole position decode (measured 3x the query latency on
+                # high-df NEAR). An explicit fill makes every leg a cache
+                # read.
+                self._pos_full.count()
         return self._pos_full
 
     def _positional_candidates(self, node: ast.Node) -> np.ndarray | None:
@@ -297,6 +305,14 @@ class Planner:
         if isinstance(self.model, Indri):
             row = out.agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")).collect()[0]
             return IopResult(out, field, int(row["df"] or 0), int(row["ctf"] or 0))
+        # materialize the cache NOW: the deferred stats frame below and the
+        # score leg both reference `out` inside the final action, and
+        # without a fill the two legs race the unpopulated cache and each
+        # re-run the positional kernel (measured ~2x NEAR latency). One
+        # small count() job makes both legs cache reads; the stats stay a
+        # lazily-joined 1-row frame so score expressions are unchanged
+        # (float-identical to before).
+        out.count()
         stats_df = out.agg(F.count(F.lit(1)).cast("long").alias("__iop_df"),
                            F.sum("tf").cast("long").alias("__iop_ctf"))
         return IopResult(out, field, stats_df=stats_df)
