@@ -262,9 +262,18 @@ class Planner:
         else:
             n = node.n
             ordered = isinstance(node, ast.Near)
+            # Repartition the PROBE side only, before the join: the explicit
+            # partition count is AQE-coalescing-exempt (the CPU-bound Python
+            # match kernel must not serialize onto one task) and the join
+            # output inherits it, so no post-join shuffle of the heavy
+            # joined position arrays is needed. Build sides are left alone —
+            # Catalyst broadcasts them when small, and when it falls back to
+            # a shuffle join they land on the same hash(docid) partitioning
+            # anyway.
+            par = children[0].df.sparkSession.sparkContext.defaultParallelism
             joined = children[0].df.select(
                 "docid", "doclen", F.col("positions").alias("p0")
-            )
+            ).repartition(par, "docid")
             for i, c in enumerate(children[1:], start=1):
                 joined = joined.join(
                     c.df.select("docid", F.col("positions").alias(f"p{i}")), "docid"
@@ -280,12 +289,15 @@ class Planner:
                         cols[i][r] = pls[i]
                 return pd.Series(batch_positions(cols, n, ordered))
 
-            # AQE coalesces the (small-byte) join output to a couple of
-            # partitions, which would serialize the Python match kernel on
-            # high-df terms — spread candidates across the cores explicitly
-            par = joined.sparkSession.sparkContext.defaultParallelism
+            # asNondeterministic is an optimizer fence, not a semantics
+            # change (the kernel is a pure function): without it Catalyst
+            # pushes the tf>0 filter below the projection and plans TWO
+            # ArrowEvalPython nodes, running the match kernel twice over
+            # every candidate row (measured ~2x kernel cost on high-df
+            # NEAR).
+            match_udf = match_udf.asNondeterministic()
             out = (
-                joined.repartition(par, "docid").withColumn(
+                joined.withColumn(
                     "positions",
                     match_udf(F.array(*[f"p{i}" for i in range(len(children))])),
                 )
