@@ -71,6 +71,27 @@ jac AS (
 )"""
 
 
+# repetition-mass CTE (rep): top unigram / bigram fraction per doc
+_REP = """,
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+rep1 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, MAX(tf) AS max_tf
+         FROM tfq GROUP BY doc_id),
+bg0 AS (
+  SELECT doc_id, term || ' ' || lead(term,1) OVER w AS bigram, lead(term,1) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg0 WHERE _ok IS NOT NULL GROUP BY 1, 2),
+bgm AS (SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY doc_id),
+rep AS (
+  SELECT r.doc_id, r.n_tokens,
+         ROUND(CAST(r.max_tf AS DOUBLE) / r.n_tokens, 6) AS top_term_frac,
+         ROUND(CASE WHEN r.n_tokens > 1
+                    THEN CAST(COALESCE(b.max_bg, 0) AS DOUBLE) / (r.n_tokens - 1)
+                    ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM rep1 r LEFT JOIN bgm b USING(doc_id)
+)"""
+
+
 def _indri_sql() -> str:
     mu, lam = A.INDRI_MU, A.INDRI_LAM
     parts = []
@@ -219,6 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": A.q_events_window,
         "events_sessions": A.q_events_sessions,
         "events_props": A.q_events_props,
+        "repetition": A.q_repetition,
+        "token_bpe": A.q_token_bpe,
+        "source_stats": A.q_source_stats,
+        "lang_mix": A.q_lang_mix,
+        "quality_filter": A.q_quality_filter,
+        "split_assign": A.q_split_assign,
         "lang_id": A.q_lang_id,
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
@@ -389,6 +416,57 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type""",
+        "repetition": f"""
+WITH {_TOK}{_REP}
+SELECT doc_id, n_tokens, top_term_frac, top_bigram_frac FROM rep""",
+        "token_bpe": f"""
+WITH raw AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{A.BPE_PAT}')) AS BIGINT) AS n_bpe,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT doc_id, n_bpe, n_ws,
+       ROUND(CASE WHEN n_ws > 0 THEN CAST(n_bpe AS DOUBLE) / n_ws ELSE 0.0 END, 6)
+         AS bpe_per_word
+FROM raw""",
+        "source_stats": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_texts
+FROM documents GROUP BY source""",
+        "lang_mix": f"""
+WITH {_TOK},
+pred AS (
+  SELECT doc_id,
+         AVG(CASE WHEN term IN ('the','a','of','and','to','in','is','it')
+                  THEN 1.0 ELSE 0.0 END) >= 0.05 AS pred_en
+  FROM tok GROUP BY doc_id
+)
+SELECT d.lang, p.pred_en, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id GROUP BY 1, 2""",
+        "quality_filter": f"""
+WITH {_TOK}{_REP},
+base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                AVG(CAST(LENGTH(term) AS DOUBLE)) AS awl
+         FROM tok GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, ROUND(b.awl, 6) AS avg_word_len, r.top_term_frac,
+       (b.n_tokens >= {A.QF_MIN_TOKENS} AND b.n_tokens <= {A.QF_MAX_TOKENS}) AS len_ok,
+       (b.awl >= {A.QF_MIN_WORDLEN} AND b.awl <= {A.QF_MAX_WORDLEN}) AS wordlen_ok,
+       (r.top_term_frac <= {A.QF_MAX_TOP_TERM}) AS rep_ok,
+       ((b.n_tokens >= {A.QF_MIN_TOKENS} AND b.n_tokens <= {A.QF_MAX_TOKENS})
+        AND (b.awl >= {A.QF_MIN_WORDLEN} AND b.awl <= {A.QF_MAX_WORDLEN})
+        AND (r.top_term_frac <= {A.QF_MAX_TOP_TERM})) AS keep
+FROM base b JOIN rep r USING(doc_id)""",
+        "split_assign": f"""
+SELECT doc_id, CAST(h % 100 AS BIGINT) AS bucket,
+       CASE WHEN h % 100 < {A.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN h % 100 < {A.SPLIT_TRAIN_PCT + A.SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {_H32.format(col="'split_' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)""",
         "lang_id": f"""
 WITH {_TOK}
 SELECT doc_id,

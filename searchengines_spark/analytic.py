@@ -642,6 +642,147 @@ def q_events_props(spark, sf_dir):
 
 
 # ------------------------------------------------------------ text quality
+# Gopher/C4-style pretraining-corpus filter thresholds (Rae et al. 2021 §A1.1
+# shape, constants tuned to the synthetic corpus so both branches are
+# non-trivially populated at sf0.01)
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 100_000
+QF_MIN_WORDLEN, QF_MAX_WORDLEN = 3.0, 10.0
+QF_MAX_TOP_TERM = 0.10  # docs whose hottest term carries >10% mass are spam-y
+# BPE-ish pretokenizer (GPT-2 pretokenizer shape reduced to this corpus's
+# alphabet): letter runs, single digits, single symbols. Identical RE2/Java
+# semantics for ASCII input.
+BPE_PAT = "[a-z]+|[0-9]|[^a-z0-9 ]"
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 80, 10
+
+
+def _rep_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_term_frac, top_bigram_frac) — repetition mass
+    signals. Bigrams are built doc-locally from the token array (transform
+    over sequence — no per-doc window sort, the same shuffle-free shape as
+    _shingles), so the whole op is two narrow groupBys."""
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("arr"))
+    tf = (
+        toks.select("doc_id", F.explode("arr").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_tokens"),
+             F.max("tf").alias("max_tf"))
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(F.when(
+                F.size("arr") >= 2,
+                F.expr("transform(sequence(0, size(arr) - 2), "
+                       "j -> concat_ws(' ', arr[j], arr[j+1]))"),
+            ).otherwise(F.array().cast("array<string>"))).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max_bg"))
+    )
+    return (
+        tf.join(bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("max_tf") / F.col("n_tokens"), ROUND_DP).alias("top_term_frac"),
+            F.round(
+                F.when(F.col("n_tokens") > 1,
+                       F.coalesce(F.col("max_bg"), F.lit(0)) / (F.col("n_tokens") - 1))
+                .otherwise(F.lit(0.0)), ROUND_DP).alias("top_bigram_frac"),
+        )
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Repetition signals per doc: total tokens, mass of the most frequent
+    unigram and bigram (the Gopher repetition family's core members)."""
+    return _rep_stats(load(spark, sf_dir, "documents"))
+
+
+def q_token_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace words vs BPE-ish pretokenizer
+    matches (letter runs + single digits + single symbols), plus their
+    ratio — the 'how many model tokens is this corpus' estimator. Pure
+    Catalyst (regexp_extract_all is JVM-side codegen)."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PAT}', 0)"))
+    n_ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe"),
+        n_ws.cast("long").alias("n_ws"),
+        F.round(F.when(n_ws > 0, n_bpe / n_ws).otherwise(F.lit(0.0)),
+                ROUND_DP).alias("bpe_per_word"),
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (per-domain analog) rollup: doc count, mean length,
+    language spread, exact-dup count within the source — the aggregation a
+    crawl pipeline runs to rank/blocklist domains. One groupBy; scales."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), ROUND_DP).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("long").alias("n_dup_texts"),
+    )
+
+
+def q_lang_mix(spark, sf_dir):
+    """Declared-lang x predicted-en confusion counts: joins the metadata lang
+    label against the stopword-ratio language-ID heuristic."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    pred = tok.groupBy("doc_id").agg(
+        (F.avg(F.col("term").isin(STOP_EN).cast("double")) >= 0.05).alias("pred_en"))
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_en")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style keep/drop decision per doc: length band, mean word
+    length band, top-term repetition cap — each flag exposed plus the final
+    conjunction. The pretraining-corpus filter as one distributed pass."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(F.length("term")).alias("awl"),
+    )
+    rep = _rep_stats(docs).select("doc_id", "top_term_frac")
+    j = base.join(rep, "doc_id")
+    len_ok = (F.col("n_tokens") >= QF_MIN_TOKENS) & (F.col("n_tokens") <= QF_MAX_TOKENS)
+    wl_ok = (F.col("awl") >= QF_MIN_WORDLEN) & (F.col("awl") <= QF_MAX_WORDLEN)
+    rep_ok = F.col("top_term_frac") <= QF_MAX_TOP_TERM
+    return j.select(
+        "doc_id", "n_tokens",
+        F.round("awl", ROUND_DP).alias("avg_word_len"),
+        "top_term_frac",
+        len_ok.alias("len_ok"), wl_ok.alias("wordlen_ok"), rep_ok.alias("rep_ok"),
+        (len_ok & wl_ok & rep_ok).alias("keep"),
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/valid/test split (the standard leakage-
+    safe way to split a training corpus: hash of a stable id, never random()):
+    bucket = md5-hash32('split_' || doc_id) % 100 -> 80/10/10."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (md5hash32(F.concat(F.lit("split_"), F.col("doc_id").cast("string")))
+              % F.lit(100)).cast("long")
+    return docs.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-ratio language heuristic."""
     tok = tokens(load(spark, sf_dir, "documents"))
