@@ -87,6 +87,55 @@ def stream_event_window_stats(spark: SparkSession, src_dir: str, out_dir: str,
     return writer.start()
 
 
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+DEDUP_OUT_DDL = "doc_id long, h string"
+DEDUP_STATE_DDL = "seen int"
+
+
+def stream_dedup_exact(spark: SparkSession, src_dir: str, out_dir: str,
+                       checkpoint_dir: str, available_now: bool = True):
+    """Stateful streaming exact dedup: emit each document the FIRST time its
+    content hash is seen, drop every later arrival — the continuous-ingest
+    twin of analytic.q_dedup_exact. Per-hash state is one bit in the state
+    store (keyed groupBy md5(text)); within a micro-batch the smallest
+    doc_id wins deterministically, across batches/restarts the state store
+    (checkpointed per epoch) suppresses re-emits. At firehose scale state is
+    O(distinct hashes) — the same footprint a Bloom-gated batch dedup pays,
+    but incremental. Returns the StreamingQuery."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.readStream.schema(DOCS_DDL).parquet(src_dir)
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+
+    def first_seen(key, pdf_iter, state):
+        (h,) = key
+        if state.exists:
+            for _ in pdf_iter:
+                pass
+            yield pd.DataFrame(columns=["doc_id", "h"])
+            return
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        state.update((1,))
+        yield pd.DataFrame([(best, h)], columns=["doc_id", "h"])
+
+    kept = hashed.groupBy("h").applyInPandasWithState(
+        first_seen, DEDUP_OUT_DDL, DEDUP_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+    writer = (
+        kept.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="30 seconds")
+    return writer.start()
+
+
 SESSION_OUT_DDL = ("user_id long, start_sec double, end_sec double, "
                    "n_events long")
 SESSION_STATE_DDL = "start_sec double, last_sec double, n_events long"

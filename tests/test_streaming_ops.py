@@ -100,3 +100,39 @@ def test_stream_sessionize_matches_batch(spark, events_dir, tmp_path):
     for g, w in zip(got_rows, want):
         assert g[0] == w[0] and g[3] == w[3]
         assert abs(g[1] - w[1]) < 1e-3 and abs(g[2] - w[2]) < 1e-3
+
+
+def test_stream_dedup_exact_across_restarts(spark, tmp_path):
+    """First-seen-wins streaming dedup: one emit per distinct content hash;
+    a second drop (stream restart, same checkpoint) emits only NEW hashes —
+    the state store survives the restart."""
+    from searchengines_spark.streaming import stream_dedup_exact
+
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+
+    texts1 = ["alpha one", "beta two", "alpha one", "gamma three", "beta two"]
+    pd.DataFrame({
+        "doc_id": range(5), "text": texts1, "lang": "en",
+        "source": "s0", "n_chars": [len(t) for t in texts1],
+    }).to_parquet(src / "drop1.parquet")
+    q = stream_dedup_exact(spark, str(src), out, ckpt)
+    q.awaitTermination(180)
+
+    got1 = pd.concat(pd.read_parquet(f) for f in glob.glob(out + "/*.parquet"))
+    # 3 distinct texts; within-batch winner is the min doc_id per hash
+    assert sorted(got1["doc_id"]) == [0, 1, 3]
+
+    texts2 = ["alpha one", "delta four", "gamma three", "delta four"]
+    pd.DataFrame({
+        "doc_id": range(10, 14), "text": texts2, "lang": "en",
+        "source": "s1", "n_chars": [len(t) for t in texts2],
+    }).to_parquet(src / "drop2.parquet")
+    q = stream_dedup_exact(spark, str(src), out, ckpt)
+    q.awaitTermination(180)
+
+    got2 = pd.concat(pd.read_parquet(f) for f in glob.glob(out + "/*.parquet"))
+    # only 'delta four' is new; dups of drop1 hashes are suppressed by state
+    assert sorted(got2["doc_id"]) == [0, 1, 3, 11]
+    assert got2["h"].nunique() == 4
