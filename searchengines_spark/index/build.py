@@ -424,9 +424,12 @@ def build_index(
         bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
         ids = F.broadcast(docids) if n_docs * 100 <= bcast_cap else docids
         with_ids = en_pages.join(ids, "url")
-        if en_pages.rdd.getNumPartitions() < par:
+        if en_pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
             # tiny test corpora scan into a couple of input splits, which
-            # would serialize the tokenize kernel
+            # would serialize the tokenize kernel. Only then is the
+            # repartition worth it: it is a full shuffle of the html bytes,
+            # so when the scan already supplies >= one split per core the
+            # kernel reads parquet splits directly and no page bytes move.
             with_ids = with_ids.repartition(par)
         tokenized_path = os.path.join(index_dir, "tokenized")
         # ONE write, partitioned by post (0 = doclen sentinel rows, 1 = real
