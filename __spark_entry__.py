@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": A.q_lang_mix,
         "quality_filter": A.q_quality_filter,
         "split_assign": A.q_split_assign,
+        "lm_score": A.q_lm_score,
+        "tfidf_topterms": A.q_tfidf_topterms,
         "lang_id": A.q_lang_id,
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
@@ -467,6 +469,27 @@ SELECT doc_id, CAST(h % 100 AS BIGINT) AS bucket,
 FROM (SELECT doc_id,
              {_H32.format(col="'split_' || CAST(doc_id AS VARCHAR)")} AS h
       FROM documents)""",
+        "lm_score": f"""
+WITH {_TOK},
+probs AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM tok) AS p
+  FROM tok GROUP BY term
+)
+SELECT t.doc_id, ROUND(AVG(-LN(p.p)), 6) AS nll
+FROM tok t JOIN probs p ON p.term = t.term GROUP BY t.doc_id""",
+        "tfidf_topterms": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfp AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfp.df) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfp.df) DESC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN dfp USING(term)
+)
+SELECT doc_id, term AS top_term, ROUND(tfidf, 6) AS tfidf FROM scored WHERE rn = 1""",
         "lang_id": f"""
 WITH {_TOK}
 SELECT doc_id,

