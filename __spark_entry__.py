@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": A.q_split_assign,
         "lm_score": A.q_lm_score,
         "tfidf_topterms": A.q_tfidf_topterms,
+        "contamination": A.q_contamination,
+        "doc_entropy": A.q_doc_entropy,
+        "ngram_topk": A.q_ngram_topk,
+        "length_quantiles": A.q_length_quantiles,
         "lang_id": A.q_lang_id,
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
@@ -490,6 +494,50 @@ scored AS (
   FROM tf JOIN dfp USING(term)
 )
 SELECT doc_id, term AS top_term, ROUND(tfidf, 6) AS tfidf FROM scored WHERE rn = 1""",
+        "contamination": f"""
+WITH {_TOK},
+g0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w || ' ' ||
+         lead(term,3) OVER w || ' ' || lead(term,4) OVER w AS gram,
+         lead(term,4) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE _ok IS NOT NULL),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {A.CONTAM_MOD} = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g JOIN bench USING(gram) WHERE doc_id % {A.CONTAM_MOD} <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING(doc_id)
+WHERE d.doc_id % {A.CONTAM_MOD} <> 0""",
+        "doc_entropy": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       ROUND(LOG2(CAST(SUM(tf) AS DOUBLE))
+             - SUM(tf * LOG2(CAST(tf AS DOUBLE))) / SUM(tf), 6) AS entropy
+FROM tf GROUP BY doc_id""",
+        "ngram_topk": f"""
+WITH {_TOK},
+g0 AS (
+  SELECT term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w AS gram,
+         lead(term,2) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g0 WHERE _ok IS NOT NULL
+GROUP BY gram ORDER BY n DESC, gram ASC LIMIT {A.NGRAM_TOPK_K}""",
+        "length_quantiles": f"""
+WITH {_TOK}, {_DL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(len AS DOUBLE)), 6) AS mean_len,
+       ROUND(quantile_cont(len, 0.5), 6) AS p50,
+       ROUND(quantile_cont(len, 0.9), 6) AS p90,
+       ROUND(quantile_cont(len, 0.99), 6) AS p99
+FROM dl""",
         "lang_id": f"""
 WITH {_TOK}
 SELECT doc_id,

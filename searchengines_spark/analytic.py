@@ -821,6 +821,105 @@ def q_tfidf_topterms(spark, sf_dir):
     )
 
 
+# Decontamination: the benchmark set is the deterministic doc_id % CONTAM_MOD
+# slice (stands in for an eval suite's text); a training doc is contaminated
+# when it shares any CONTAM_N-gram with any benchmark doc — the GPT-3/Llama
+# n-gram eval-overlap check as one distributed pass.
+CONTAM_MOD, CONTAM_N = 29, 5
+NGRAM_TOPK_N, NGRAM_TOPK_K = 3, 15
+
+
+def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) with one row per n-gram OCCURRENCE, built doc-locally
+    from the token array (transform over sequence — no per-doc window sort,
+    no shuffle; the same shape as _shingles/_rep_stats bigrams)."""
+    joined = ", ".join(f"arr[j+{i}]" for i in range(n))
+    return (
+        docs.select(
+            "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(F.when(
+                F.size("arr") >= n,
+                F.expr(f"transform(sequence(0, size(arr) - {n}), "
+                       f"j -> concat_ws(' ', {joined}))"),
+            ).otherwise(F.array().cast("array<string>"))).alias("gram"),
+        )
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per training doc, the number of distinct
+    CONTAM_N-grams it shares with the benchmark slice, plus the drop flag.
+    The benchmark gram set is small -> broadcast; training grams never
+    self-join, so the op is one doc-local explode + one broadcast semi
+    shape — the plan that survives a 100-TB training corpus."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _doc_ngrams(docs, CONTAM_N)
+    is_bench = F.col("doc_id") % CONTAM_MOD == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    train = grams.filter(~is_bench).distinct()
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        docs.filter(~is_bench).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_doc_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy in bits (the complement quality signal
+    to lm_score: low entropy = repetitive/templated text). Algebraic form
+    H = log2(n) - sum(tf*log2(tf))/n needs one tf groupBy + one doc groupBy."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    g = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"),
+        F.sum(F.col("tf") * F.log2("tf")).alias("s"),
+    )
+    return g.select(
+        "doc_id",
+        F.round(F.log2("n") - F.col("s") / F.col("n"), ROUND_DP).alias("entropy"),
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-k trigrams by occurrence count (the n-gram frequency
+    table a curation pipeline derives boilerplate/stop-phrase lists from).
+    Doc-local gram construction -> one groupBy -> TakeOrderedAndProject."""
+    grams = _doc_ngrams(load(spark, sf_dir, "documents"), NGRAM_TOPK_N)
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(NGRAM_TOPK_K)
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact corpus length distribution (p50/p90/p99 of token count + mean):
+    the sizing numbers that pick maxPartitionBytes / seq-len budgets. Exact
+    interpolated percentile (Spark `percentile` == DuckDB quantile_cont);
+    at 100 TB the same query swaps to approx_percentile with a
+    documented error bound."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    return lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("len"), ROUND_DP).alias("mean_len"),
+        F.round(F.percentile("len", F.lit(0.5)), ROUND_DP).alias("p50"),
+        F.round(F.percentile("len", F.lit(0.9)), ROUND_DP).alias("p90"),
+        F.round(F.percentile("len", F.lit(0.99)), ROUND_DP).alias("p99"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-ratio language heuristic."""
     tok = tokens(load(spark, sf_dir, "documents"))

@@ -91,3 +91,69 @@ def test_tfidf_topterm_properties(spark, docs):
     for r in rows:
         assert r.top_term in texts[r.doc_id]  # keyword comes from the doc
         assert r.tfidf >= 0
+
+
+def test_contamination_semantics(spark, docs):
+    """Brute-force replica on the small fixture: a train doc is contaminated
+    iff its 5-gram set intersects the benchmark slice's 5-gram set."""
+    texts = {r.doc_id: r.text.split() for r in docs.collect()}
+
+    def grams(ts):
+        return {" ".join(ts[i:i + A.CONTAM_N])
+                for i in range(len(ts) - A.CONTAM_N + 1)}
+
+    bench = set()
+    for d, ts in texts.items():
+        if d % A.CONTAM_MOD == 0:
+            bench |= grams(ts)
+    out = {r.doc_id: r for r in A.q_contamination(spark, SF_DIR).collect()}
+    assert set(out) == {d for d in texts if d % A.CONTAM_MOD != 0}
+    for d, r in out.items():
+        expect = len(grams(texts[d]) & bench)
+        assert r.n_shared == expect
+        assert r.contaminated == (expect > 0)
+
+
+def test_doc_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a a b b c c d d")],
+        ["doc_id", "text"])
+    tok = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    g = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"), F.sum(F.col("tf") * F.log2("tf")).alias("s"))
+    out = {r.doc_id: r.e for r in g.select(
+        "doc_id", (F.log2("n") - F.col("s") / F.col("n")).alias("e")).collect()}
+    assert out[1] == pytest.approx(0.0)       # single repeated token
+    assert out[2] == pytest.approx(1.0)       # uniform over 2
+    assert out[3] == pytest.approx(2.0)       # uniform over 4
+    sf_out = A.q_doc_entropy(spark, SF_DIR).collect()
+    for r in sf_out:
+        assert r.entropy >= 0.0
+    assert math.isfinite(max(r.entropy for r in sf_out))
+
+
+def test_ngram_topk_counts(spark, docs):
+    out = A.q_ngram_topk(spark, SF_DIR).collect()
+    assert len(out) <= A.NGRAM_TOPK_K
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+    # brute-force top count on the fixture
+    from collections import Counter
+    c = Counter()
+    for r in docs.collect():
+        ts = r.text.split()
+        for i in range(len(ts) - 2):
+            c[" ".join(ts[i:i + 3])] += 1
+    assert out[0].n == max(c.values())
+
+
+def test_length_quantiles_monotone(spark, docs):
+    r = A.q_length_quantiles(spark, SF_DIR).collect()[0]
+    assert r.n_docs == docs.filter(F.col("text") != "").count()
+    assert r.p50 <= r.p90 <= r.p99
+    assert r.mean_len > 0
