@@ -103,6 +103,18 @@ def main() -> None:
         "way no wide exchange of page payloads.",
         fmt(joined)))
 
+    from searchengines_spark import analytic as A
+    contam = A.q_contamination(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Decontamination (benchmark 5-gram overlap)",
+        "What to look for: the benchmark gram set reaches the training grams "
+        "via `BroadcastHashJoin` (the eval suite is tiny relative to the "
+        "corpus — it ships to every executor; training-side grams never "
+        "shuffle for the probe), and there is NO self-join of the corpus "
+        "gram table anywhere — per-doc gram construction is doc-local "
+        "(`transform` over the token array inside WholeStageCodegen).",
+        fmt(contam)))
+
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("# PLANS — captured physical plans for the headline paths\n\n"
