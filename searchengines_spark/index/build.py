@@ -563,13 +563,26 @@ def build_index(
     )
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    from .snapshots import commit_snapshot
+
+    metrics["snapshot"] = commit_snapshot(index_dir, "build")
     return metrics
 
 
 class IndexReader:
     """Query-side handle: broadcast stats + pruned block scans."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 snapshot: int | None = None):
+        """snapshot: serve against the index as of commit N (time travel) —
+        later appends/compactions are invisible and results reproduce
+        bit-for-bit. Default: the live (latest) state."""
+        if snapshot is not None:
+            from .snapshots import snapshot_dir
+
+            index_dir = snapshot_dir(index_dir, snapshot)
+            if not os.path.isdir(index_dir):
+                raise FileNotFoundError(f"no snapshot v{snapshot} at {index_dir}")
         self.spark = spark
         self.index_dir = index_dir
         fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()

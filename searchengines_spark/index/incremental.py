@@ -159,7 +159,11 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     manifest["stale_block_bounds"] = True  # old max_score under old stats
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
-    return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs}
+    from .snapshots import commit_snapshot
+
+    snap = commit_snapshot(index_dir, "append")
+    return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs,
+            "snapshot": snap}
 
 
 def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
@@ -223,7 +227,11 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
         {"ts": time.time(), "secs": round(time.time() - t0, 2)})
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
-    return {"secs": time.time() - t0, "n_docs": n_docs, "salt_range": salt_range}
+    from .snapshots import commit_snapshot
+
+    snap = commit_snapshot(index_dir, "compact")
+    return {"secs": time.time() - t0, "n_docs": n_docs,
+            "salt_range": salt_range, "snapshot": snap}
 
 
 def _swap(index_dir: str, name: str) -> None:

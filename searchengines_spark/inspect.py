@@ -116,18 +116,35 @@ def main(argv: list[str]) -> int:
             [-list-idocid URL] [-list-metadata ID] [-list-terms FIELD]
             [-list-postings TERM FIELD] [-list-postings-sample TERM FIELD]
             [-list-termvector URL] [-list-termvector-field URL FIELD]
+            [-list-snapshots] [-snapshot N]
+
+    ``-snapshot N`` (before other flags) opens the index as of commit N
+    (time travel); ``-list-snapshots`` dumps the snapshot log.
     """
     import json as _json
 
     from .session import get_spark
 
     i, reader = 0, None
-    spark = None
+    spark, index_dir, snap = None, None, None
     while i < len(argv):
         a = argv[i]
+        if a == "-snapshot":
+            snap = int(argv[i + 1]); i += 2
+            if index_dir is not None:
+                reader = IndexReader(spark, index_dir, snapshot=snap)
+            continue
         if a == "-index":
             spark = spark or get_spark("inspect", cores=8, shuffle_partitions=8)
-            reader = IndexReader(spark, argv[i + 1]); i += 2; continue
+            index_dir = argv[i + 1]
+            reader = IndexReader(spark, index_dir, snapshot=snap); i += 2; continue
+        if a == "-list-snapshots":
+            from .index.snapshots import list_snapshots
+
+            if index_dir is None:
+                print("specify -index DIR first"); return 2
+            print(_json.dumps(list_snapshots(index_dir), indent=2)); i += 1
+            continue
         if reader is None:
             print("specify -index DIR first"); return 2
         if a == "-list-stats":
