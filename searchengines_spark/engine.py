@@ -69,7 +69,7 @@ class Engine:
                 return wand_topk(self.reader, terms, field=field, k=k,
                                  k1=m.k1, b=m.b,
                                  recompute_bounds=self._wand_stale(m))
-        scores = Planner(self.reader, m).plan(root)
+        scores = self._drop_deleted(Planner(self.reader, m).plan(root))
         urls = self.reader.docid_url_map()
         return (
             scores.join(urls, "docid")
@@ -77,6 +77,15 @@ class Engine:
             .orderBy(F.desc("score"), F.asc("url"))
             .limit(k)
         )
+
+    def _drop_deleted(self, scores: DataFrame) -> DataFrame:
+        """Merge-on-read tombstone filter for the planner path: a broadcast
+        anti-join on docid (the tombstone table is bounded by deletes since
+        the last compaction). No-op when the index has no deletes."""
+        dels = self.reader.deletes_df()
+        if dels is None:
+            return scores
+        return scores.join(F.broadcast(dels), "docid", "left_anti")
 
     def search_batch_df(self, queries: dict[str, str], model: str = "bm25",
                         k: int = 100, use_wand: bool = True,
@@ -138,13 +147,14 @@ class Engine:
             shared.count()
             stats = self.reader.term_stats(all_terms)
             for qid, root in roots.items():
-                scores = Planner(self.reader, m).plan(
-                    root, shared_postings=shared, shared_stats=stats)
+                scores = self._drop_deleted(Planner(self.reader, m).plan(
+                    root, shared_postings=shared, shared_stats=stats))
                 frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
         if wand_q:
             frames.append(
                 wand_topk_batch_local(self.reader, wand_q, k=k, k1=m.k1, b=m.b,
-                                      recompute_bounds=self._wand_stale(m))
+                                      recompute_bounds=self._wand_stale(m),
+                                      deleted=self.reader.deleted_set())
                 .select("qid", "docid", "score"))
         unioned = reduce(lambda a, b: a.unionByName(b), frames)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))

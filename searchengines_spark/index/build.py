@@ -393,6 +393,7 @@ def build_index(
     _lap("count_docs")
     salt_range = max(1, math.ceil(n_docs / n_salts))
     metrics["n_docs"] = n_docs
+    metrics["docid_space"] = n_docs  # dense build: space == count
     metrics["salt_range"] = salt_range
     metrics["salt_min_df"] = salt_min_df
     metrics["n_salts"] = n_salts
@@ -597,6 +598,9 @@ class IndexReader:
         except FileNotFoundError:
             self.manifest = {}
         self.salt_range = int(self.manifest.get("salt_range") or max(1, -(-self.n_docs // 32)))
+        # docid-space extent (max docid + 1). Equals n_docs for a dense
+        # build; exceeds it after a physical purge leaves docid holes.
+        self.docid_space = int(self.manifest.get("docid_space") or self.n_docs)
         self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
         self.payload_codec = self.manifest.get("payload_codec", "varint")
         # (field, term) -> (df, ctf) or None for known-absent; the reference's
@@ -660,6 +664,25 @@ class IndexReader:
         for f in FIELDS:
             wide = wide.withColumnRenamed(f, f"len_{f}")
         return wide
+
+    def deletes_df(self) -> DataFrame | None:
+        """Tombstoned docids (merge-on-read deletes), or None when the index
+        has none. Bounded by deletes since the last compaction — compaction
+        removes tombstoned docs physically and clears this table."""
+        p = os.path.join(self.index_dir, "deletes")
+        if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
+            return self.spark.read.parquet(p).select("docid").distinct()
+        return None
+
+    def deleted_set(self) -> frozenset | None:
+        """Tombstones as a driver-side frozenset for the WAND kernel
+        broadcast. Cached per reader (readers are per-index-version)."""
+        if not hasattr(self, "_deleted_set"):
+            df = self.deletes_df()
+            self._deleted_set = (
+                frozenset(int(r["docid"]) for r in df.collect()) if df is not None
+                else None)
+        return self._deleted_set
 
     def attrs(self) -> DataFrame:
         """(docid, raw_url, spam_score, page_rank) — stored fused in the

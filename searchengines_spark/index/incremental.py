@@ -153,6 +153,9 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     tokenized.unpersist()
 
     manifest["n_docs"] = n_docs
+    # appended docids are dense above the old max, so the space grows by
+    # exactly n_new on top of the old extent
+    manifest["docid_space"] = int(max_docid) + 1 + int(n_new)
     manifest.setdefault("appends", []).append(
         {"n_new": int(n_new), "ts": time.time(), "secs": time.time() - t0}
     )
@@ -163,6 +166,34 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
 
     snap = commit_snapshot(index_dir, "append")
     return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs,
+            "snapshot": snap}
+
+
+def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
+    """Tombstone documents by url (merge-on-read delete — the Lucene/Iceberg
+    delete model). Appends the matching docids to ``deletes/``; serving
+    excludes tombstoned docs immediately (WAND kernel mask + planner
+    anti-join) while corpus statistics stay as-built until ``compact()``
+    removes the documents physically (copy-on-write) and recomputes stats.
+    Commits a snapshot, so the pre-delete state stays time-travelable."""
+    t0 = time.time()
+    reader = IndexReader(spark, index_dir)
+    ids = reader.docid_url_map().join(
+        urls.select("url").distinct(), "url").select("docid")
+    prior = reader.deletes_df()
+    if prior is not None:  # idempotent: don't re-tombstone
+        ids = ids.join(prior, "docid", "left_anti")
+    ids.write.mode("append").parquet(os.path.join(index_dir, "deletes"))
+    n_del = IndexReader(spark, index_dir).deletes_df().count()
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    manifest["n_deleted"] = int(n_del)
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    from .snapshots import commit_snapshot
+
+    snap = commit_snapshot(index_dir, "delete")
+    return {"n_deleted_total": int(n_del), "secs": time.time() - t0,
             "snapshot": snap}
 
 
@@ -189,9 +220,67 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
         manifest = json.load(f)
     n_docs = int(manifest["n_docs"])
     n_salts = n_salts or int(manifest.get("n_salts") or 32)
-    salt_range = max(1, math.ceil(n_docs / n_salts))
     salt_min_df = int(manifest.get("salt_min_df", SALT_MIN_DF))
 
+    # ---- physical delete (copy-on-write leg of merge-on-read deletes) ----
+    # Tombstoned docs leave every table; term/field stats are recomputed, so
+    # post-compact results are bit-identical to a fresh build over the
+    # surviving corpus (docid holes don't matter: ranking keys on url).
+    dels = IndexReader(spark, index_dir).deletes_df()
+    if dels is not None:
+        n_del = dels.count()
+        tok_path = os.path.join(index_dir, "tokenized")
+        (
+            spark.read.parquet(tok_path)
+            .join(F.broadcast(dels), "docid", "left_anti")
+            .write.mode("overwrite").partitionBy("post")
+            .parquet(tok_path + "_new")
+        )
+        _swap(index_dir, "tokenized")
+        for tbl, key in (("doc_lens", "docid"), ("doc_lens_wide", "docid"),
+                         ("docids", "docid"), ("attrs", "docid")):
+            p = os.path.join(index_dir, tbl)
+            if not os.path.exists(p):
+                continue
+            (
+                spark.read.parquet(p)
+                .join(F.broadcast(dels), key, "left_anti")
+                .write.mode("overwrite").parquet(p + "_new")
+            )
+            _swap(index_dir, tbl)
+        doc_terms_purged = spark.read.parquet(doc_terms_dir(index_dir))
+        (
+            doc_terms_purged.groupBy("field", "term").agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("ctf"))
+            .withColumn("bucket", term_bucket_col(F.col("term")))
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "term_stats_new"))
+        )
+        _swap(index_dir, "term_stats")
+        n_docs -= int(n_del)
+        doc_lens = spark.read.parquet(os.path.join(index_dir, "doc_lens"))
+        field_stats = doc_lens.filter(F.col("len") > 0).groupBy("field").agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("len").cast("long").alias("sum_len"))
+        meta_row = spark.createDataFrame(
+            [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"])
+        field_stats.unionByName(meta_row).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "field_stats_new"))
+        _swap(index_dir, "field_stats")
+        shutil.rmtree(os.path.join(index_dir, "deletes"))
+        manifest["n_docs"] = n_docs
+        manifest["n_deleted"] = 0
+        manifest.setdefault("purges", []).append(
+            {"n_purged": int(n_del), "ts": time.time()})
+
+    # docid SPACE (max docid + 1) can exceed n_docs once a purge left holes;
+    # stripes are cut over the space so every surviving docid stays covered
+    mx = spark.read.parquet(os.path.join(index_dir, "docids")).agg(
+        F.max("docid")).collect()[0][0]
+    docid_space = int(mx) + 1 if mx is not None else n_docs
+    manifest["docid_space"] = docid_space
+    salt_range = max(1, math.ceil(docid_space / n_salts))
     fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
     avg_len = {r["field"]: (r["sum_len"] / r["doc_count"] if r["doc_count"] else 1.0)
                for r in fs if r["field"] != "__docs__"}

@@ -45,6 +45,7 @@ _TABLES = (
     "field_stats",
     "blocks",
     "lineage",
+    "deletes",  # merge-on-read tombstones (empty/absent between delete and compact)
 )
 
 

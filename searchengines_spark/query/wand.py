@@ -146,9 +146,15 @@ def _push(heap, k, score, docid):
 
 def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
                  k1: float, b: float, avg: float, require_all: bool,
-                 cache: dict | None = None) -> tuple[list, int]:
+                 cache: dict | None = None,
+                 deleted: frozenset | None = None) -> tuple[list, int]:
     """Block-max WAND over one salt stripe.
-    term_blocks: query-term-index -> block tuples. Returns (top-k, decodes)."""
+    term_blocks: query-term-index -> block tuples. Returns (top-k, decodes).
+
+    deleted: tombstoned docids (merge-on-read deletes). A deleted doc is
+    never pushed into the heap, so it can neither appear in results nor
+    raise the pruning threshold — skipping it only LOWERS theta, which
+    keeps every block-max skip sound (less pruning, never wrong)."""
     n_terms = len(idfs)
     cursors: list[tuple[int, _TermCursor]] = []
     for i in range(n_terms):
@@ -181,10 +187,11 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
                 for _, cur in live:
                     cur.advance_to(hi + 1)
             else:
-                score = 0.0
-                for _, cur in sorted(live, key=lambda c: c[0]):  # query order
-                    score += cur.score_cur()
-                _push(heap, k, score, hi)
+                if deleted is None or hi not in deleted:
+                    score = 0.0
+                    for _, cur in sorted(live, key=lambda c: c[0]):  # query order
+                        score += cur.score_cur()
+                    _push(heap, k, score, hi)
                 for _, cur in live:
                     cur.advance()
             live = [c for c in live if not c[1].exhausted()]
@@ -235,10 +242,11 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
         lo = min(cur.cur_doc() for _, cur in live)
         if lo == pivot_doc:
             at = [(i, cur) for i, cur in live if cur.cur_doc() == pivot_doc]
-            score = 0.0
-            for _, cur in sorted(at, key=lambda c: c[0]):  # query order
-                score += cur.score_cur()
-            _push(heap, k, score, pivot_doc)
+            if deleted is None or pivot_doc not in deleted:
+                score = 0.0
+                for _, cur in sorted(at, key=lambda c: c[0]):  # query order
+                    score += cur.score_cur()
+                _push(heap, k, score, pivot_doc)
             for _, cur in at:
                 cur.advance()
         elif lo < pivot_doc:
@@ -270,7 +278,8 @@ def wand_topk_batch_local(reader: IndexReader,
                           queries: dict[str, tuple[list[str], str]],
                           k: int = 100, k1: float = 1.2, b: float = 0.75,
                           require_all: bool = False,
-                          recompute_bounds: bool = False) -> DataFrame:
+                          recompute_bounds: bool = False,
+                          deleted: frozenset | None = None) -> DataFrame:
     """Multi-query block-max WAND in ONE stripe pass: every query's terms
     share a single pruned block scan and one groupBy(salt) shuffle; inside a
     stripe the per-(field, term) block lists are built once and a shared
@@ -315,8 +324,15 @@ def wand_topk_batch_local(reader: IndexReader,
     b_cold = spark.sparkContext.broadcast(cold)
     b_queries = spark.sparkContext.broadcast(
         {qid: (list(ts), f) for qid, (ts, f) in queries.items()})
+    # tombstones: bounded by deletes since the last compaction (compaction
+    # removes them physically). Broadcast whole; at crawl scale the kernel
+    # would range-slice the sorted tombstone list per stripe instead.
+    b_del = spark.sparkContext.broadcast(deleted) if deleted else None
 
-    n_stripes = max(1, -(-n_docs // salt_range))
+    # stripes must cover the docid SPACE, not the doc count: after a
+    # physical purge the surviving docids keep their values (holes), so the
+    # max docid can exceed n_docs
+    n_stripes = max(1, -(-reader.docid_space // salt_range))
     skeleton = spark.range(n_stripes).select(
         F.lit("").alias("field"), F.lit("").alias("term"),
         F.col("id").cast("int").alias("salt"),
@@ -373,7 +389,8 @@ def wand_topk_batch_local(reader: IndexReader,
             tb = {i: by_key[(field, t)] for i, t in enumerate(terms)
                   if (field, t) in by_key}
             top, dec = _wand_stripe(tb, idfs, k, k1, b, avgs[field],
-                                    require_all, cache)
+                                    require_all, cache,
+                                    deleted=b_del.value if b_del else None)
             for d, s in top:
                 out_q.append(qid); out_d.append(d); out_s.append(s)
                 out_dec.append(dec)
@@ -393,7 +410,8 @@ def wand_topk_batch_local(reader: IndexReader,
 def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
               k: int = 100, k1: float = 1.2, b: float = 0.75,
               require_all: bool = False, debug: bool = False,
-              recompute_bounds: bool = False) -> DataFrame:
+              recompute_bounds: bool = False,
+              deleted: frozenset | None = None) -> DataFrame:
     """Distributed block-max WAND top-k over the compressed index.
     Score-identical to the exhaustive #SUM/#AND-conjunctive BM25 path.
 
@@ -407,7 +425,8 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     Delegates to the multi-query kernel with a batch of one."""
     local = wand_topk_batch_local(
         reader, {"q": (list(terms), field)}, k=k, k1=k1, b=b,
-        require_all=require_all, recompute_bounds=recompute_bounds)
+        require_all=require_all, recompute_bounds=recompute_bounds,
+        deleted=deleted if deleted is not None else reader.deleted_set())
     if debug:
         return local.select("docid", "score", "decodes")
     urls = reader.docid_url_map()

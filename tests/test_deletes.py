@@ -1,0 +1,95 @@
+"""Document deletes, Lucene/Iceberg model: tombstones exclude docs from
+results immediately (merge-on-read; corpus stats stay as-built), compaction
+removes them physically (copy-on-write) after which results are
+bit-identical to a fresh build over the surviving corpus."""
+
+import math
+import os
+
+import pytest
+
+from searchengines_spark.corpus import generate_pages
+from searchengines_spark.engine import Engine
+from searchengines_spark.index import IndexReader, build_index
+from searchengines_spark.index.incremental import compact, delete_pages
+from searchengines_spark.index.snapshots import list_snapshots
+
+QUERY = "haceba4 badiba5 dibaba2"  # Zipf-tail terms: nonzero idf
+
+
+def _topk(spark, d, k, use_wand=True, snapshot=None):
+    e = Engine(IndexReader(spark, d, snapshot=snapshot))
+    return [(r["url"], r["score"])
+            for r in e.search(QUERY, "bm25", k, use_wand=use_wand).collect()]
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dels")
+    generate_pages(spark, 300, seed=42, partitions=4).write.parquet(
+        str(root / "pages"))
+    all_df = spark.read.parquet(str(root / "pages"))
+    d = str(root / "idx")
+    build_index(spark, all_df, d, n_salts=4)
+    pre = _topk(spark, d, 100)  # deep pre-delete ranking
+    del_urls = all_df.filter("url like 'https://www3%'")
+    m = delete_pages(spark, d, del_urls.select("url"))
+    assert m["n_deleted_total"] > 0
+    deleted = {r["url"] for r in del_urls.select("url").distinct().collect()}
+    return d, root, pre, deleted, m
+
+
+def test_merge_on_read_excludes_tombstones(spark, deleted_index):
+    """Post-delete, both serving paths drop tombstoned docs while every
+    other doc keeps its as-built score (Lucene semantics: stats reflect
+    deleted docs until merge)."""
+    d, _root, pre, deleted, _m = deleted_index
+    assert any(u in deleted for u, _ in pre)  # the delete hits the top-100
+    expect = [(u, s) for u, s in pre if u not in deleted][:20]
+    for use_wand in (True, False):
+        got = _topk(spark, d, 20, use_wand=use_wand)
+        assert [u for u, _ in got] == [u for u, _ in expect], use_wand
+        for (_, gs), (_, ws) in zip(got, expect):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_delete_is_idempotent_and_snapshotted(spark, deleted_index):
+    d, root, _pre, deleted, m = deleted_index
+    again = delete_pages(
+        spark, d,
+        spark.read.parquet(str(root / "pages")).filter(
+            "url like 'https://www3%'").select("url"))
+    assert again["n_deleted_total"] == m["n_deleted_total"]
+    ops = [s["operation"] for s in list_snapshots(d)]
+    assert "delete" in ops
+    # time travel to the build commit still sees the deleted docs
+    v1 = _topk(spark, d, 100, snapshot=1)
+    assert any(u in deleted for u, _ in v1)
+
+
+def test_compact_purges_physically(spark, deleted_index):
+    d, root, _pre, deleted, _m = deleted_index
+    all_df = spark.read.parquet(str(root / "pages"))
+    compact(spark, d, n_salts=4)
+    assert not os.path.isdir(os.path.join(d, "deletes"))
+    import json
+
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["n_deleted"] == 0 and man["purges"][0]["n_purged"] > 0
+
+    d_fresh = str(root / "fresh")
+    build_index(spark, all_df.filter("url not like 'https://www3%'"),
+                d_fresh, n_salts=4)
+    want = _topk(spark, d_fresh, 20)
+    for use_wand in (True, False):
+        got = _topk(spark, d, 20, use_wand=use_wand)
+        assert [u for u, _ in got] == [u for u, _ in want], use_wand
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+    # forward/stat tables no longer reference any tombstoned doc
+    r = IndexReader(spark, d)
+    assert r.deletes_df() is None
+    left = r.docid_url_map().filter(
+        r.docid_url_map()["url"].startswith("https://www3")).count()
+    assert left == 0
