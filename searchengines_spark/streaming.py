@@ -7,8 +7,9 @@ job, exactly-once per epoch via the streaming checkpoint). Queries pick up
 new segments on the next IndexReader open; WAND should use
 recompute_bounds=True until the next compaction (see incremental.py).
 
-Compaction = a fresh build_index over the full corpus: restores the
-docid==url-rank invariant and tight block bounds.
+incremental.compact() (periodic, from the forward table) restores tight
+block bounds, rebalanced stripes and a single file layout, and physically
+purges tombstoned deletes.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .corpus import PAGES_SCHEMA
-from .index.incremental import append_pages
+from .index.incremental import append_pages, delete_pages
 
 
 def stream_index(spark: SparkSession, watch_dir: str, index_dir: str,
@@ -36,6 +37,37 @@ def stream_index(spark: SparkSession, watch_dir: str, index_dir: str,
             return
         m = append_pages(spark, index_dir, batch_df)
         print(f"[stream_index] epoch={epoch_id} appended={m.get('appended')}")
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
+def stream_deletes(spark: SparkSession, watch_dir: str, index_dir: str,
+                   checkpoint_dir: str, available_now: bool = True,
+                   processing_interval: str = "30 seconds"):
+    """Continuous delete feed (takedowns / robots removals / recrawl
+    invalidations): watch a directory for parquet drops of (url) rows and
+    tombstone each micro-batch via incremental.delete_pages — exactly-once
+    per epoch through the streaming checkpoint, snapshot-committed, purged
+    physically at the next compact(). Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", "16")
+        .parquet(watch_dir)
+    )
+
+    def sink(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        m = delete_pages(spark, index_dir, batch_df)
+        print(f"[stream_deletes] epoch={epoch_id} "
+              f"tombstones={m.get('n_deleted_total')}")
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

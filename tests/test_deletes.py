@@ -93,3 +93,31 @@ def test_compact_purges_physically(spark, deleted_index):
     left = r.docid_url_map().filter(
         r.docid_url_map()["url"].startswith("https://www3")).count()
     assert left == 0
+
+
+def test_streaming_delete_feed(spark, tmp_path):
+    """Continuous delete feed: parquet url drops tombstone per micro-batch
+    (exactly-once via the streaming checkpoint), excluded from serving."""
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.streaming import stream_deletes
+
+    pages = generate_pages(spark, 120, seed=9, partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4)
+    n0 = IndexReader(spark, d).n_docs
+
+    feed = str(tmp_path / "delfeed")
+    os.makedirs(feed)
+    pages.filter("url like 'https://www2%'").select("url").write.parquet(
+        os.path.join(feed, "drop0"))
+    # each takedown drop is its own parquet dir under the feed -> glob
+    q = stream_deletes(spark, feed + "/*", d, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    r = IndexReader(spark, d)
+    assert r.deletes_df() is not None and r.deletes_df().count() > 0
+    assert r.n_docs == n0  # tombstones: count unchanged until compact
+    e = Engine(r)
+    hits = e.search("cebaba1 dibaba2", "bm25", 100).collect()
+    assert hits and all(not h["url"].startswith("https://www2") for h in hits)
