@@ -584,6 +584,20 @@ class IndexReader:
             index_dir = snapshot_dir(index_dir, snapshot)
             if not os.path.isdir(index_dir):
                 raise FileNotFoundError(f"no snapshot v{snapshot} at {index_dir}")
+        elif os.path.exists(os.path.join(index_dir, "COMPACTING")):
+            # a compaction is in progress or crashed mid-rewrite: the live
+            # tree may be inconsistent (some tables swapped, some not), so
+            # serve the last COMMITTED snapshot instead — Iceberg
+            # read-committed behavior. compact() re-run repairs the live
+            # tree and removes the marker.
+            from .snapshots import list_snapshots, snapshot_dir
+
+            snaps = list_snapshots(index_dir)
+            if not snaps:
+                raise RuntimeError(
+                    f"{index_dir}: compaction in progress/crashed and no "
+                    "committed snapshot exists — re-run compact() to repair")
+            index_dir = snapshot_dir(index_dir, int(snaps[-1]["version"]))
         self.spark = spark
         self.index_dir = index_dir
         fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()

@@ -120,16 +120,27 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     merged_ts.write.mode("overwrite").parquet(ts_tmp)
     _swap(index_dir, "term_stats")
 
-    doc_lens = spark.read.parquet(os.path.join(index_dir, "doc_lens"))
+    # field_stats: old + DELTA (never a rescan of the full doc_lens table —
+    # that would make append cost O(index size) instead of O(batch)). The
+    # delta aggregates ≤ |fields| rows from the already-cached tokenized
+    # batch; the merge is driver-side arithmetic over the broadcast dict.
     n_docs = int(manifest["n_docs"]) + n_new
-    field_stats = doc_lens.filter(F.col("len") > 0).groupBy("field").agg(
-        F.count(F.lit(1)).cast("long").alias("doc_count"),
-        F.sum("len").cast("long").alias("sum_len"),
-    )
-    meta_row = spark.createDataFrame(
-        [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"]
-    )
-    field_stats.unionByName(meta_row).write.mode("overwrite").parquet(
+    delta_fs = {
+        r["field"]: (int(r["doc_count"]), int(r["sum_len"]))
+        for r in tokenized.filter(F.col("term") == "")
+        .filter(F.col("doclen") > 0).groupBy("field").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.col("doclen").cast("long")).alias("sum_len")).collect()
+    }
+    merged_fs = [
+        (f,
+         reader.field_stats.get(f, (0, 0))[0] + delta_fs.get(f, (0, 0))[0],
+         reader.field_stats.get(f, (0, 0))[1] + delta_fs.get(f, (0, 0))[1])
+        for f in sorted(set(reader.field_stats) | set(delta_fs))
+    ] + [("__docs__", int(n_docs), 0)]
+    spark.createDataFrame(
+        merged_fs, ["field", "doc_count", "sum_len"]
+    ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "field_stats_new")
     )
     _swap(index_dir, "field_stats")
@@ -222,11 +233,26 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     n_salts = n_salts or int(manifest.get("n_salts") or 32)
     salt_min_df = int(manifest.get("salt_min_df", SALT_MIN_DF))
 
+    # Crash-safety contract: a COMPACTING marker brackets the whole run.
+    # While it exists (in-progress or crashed), IndexReader serves the last
+    # COMMITTED snapshot instead of the half-rewritten live tree (Iceberg
+    # read-committed behavior), and re-running compact() repairs: every
+    # purge step below is an idempotent anti-join, tombstones survive until
+    # the very last step, and n_docs is re-derived by counting tables —
+    # never by manifest arithmetic that a restart would double-apply.
+    marker = os.path.join(index_dir, "COMPACTING")
+    with open(marker, "w") as f:
+        f.write(str(t0))
+
     # ---- physical delete (copy-on-write leg of merge-on-read deletes) ----
     # Tombstoned docs leave every table; term/field stats are recomputed, so
     # post-compact results are bit-identical to a fresh build over the
     # surviving corpus (docid holes don't matter: ranking keys on url).
-    dels = IndexReader(spark, index_dir).deletes_df()
+    del_path = os.path.join(index_dir, "deletes")
+    dels = None
+    if os.path.isdir(del_path) and any(
+            f.endswith(".parquet") for f in os.listdir(del_path)):
+        dels = spark.read.parquet(del_path).select("docid").distinct()
     if dels is not None:
         n_del = dels.count()
         tok_path = os.path.join(index_dir, "tokenized")
@@ -237,14 +263,13 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             .parquet(tok_path + "_new")
         )
         _swap(index_dir, "tokenized")
-        for tbl, key in (("doc_lens", "docid"), ("doc_lens_wide", "docid"),
-                         ("docids", "docid"), ("attrs", "docid")):
+        for tbl in ("doc_lens", "doc_lens_wide", "docids", "attrs"):
             p = os.path.join(index_dir, tbl)
             if not os.path.exists(p):
                 continue
             (
                 spark.read.parquet(p)
-                .join(F.broadcast(dels), key, "left_anti")
+                .join(F.broadcast(dels), "docid", "left_anti")
                 .write.mode("overwrite").parquet(p + "_new")
             )
             _swap(index_dir, tbl)
@@ -258,7 +283,8 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             .parquet(os.path.join(index_dir, "term_stats_new"))
         )
         _swap(index_dir, "term_stats")
-        n_docs -= int(n_del)
+        n_docs = spark.read.parquet(
+            os.path.join(index_dir, "docids")).count()
         doc_lens = spark.read.parquet(os.path.join(index_dir, "doc_lens"))
         field_stats = doc_lens.filter(F.col("len") > 0).groupBy("field").agg(
             F.count(F.lit(1)).cast("long").alias("doc_count"),
@@ -268,7 +294,6 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
         field_stats.unionByName(meta_row).write.mode("overwrite").parquet(
             os.path.join(index_dir, "field_stats_new"))
         _swap(index_dir, "field_stats")
-        shutil.rmtree(os.path.join(index_dir, "deletes"))
         manifest["n_docs"] = n_docs
         manifest["n_deleted"] = 0
         manifest.setdefault("purges", []).append(
@@ -316,9 +341,14 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
         {"ts": time.time(), "secs": round(time.time() - t0, 2)})
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    # tombstones die LAST: any crash above leaves them in place, so
+    # merge-on-read filtering keeps serving correctly and a compact() re-run
+    # repairs (every purge step is an idempotent anti-join)
+    shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "compact")
+    os.remove(marker)
     return {"secs": time.time() - t0, "n_docs": n_docs,
             "salt_range": salt_range, "snapshot": snap}
 

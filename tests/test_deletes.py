@@ -121,3 +121,48 @@ def test_streaming_delete_feed(spark, tmp_path):
     e = Engine(r)
     hits = e.search("cebaba1 dibaba2", "bm25", 100).collect()
     assert hits and all(not h["url"].startswith("https://www2") for h in hits)
+
+
+def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """Kill compact mid-rewrite (after the purge swaps, before the block
+    re-encode): readers fall back to the last committed snapshot and keep
+    excluding tombstoned docs; a compact() re-run repairs the live tree."""
+    import searchengines_spark.index.incremental as inc
+
+    pages = generate_pages(spark, 120, seed=9, partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4)
+    delete_pages(spark, d, pages.filter("url like 'https://www2%'").select("url"))
+    pre_crash = _topk(spark, d, 20)
+    assert pre_crash and all(not u.startswith("https://www2") for u, _ in pre_crash)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(inc, "encode_blocks", boom, raising=False)
+    real_encode = __import__(
+        "searchengines_spark.index.build", fromlist=["encode_blocks"]).encode_blocks
+    monkeypatch.setattr("searchengines_spark.index.build.encode_blocks", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact(spark, d, n_salts=4)
+    assert os.path.exists(os.path.join(d, "COMPACTING"))
+    assert os.path.isdir(os.path.join(d, "deletes"))  # tombstones survive
+
+    # reader redirects to the last committed snapshot: still correct
+    during = _topk(spark, d, 20)
+    assert [u for u, _ in during] == [u for u, _ in pre_crash]
+
+    monkeypatch.setattr("searchengines_spark.index.build.encode_blocks",
+                        real_encode)
+    monkeypatch.setattr(inc, "encode_blocks", real_encode, raising=False)
+    compact(spark, d, n_salts=4)
+    assert not os.path.exists(os.path.join(d, "COMPACTING"))
+    assert not os.path.isdir(os.path.join(d, "deletes"))
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, pages.filter("url not like 'https://www2%'"),
+                d_fresh, n_salts=4)
+    want = _topk(spark, d_fresh, 20)
+    got = _topk(spark, d, 20)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
