@@ -38,8 +38,17 @@ from .build import IndexReader, doc_terms_dir, encode_blocks, term_bucket_col
 def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                  n_salts_hint: int | None = None,
                  bm25_k1: float = 1.2, bm25_b: float = 0.75) -> dict:
-    """Append a batch of pages to an existing index. Returns metrics."""
+    """Append a batch of pages to an existing index. Returns metrics
+    (incl. per-stage seconds, like build_index's stage_secs)."""
     t0 = time.time()
+    stage_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _lap(name: str) -> None:
+        now = time.time()
+        stage_secs[name] = round(now - _last[0], 2)
+        _last[0] = now
+
     reader = IndexReader(spark, index_dir)
     old_docids = reader.docid_url_map()
     max_docid = old_docids.agg(F.max("docid")).collect()[0][0]
@@ -71,6 +80,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         F.col("docid") > max_docid
     )
     n_new = new_ids.count()
+    _lap("docids")
     if n_new == 0:
         return {"appended": 0, "secs": time.time() - t0}
 
@@ -104,6 +114,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         dw.write.mode("append").parquet(wide_path)
     delta_terms = tokenized.filter(F.col("term") != "")
     delta_terms.write.mode("append").parquet(doc_terms_dir(index_dir))
+    _lap("tokenize")
 
     # merged stats (old + delta)
     delta_stats = delta_terms.groupBy("field", "term").agg(
@@ -119,6 +130,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     ts_tmp = os.path.join(index_dir, "term_stats_new")
     merged_ts.write.mode("overwrite").parquet(ts_tmp)
     _swap(index_dir, "term_stats")
+    _lap("stats_merge")
 
     # field_stats: old + DELTA (never a rescan of the full doc_lens table —
     # that would make append cost O(index size) instead of O(batch)). The
@@ -158,9 +170,35 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                            salt_range, bm25_k1, bm25_b,
                            salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)),
                            payload_codec=manifest.get("payload_codec", "varint"))
-    blocks.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "blocks")
+    # Two-step layout, same as the build's segments->merge: a DIRECT
+    # partitionBy("bucket") write here would emit one file per (encode task,
+    # bucket) — measured 8k+ tiny files and 4x the append wall clock on a
+    # 27k-doc delta. Instead the flat segment write lands the compressed
+    # blocks once, and the ~100x-smaller re-read range-partitions them into
+    # O(tasks + buckets) bucket-contiguous files.
+    seg_path = os.path.join(index_dir, "blocks_segments")
+    if os.path.isdir(seg_path):
+        blocks.write.mode("append").parquet(seg_path)
+        delta_blocks = spark.read.parquet(seg_path).filter(
+            F.col("min_docid") > max_docid)  # new docids start past old max
+    else:  # pre-segments layout: stage the delta in a scratch dir
+        scratch = os.path.join(index_dir, "blocks_delta_tmp")
+        blocks.write.mode("overwrite").parquet(scratch)
+        delta_blocks = spark.read.parquet(scratch)
+    (
+        delta_blocks.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 16),
+            "bucket", "field", "term", "salt")
+        .sortWithinPartitions("bucket", "field", "term", "salt", "min_docid")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "blocks"))
     )
+    if not os.path.isdir(seg_path):
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "blocks_delta_tmp"),
+                      ignore_errors=True)
+    _lap("encode")
     tokenized.unpersist()
 
     manifest["n_docs"] = n_docs
@@ -176,8 +214,9 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "append")
+    _lap("snapshot")
     return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs,
-            "snapshot": snap}
+            "snapshot": snap, "stage_secs": stage_secs}
 
 
 def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
