@@ -55,11 +55,18 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         manifest = json.load(f)
 
-    # new docids: offset dense rank over NEW urls (skip urls already indexed)
+    # new docids: offset dense rank over NEW urls. The anti-join is against
+    # LIVE docids only (tombstoned urls can be re-added — that's how
+    # upsert_pages replaces a re-crawled page); a url's tombstoned docid
+    # keeps existing until compact(), so docid values are never reused.
+    live_docids = old_docids
+    dels = reader.deletes_df()
+    if dels is not None:
+        live_docids = old_docids.join(F.broadcast(dels), "docid", "left_anti")
     fresh = (
         new_pages.filter(F.col("lang") == "en")
         .select("url", "html")
-        .join(old_docids.select("url"), "url", "left_anti")
+        .join(live_docids.select("url"), "url", "left_anti")
     )
     # two-pass range-partitioned rank (corpus.assign_docids) + offset: the
     # same fully-parallel docid assignment the batch build uses. (An
@@ -219,6 +226,26 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
             "snapshot": snap, "stage_secs": stage_secs}
 
 
+def upsert_pages(spark: SparkSession, index_dir: str,
+                 pages: DataFrame) -> dict:
+    """Re-crawl upsert: REPLACE any already-indexed url's content with the
+    incoming page and add genuinely-new urls — tombstone the live docid of
+    every incoming url (merge-on-read, like delete_pages), then append the
+    whole batch; the anti-join in append_pages skips only LIVE urls, so the
+    re-crawled pages index under fresh docids. Serving reflects the new
+    content immediately; the old versions leave physically at the next
+    compact(). Completes the index CRUD lifecycle:
+    build / append / upsert / delete / compact, each snapshot-committed."""
+    t0 = time.time()
+    urls_in = pages.filter(F.col("lang") == "en").select("url").distinct()
+    d = delete_pages(spark, index_dir, urls_in)
+    a = append_pages(spark, index_dir, pages)
+    return {"replaced_tombstones": d["n_deleted_total"],
+            "appended": a.get("appended", 0),
+            "secs": time.time() - t0,
+            "snapshot": a.get("snapshot", d.get("snapshot"))}
+
+
 def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
     """Tombstone documents by url (merge-on-read delete — the Lucene/Iceberg
     delete model). Appends the matching docids to ``deletes/``; serving
@@ -233,6 +260,9 @@ def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
     prior = reader.deletes_df()
     if prior is not None:  # idempotent: don't re-tombstone
         ids = ids.join(prior, "docid", "left_anti")
+    if ids.limit(1).count() == 0:  # nothing new to tombstone
+        return {"n_deleted_total": int(prior.count()) if prior is not None else 0,
+                "secs": time.time() - t0, "snapshot": None}
     ids.write.mode("append").parquet(os.path.join(index_dir, "deletes"))
     n_del = IndexReader(spark, index_dir).deletes_df().count()
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:

@@ -166,3 +166,54 @@ def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
     assert [u for u, _ in got] == [u for u, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_upsert_replaces_recrawled_content(spark, tmp_path):
+    """Re-crawl upsert: incoming pages replace same-url content (new docid,
+    old tombstoned), new urls append; post-compact == fresh build over the
+    updated corpus."""
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.index.incremental import upsert_pages
+
+    pages = generate_pages(spark, 200, seed=42, partitions=4)
+    first = pages.filter("url < 'https://www6'")
+    d = str(tmp_path / "idx")
+    build_index(spark, first, d, n_salts=4)
+
+    # the recrawl: every www2 page re-arrives with CHANGED content (remap
+    # html/text deterministically by swapping in a marker token), plus the
+    # never-seen tail urls
+    changed = (
+        pages.filter("url like 'https://www2%'")
+        .withColumn("html", F.to_binary(
+            F.concat(F.lit("<html><body> recrawlmarker recrawlmarker "
+                           "recrawlmarker </body></html>")), F.lit("utf-8")))
+        .withColumn("text", F.lit("recrawlmarker recrawlmarker recrawlmarker"))
+    )
+    batch = changed.unionByName(pages.filter("url >= 'https://www6'"))
+    m = upsert_pages(spark, d, batch)
+    assert m["replaced_tombstones"] > 0 and m["appended"] > 0
+
+    e = Engine(IndexReader(spark, d))
+    # new content serves for the re-crawled urls...
+    hits = e.search("recrawlmarker", "bm25", 50).collect()
+    assert hits and all(h["url"].startswith("https://www2") for h in hits)
+    n_www2 = pages.filter(
+        "url like 'https://www2%' and lang = 'en'").count()
+    assert len(hits) == n_www2
+    # ...and each re-crawled url serves exactly once (old docid tombstoned)
+    urls = [h["url"] for h in hits]
+    assert len(urls) == len(set(urls))
+
+    compact(spark, d, n_salts=4)
+    d_fresh = str(tmp_path / "fresh")
+    build_index(
+        spark,
+        first.filter("url not like 'https://www2%'").unionByName(batch),
+        d_fresh, n_salts=4)
+    got = _topk(spark, d, 20)
+    want = _topk(spark, d_fresh, 20)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
