@@ -200,6 +200,25 @@ cand AS (
 SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5"""
 
 
+def _dup_clusters_ctes() -> str:
+    """WITH-RECURSIVE chain ending at reach(doc, label): LSH candidates ->
+    verified dup pairs -> connected components (shared by dup_clusters and
+    dedup_keep)."""
+    return f"""WITH RECURSIVE {_TOK}, {_SH3} {_MH},
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+){_JAC_CAND},
+dup AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+nodes AS (SELECT a_id AS doc FROM dup UNION SELECT b_id FROM dup),
+edges AS (SELECT a_id AS s, b_id AS d FROM dup UNION SELECT b_id, a_id FROM dup),
+reach(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.doc
+)"""
+
+
 _COS_NRM = """
 qx AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
        FROM embeddings WHERE vec_id = 0),
@@ -252,6 +271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": A.q_doc_entropy,
         "ngram_topk": A.q_ngram_topk,
         "length_quantiles": A.q_length_quantiles,
+        "pack_blocks": A.q_pack_blocks,
+        "sample_weights": A.q_sample_weights,
+        "vocab_oov": A.q_vocab_oov,
+        "prefix_dup": A.q_prefix_dup,
+        "dedup_keep": A.q_dedup_keep,
         "lang_id": A.q_lang_id,
         "quality": A.q_quality,
         "token_stats": A.q_token_stats,
@@ -318,22 +342,17 @@ FROM documents GROUP BY md5(text)""",
         "minhash": f"WITH {_TOK}, {_SH3} {_MH} SELECT * FROM mh",
         "minhash64": f"WITH {_TOK}, {_SH3} {_MH64} SELECT * FROM mh64",
         "lsh_dup_pairs_scaled": _lsh_scaled_sql(),
-        "dup_clusters": f"""
-WITH RECURSIVE {_TOK}, {_SH3} {_MH},
-cand AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-){_JAC_CAND},
-dup AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
-nodes AS (SELECT a_id AS doc FROM dup UNION SELECT b_id FROM dup),
-edges AS (SELECT a_id AS s, b_id AS d FROM dup UNION SELECT b_id, a_id FROM dup),
-reach(doc, label) AS (
-  SELECT doc, doc FROM nodes
-  UNION
-  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.doc
-)
+        "dup_clusters": _dup_clusters_ctes() + """
 SELECT CAST(doc AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS canon
 FROM reach GROUP BY doc""",
+        "dedup_keep": _dup_clusters_ctes() + """,
+ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+ek AS (SELECT h, MIN(doc_id) AS keep_id FROM ex GROUP BY h),
+canon AS (SELECT doc, MIN(label) AS canon FROM reach GROUP BY doc)
+SELECT d.doc_id, (d.doc_id = ek.keep_id) AS exact_keep,
+       (c.canon IS NULL OR c.canon = d.doc_id) AS near_keep,
+       ((d.doc_id = ek.keep_id) AND (c.canon IS NULL OR c.canon = d.doc_id)) AS keep
+FROM ex d JOIN ek USING(h) LEFT JOIN canon c ON c.doc = d.doc_id""",
         "simhash_dup_pairs": _simhash_dup_pairs_sql(),
         "lsh_dup_pairs": f"""
 WITH {_TOK}, {_SH3} {_MH} {_JAC},
@@ -538,6 +557,45 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(quantile_cont(len, 0.9), 6) AS p90,
        ROUND(quantile_cont(len, 0.99), 6) AS p99
 FROM dl""",
+        "pack_blocks": f"""
+WITH {_TOK}, {_DL},
+c AS (
+  SELECT doc_id, len,
+         COALESCE(SUM(len) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM dl
+)
+SELECT doc_id, len,
+       CAST(start // {A.PACK_SEQ_LEN} AS BIGINT) AS first_block,
+       CAST((start + len - 1) // {A.PACK_SEQ_LEN} AS BIGINT) AS last_block,
+       CAST((start + len - 1) // {A.PACK_SEQ_LEN} - start // {A.PACK_SEQ_LEN} + 1
+            AS BIGINT) AS n_blocks
+FROM c""",
+        "sample_weights": f"""
+WITH src AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS n FROM src),
+ws AS (SELECT source, n_s, POWER(CAST(n_s AS DOUBLE) / n, {A.MIX_ALPHA}) AS pa
+       FROM src, tot),
+z AS (SELECT SUM(pa) AS z FROM ws)
+SELECT d.doc_id, d.source, ROUND(ws.pa / z.z * tot.n / ws.n_s, 6) AS weight
+FROM documents d JOIN ws USING(source), z, tot""",
+        "vocab_oov": f"""
+WITH {_TOK},
+ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+vocab AS (SELECT term FROM ctf ORDER BY ctf DESC, term ASC LIMIT {A.VOCAB_TOP_V})
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY t.doc_id""",
+        "prefix_dup": f"""
+WITH p AS (
+  SELECT doc_id,
+         {_H32.format(col=f"array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, {A.PREFIX_K}), ' ')")} AS ph
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+)
+SELECT ph, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM p GROUP BY ph HAVING COUNT(*) > 1""",
         "lang_id": f"""
 WITH {_TOK}
 SELECT doc_id,

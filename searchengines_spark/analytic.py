@@ -982,3 +982,140 @@ def q_fingerprint(spark, sf_dir):
     return sh.select("doc_id", md5hash32(F.col("shingle")).alias("h")).groupBy("doc_id").agg(
         F.min("h").alias("fingerprint")
     )
+
+
+# ----------------------------------------------- training-prep: pack / mix
+# GPT-style sequence packing: the corpus is concatenated in doc_id order and
+# sliced into fixed-length training blocks. PACK_BUCKET is the fan-in of the
+# distributed prefix-sum tree (see q_pack_blocks).
+PACK_SEQ_LEN = 128
+PACK_BUCKET = 64
+MIX_ALPHA = 0.5     # source-mixing temperature (alpha < 1 upweights rare sources)
+VOCAB_TOP_V = 64    # vocabulary size for the OOV-rate estimator
+PREFIX_K = 16       # tokens of leading context for boilerplate-prefix families
+
+
+def q_pack_blocks(spark, sf_dir):
+    """Sequence packing for training: concatenate docs in doc_id order, slice
+    into PACK_SEQ_LEN-token blocks; per doc emit the block span its tokens
+    land in. The global prefix sum is a 3-level scan tree (doc -> bucket of
+    PACK_BUCKET docs -> superbucket of PACK_BUCKET buckets -> root): the
+    per-doc and per-bucket windows are PARTITIONED (parallel), and only the
+    superbucket roll-up — N / PACK_BUCKET^2 rows — is a global window. With
+    PACK_BUCKET=64 two partitioned levels cover 4096 docs per root row;
+    production sets PACK_BUCKET~2^16 so the root level is ~N/2^32 rows (233
+    rows at 10^12 docs), and the same pattern nests once more if ever needed
+    — there is no O(N) single-task sort anywhere (the anti-pattern a naive
+    Window.orderBy cumsum would introduce)."""
+    from pyspark.sql import Window
+
+    B, L = PACK_BUCKET, PACK_SEQ_LEN
+    dl = _doclens(tokens(load(spark, sf_dir, "documents")))
+    d = dl.withColumn("b1", F.expr(f"doc_id div {B}")).withColumn(
+        "b2", F.expr(f"doc_id div {B * B}"))
+    w1 = Window.partitionBy("b1").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    d = d.withColumn("off1", F.coalesce(F.sum("len").over(w1), F.lit(0)))
+    bt = d.groupBy("b1", "b2").agg(F.sum("len").alias("bsum"))
+    w2 = Window.partitionBy("b2").orderBy("b1").rowsBetween(
+        Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off2", F.coalesce(F.sum("bsum").over(w2), F.lit(0)))
+    st = bt.groupBy("b2").agg(F.sum("bsum").alias("ssum"))
+    w3 = Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)
+    st = st.withColumn("off3", F.coalesce(F.sum("ssum").over(w3), F.lit(0)))
+    j = (
+        d.join(F.broadcast(bt.select("b1", "off2")), "b1")
+        .join(F.broadcast(st.select("b2", "off3")), "b2")
+        .withColumn("start", F.col("off1") + F.col("off2") + F.col("off3"))
+    )
+    return j.select(
+        "doc_id", "len",
+        F.expr(f"start div {L}").cast("long").alias("first_block"),
+        F.expr(f"(start + len - 1) div {L}").cast("long").alias("last_block"),
+        (F.expr(f"(start + len - 1) div {L}") - F.expr(f"start div {L}") + 1)
+        .cast("long").alias("n_blocks"),
+    )
+
+
+def q_sample_weights(spark, sf_dir):
+    """Temperature-based source mixing (the multinomial data-mix reweighting
+    used for multilingual/multi-source pretraining): per-source sampling
+    share w_s ~ (n_s/N)^alpha, normalized; per-doc weight = w_s * N / n_s so
+    the corpus-mean weight is exactly 1 and alpha < 1 upweights rare
+    sources. One tiny per-source aggregate, broadcast back — scales."""
+    docs = load(spark, sf_dir, "documents")
+    n_total = docs.count()
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    pa = F.pow(F.col("n_s") / F.lit(float(n_total)), F.lit(MIX_ALPHA))
+    w = src.select("source", "n_s", pa.alias("pa"))
+    z = w.agg(F.sum("pa").alias("z"))
+    w = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        (F.col("pa") / F.col("z") * F.lit(float(n_total)) / F.col("n_s")).alias("wt"))
+    return docs.select("doc_id", "source").join(F.broadcast(w), "source").select(
+        "doc_id", "source", F.round("wt", ROUND_DP).alias("weight"))
+
+
+def q_vocab_oov(spark, sf_dir):
+    """Top-V vocabulary construction + per-doc OOV rate (the 'how much of
+    this doc does a V-word vocab cover' signal; also the first stage of any
+    frequency-built tokenizer). The vocab is a corpus-wide top-V (tiny),
+    broadcast against the token stream — no shuffle of the corpus beyond
+    the term-count groupBy."""
+    tok = tokens(load(spark, sf_dir, "documents"))
+    vocab = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+        .orderBy(F.desc("ctf"), F.asc("term")).limit(VOCAB_TOP_V)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)),
+                    ROUND_DP).alias("oov_rate"),
+        )
+    )
+
+
+def q_prefix_dup(spark, sf_dir):
+    """Boilerplate-prefix families: docs sharing an identical first-PREFIX_K
+    token prefix (crawl near-dups differing only in the tail — headers,
+    templates, mirrored pages). One hash + one groupBy; emits only
+    families with >= 2 members."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 1)
+    d = d.select(
+        "doc_id",
+        md5hash32(F.concat_ws(" ", F.slice("arr", 1, PREFIX_K))).alias("ph"))
+    return (
+        d.groupBy("ph")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("doc_id").cast("long").alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_dedup_keep(spark, sf_dir):
+    """The APPLY step of deduplication — the final keep-list a pipeline
+    materializes before training: keep a doc iff it is the canonical (min
+    doc_id) member of its exact-dup (md5) group AND the canonical of its
+    near-dup cluster (or in no cluster). Exact side is one groupBy; near
+    side reuses the LSH-verified connected components (q_dup_clusters) and
+    joins them back — candidate-sized, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.md5("text").alias("h"))
+    ek = e.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact = e.join(ek, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("exact_keep"))
+    clusters = q_dup_clusters(spark, sf_dir).select("doc_id", "canon")
+    near_keep = F.col("canon").isNull() | (F.col("canon") == F.col("doc_id"))
+    return (
+        exact.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", "exact_keep", near_keep.alias("near_keep"),
+            (F.col("exact_keep") & near_keep).alias("keep"),
+        )
+    )

@@ -157,3 +157,68 @@ def test_length_quantiles_monotone(spark, docs):
     assert r.n_docs == docs.filter(F.col("text") != "").count()
     assert r.p50 <= r.p90 <= r.p99
     assert r.mean_len > 0
+
+
+def test_pack_blocks_is_exact_prefix_sum(spark, docs):
+    """The 3-level scan tree must equal the sequential concat: rebuild the
+    global prefix sum in Python (doc_id order) and compare block spans."""
+    rows = {r.doc_id: r for r in A.q_pack_blocks(spark, SF_DIR).collect()}
+    lens = {r.doc_id: r.len for r in
+            A._doclens(A.tokens(docs)).collect()}
+    start, L = 0, A.PACK_SEQ_LEN
+    for doc_id in sorted(lens):
+        r = rows[doc_id]
+        assert r.len == lens[doc_id]
+        assert r.first_block == start // L
+        assert r.last_block == (start + r.len - 1) // L
+        assert r.n_blocks == r.last_block - r.first_block + 1
+        start += r.len
+    assert len(rows) == len(lens)
+
+
+def test_pack_blocks_no_global_doc_sort(spark):
+    """Only the superbucket roll-up may be an unpartitioned window: the
+    per-doc and per-bucket cumsums must be partitioned (parallel)."""
+    plan = A.q_pack_blocks(spark, SF_DIR)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    import re
+    # every Window either partitions by b1/b2 or runs over the tiny b2 roots
+    for spec in re.findall(r"windowspecdefinition\((.*?)\)", plan):
+        assert ("b1" in spec) or ("b2" in spec), spec
+
+
+def test_sample_weights_mean_one_and_rare_upweighted(spark, docs):
+    out = A.q_sample_weights(spark, SF_DIR)
+    n = docs.count()
+    total_w = out.agg(F.sum("weight")).collect()[0][0]
+    assert abs(total_w - n) / n < 1e-4  # corpus-mean weight == 1
+    per_src = {r.source: r.weight for r in out.select("source", "weight").distinct().collect()}
+    counts = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    rare = min(counts, key=counts.get)
+    common = max(counts, key=counts.get)
+    if counts[rare] < counts[common]:
+        assert per_src[rare] > per_src[common]  # alpha < 1 upweights rare
+
+
+def test_vocab_oov_bounds(spark):
+    rows = A.q_vocab_oov(spark, SF_DIR).collect()
+    assert rows and all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+
+
+def test_prefix_dup_contains_exact_dup_groups(spark):
+    """Identical texts share the prefix, so every exact-dup group must land
+    in some prefix family of at least that size."""
+    exact = [r for r in A.q_dedup_exact(spark, SF_DIR).collect() if r.n > 1]
+    fams = A.q_prefix_dup(spark, SF_DIR).collect()
+    assert all(r.n >= 2 for r in fams)
+    if exact:
+        assert max((r.n for r in fams), default=0) >= max(r.n for r in exact)
+
+
+def test_dedup_keep_consistency(spark, docs):
+    rows = A.q_dedup_keep(spark, SF_DIR).collect()
+    assert len(rows) == docs.count()
+    n_md5 = docs.select(F.md5("text")).distinct().count()
+    assert sum(r.exact_keep for r in rows) == n_md5
+    for r in rows:
+        assert r.keep == (r.exact_keep and r.near_keep)
