@@ -140,7 +140,9 @@ class Engine:
                            for r in roots.values())
             shared = decode_postings(
                 self.reader.blocks_for(all_terms), with_positions=need_pos,
-                payload_codec=self.reader.payload_codec).cache()
+                payload_codec=self.reader.payload_codec,
+                norms_dir=self.reader.norms_dir,
+                salt_range=self.reader.salt_range).cache()
             # fill the cache before N query legs reference it — concurrent
             # legs of one lazy action would each recompute the decode
             # (Spark's cache has no cross-task compute lock)

@@ -16,7 +16,9 @@ Iceberg tables — same layout, plus snapshot metadata):
                     post=1 IS the doc_terms forward/analytic table; post=0
                     holds one doclen sentinel row per (doc, field)
 - ``blocks/bucket=NN/`` (field, term, salt, blk, n, max_docid, min_docid,
-                    max_score, docids_z, tfs_z, doclens_z, positions_z)
+                    max_score, docids_z, tfs_z, positions_z); doclens are
+                    NOT duplicated into blocks — they live once per doc in
+                    the docid-sorted ``doc_lens_wide`` norms sidecar
 - ``term_stats/``  (field, term, df, ctf, bucket)
 - ``field_stats/`` (field, doc_count, sum_len)      + row field='__docs__'
                     carrying the global doc count N (Idx.getNumDocs analog)
@@ -67,7 +69,6 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("striped", T.BooleanType(), False),
     T.StructField("docids_z", T.BinaryType(), False),
     T.StructField("tfs_z", T.BinaryType(), False),
-    T.StructField("doclens_z", T.BinaryType(), False),
     T.StructField("positions_z", T.BinaryType(), False),
 ])
 
@@ -99,7 +100,14 @@ def _write_doc_lens_wide(spark: SparkSession, index_dir: str) -> None:
     wide = narrow.groupBy("docid").pivot("field", FIELDS).agg(F.first("len"))
     for f in FIELDS:
         wide = wide.withColumnRenamed(f, f"len_{f}")
-    wide.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_lens_wide"))
+    # docid-range sorted files: this table doubles as the norms sidecar
+    # (index/norms.py) — the serve kernels range-read a docid stripe, and
+    # parquet row-group min/max stats prune that read only if files are
+    # docid-clustered
+    (wide.repartitionByRange(
+        max(spark.sparkContext.defaultParallelism, 8), "docid")
+     .sortWithinPartitions("docid")
+     .write.mode("overwrite").parquet(os.path.join(index_dir, "doc_lens_wide")))
 
 
 def _stage_done(index_dir: str, stage: str) -> bool:
@@ -170,7 +178,7 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
         ("max_tf", pa.int32()), ("min_doclen", pa.int32()),
         ("striped", pa.bool_()),
         ("docids_z", pa.binary()), ("tfs_z", pa.binary()),
-        ("doclens_z", pa.binary()), ("positions_z", pa.binary()),
+        ("positions_z", pa.binary()),
     ]
 
     def encode_chunk(fields, terms, salts, dfs, run_starts,
@@ -206,7 +214,6 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                       else codec.encode_pfor_sliced)
         d_sl = enc_sliced(dd, bstarts)
         t_sl = enc_sliced(tfs.astype(np.uint64), bstarts)
-        l_sl = enc_sliced(doclens.astype(np.uint64), bstarts)
         bcuts = zoffs[np.append(bstarts, n)]
         p_sl = [zdata[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
         # block metadata, all reduceat: BM25 upper bound (same float shape as
@@ -237,7 +244,6 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
             pa.array(dfs[brun] >= salt_min_df, type=pa.bool_()),
             pa.array(d_sl, type=pa.binary()),
             pa.array(t_sl, type=pa.binary()),
-            pa.array(l_sl, type=pa.binary()),
             pa.array(p_sl, type=pa.binary()),
         ]
         return pa.RecordBatch.from_arrays(arrays, names=[nm for nm, _ in out_types])
@@ -543,7 +549,7 @@ def build_index(
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum("n").alias("n_postings"),
             F.sum(F.length("docids_z") + F.length("tfs_z")
-                  + F.length("doclens_z") + F.length("positions_z")).alias("bytes_compressed"),
+                  + F.length("positions_z")).alias("bytes_compressed"),
             F.countDistinct("term").alias("n_terms"),
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
@@ -621,6 +627,12 @@ class IndexReader:
         # ctf memoization across queries (QryEval.java:644-651). Readers are
         # per-index-version objects, so no staleness across appends.
         self._ts_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
+
+    @property
+    def norms_dir(self) -> str:
+        """Docid-sorted doc_lens_wide — the norms sidecar serve kernels
+        read doclens from (blocks no longer carry them)."""
+        return os.path.join(self.index_dir, "doc_lens_wide")
 
     def avg_doclen(self, field: str) -> float:
         c, s = self.field_stats[field]

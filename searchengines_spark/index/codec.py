@@ -267,15 +267,16 @@ def decode_positions_flat(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarr
     return vals, counts
 
 
-def encode_block(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> tuple[bytes, bytes, bytes]:
-    """One posting block: docids delta+varint; tfs varint; doclens varint.
-    Doclens are stored inline so BM25 scoring needs NO join against a
-    doc-length table at query time (a deliberate departure from the
-    reference, which looks doclen up per doc: Idx.java:99-115)."""
+def encode_block(docids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """One posting block: docids delta+varint; tfs varint. Doclens are NOT
+    in the payload: one doc's field length was previously duplicated into
+    every posting of every term (~19% of all block bytes); it now lives
+    once per doc in the norms sidecar (index/norms.py — Lucene's norms-file
+    model, and the same lookup shape as the reference's per-doc
+    Idx.getFieldLength, Idx.java:99-115)."""
     return (
         encode_varint(delta_encode(docids)),
         encode_varint(np.ascontiguousarray(tfs, dtype=np.uint64)),
-        encode_varint(np.ascontiguousarray(doclens, dtype=np.uint64)),
     )
 
 
@@ -491,13 +492,15 @@ def encode_pfor_sliced(values: np.ndarray, cut_idx: np.ndarray) -> list[bytes]:
 PAYLOAD_CODECS = ("varint", "pfor")
 
 
-def decode_block(docids_b: bytes, tfs_b: bytes, doclens_b: bytes,
-                 payload_codec: str = "varint") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_block(docids_b: bytes, tfs_b: bytes,
+                 payload_codec: str = "varint") -> tuple[np.ndarray, np.ndarray]:
+    """(docids, tfs) of one block. Doclens are NOT in the block payload —
+    they live once per doc in the norms sidecar (index/norms.py), not
+    duplicated into every posting (Lucene's norms-file model)."""
     dec = decode_varint if payload_codec == "varint" else decode_pfor
     return (
         delta_decode(dec(docids_b)),
         dec(tfs_b),
-        dec(doclens_b),
     )
 
 

@@ -118,7 +118,10 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
             "field", FIELDS).agg(F.first(F.col("doclen").cast("int")))
         for f in FIELDS:
             dw = dw.withColumnRenamed(f, f"len_{f}")
-        dw.write.mode("append").parquet(wide_path)
+        # docid-sorted delta files: appended docids are all > the old max,
+        # so the new files' docid ranges stay disjoint from existing ones
+        # and the norms sidecar's row-group range pruning keeps working
+        dw.sort("docid").write.mode("append").parquet(wide_path)
     delta_terms = tokenized.filter(F.col("term") != "")
     delta_terms.write.mode("append").parquet(doc_terms_dir(index_dir))
     _lap("tokenize")
@@ -336,11 +339,15 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             p = os.path.join(index_dir, tbl)
             if not os.path.exists(p):
                 continue
-            (
-                spark.read.parquet(p)
-                .join(F.broadcast(dels), "docid", "left_anti")
-                .write.mode("overwrite").parquet(p + "_new")
-            )
+            purged = spark.read.parquet(p).join(
+                F.broadcast(dels), "docid", "left_anti")
+            if tbl == "doc_lens_wide":
+                # keep the norms sidecar docid-clustered so stripe range
+                # reads stay row-group-pruned after the purge
+                purged = purged.repartitionByRange(
+                    max(spark.sparkContext.defaultParallelism, 8), "docid"
+                ).sortWithinPartitions("docid")
+            purged.write.mode("overwrite").parquet(p + "_new")
             _swap(index_dir, tbl)
         doc_terms_purged = spark.read.parquet(doc_terms_dir(index_dir))
         (

@@ -36,7 +36,9 @@ def postings_for(reader: IndexReader, term: str, field: str = "body",
                  with_positions: bool = True) -> DataFrame:
     """listPostings analog: decoded posting list joined to external ids."""
     p = decode_postings(reader.blocks_for([(field, term)]), with_positions,
-                        payload_codec=reader.payload_codec)
+                        payload_codec=reader.payload_codec,
+                        norms_dir=reader.norms_dir,
+                        salt_range=reader.salt_range)
     return p.join(reader.docid_url_map(), "docid").orderBy("docid")
 
 

@@ -108,6 +108,8 @@ class Planner:
             self._postings = decode_postings(
                 self.reader.blocks_for(terms), with_positions=inline_pos,
                 payload_codec=self.reader.payload_codec,
+                norms_dir=self.reader.norms_dir,
+                salt_range=self.reader.salt_range,
             ).cache()
             if inline_pos:
                 self._pos_full = self._postings
@@ -181,7 +183,9 @@ class Planner:
             else:
                 self._pos_full = decode_postings(
                     self._blocks, with_positions=True,
-                    payload_codec=self.reader.payload_codec).cache()
+                    payload_codec=self.reader.payload_codec,
+                    norms_dir=self.reader.norms_dir,
+                    salt_range=self.reader.salt_range).cache()
                 # Materialize NOW (one small job): every positional operator
                 # references this frame from >= 2 plan legs (one per arg),
                 # and Spark's cache has no cross-task compute lock — inside
@@ -231,11 +235,15 @@ class Planner:
                         [F.struct(F.lit(a.field), F.lit(a.term)) for a in node.args]))
                 if cands.size == 0:
                     fdf = decode_postings(fblocks.limit(0), with_positions=True,
-                                          payload_codec=self.reader.payload_codec)
+                                          payload_codec=self.reader.payload_codec,
+                                          norms_dir=self.reader.norms_dir,
+                                          salt_range=self.reader.salt_range)
                 else:
                     fdf = decode_postings(fblocks, with_positions=True,
                                           docid_filter=cands,
-                                          payload_codec=self.reader.payload_codec)
+                                          payload_codec=self.reader.payload_codec,
+                                          norms_dir=self.reader.norms_dir,
+                                          salt_range=self.reader.salt_range)
                 children = [
                     IopResult(
                         fdf.filter((F.col("field") == a.field)

@@ -30,7 +30,9 @@ POSTINGS_POS_SCHEMA = T.StructType(
 
 def decode_postings(blocks: DataFrame, with_positions: bool = False,
                     docid_filter: np.ndarray | None = None,
-                    payload_codec: str = "varint") -> DataFrame:
+                    payload_codec: str = "varint",
+                    norms_dir: str | None = None,
+                    salt_range: int = 1) -> DataFrame:
     """blocks (BLOCKS_SCHEMA rows) -> long postings DataFrame.
 
     mapInArrow: per-block numpy varint decode, output assembled from flat
@@ -43,9 +45,19 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False,
     skipped WITHOUT any decode (the positional analog of block-max
     skipping); surviving blocks emit only candidate rows, so the expensive
     position decode + downstream join touch candidates, not every posting
-    of a high-df term."""
+    of a high-df term.
+
+    ``norms_dir``: path to the docid-sorted doc_lens_wide norms sidecar.
+    Blocks no longer carry doclens; the kernel resolves each surviving
+    block's doclens from the sidecar (process-cached per stripe —
+    index/norms.py), so downstream plans still see the same
+    (field, term, docid, tf, doclen[, positions]) shape."""
     import pyarrow as pa
 
+    from ..index import norms as norms_mod
+
+    if norms_dir is None:
+        raise ValueError("decode_postings requires norms_dir (doc_lens_wide)")
     schema = POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA
     cand_b = None
     if docid_filter is not None:
@@ -62,7 +74,6 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False,
             b_term = rb.column(ix["term"]).to_pylist()
             b_dz = rb.column(ix["docids_z"]).to_pylist()
             b_tz = rb.column(ix["tfs_z"]).to_pylist()
-            b_lz = rb.column(ix["doclens_z"]).to_pylist()
             b_pz = rb.column(ix["positions_z"]).to_pylist() if with_positions else None
             if carr is not None:
                 bmin = rb.column(ix["min_docid"]).to_numpy()
@@ -75,8 +86,7 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False,
             for bi in range(rb.num_rows):
                 if carr is not None and not has_cand[bi]:
                     continue  # whole block skipped, zero decode
-                d, t, dl = codec.decode_block(b_dz[bi], b_tz[bi], b_lz[bi],
-                                              payload_codec)
+                d, t = codec.decode_block(b_dz[bi], b_tz[bi], payload_codec)
                 if carr is not None:
                     idx = np.searchsorted(carr, d.astype(np.int64))
                     np.clip(idx, 0, carr.size - 1, out=idx)
@@ -93,7 +103,8 @@ def decode_postings(blocks: DataFrame, with_positions: bool = False,
                     pvals.append(v)
                     pcounts.append(c)
                 if mask is not None:
-                    d, t, dl = d[mask], t[mask], dl[mask]
+                    d, t = d[mask], t[mask]
+                dl = norms_mod.doclens_at(norms_dir, b_field[bi], d, salt_range)
                 sizes.append(len(d))
                 keep_blk.append(bi)
                 docids.append(d.astype(np.int64))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -46,19 +47,24 @@ class _TermCursor:
     """Lazy cursor over one term's blk-ordered blocks within a salt stripe.
     Blocks decode only when entered; shallow moves never decode."""
 
-    __slots__ = ("blocks", "bi", "docids", "tfs", "doclens", "pi",
+    __slots__ = ("blocks", "bi", "docids", "tfs", "pi", "norms", "lo",
                  "idf", "k1", "b", "avg", "decodes", "global_ub", "cache")
 
     def __init__(self, blocks: list, idf: float, k1: float, b: float, avg: float,
-                 cache: dict | None = None):
+                 norms, lo: int, cache: dict | None = None):
         # blocks: [(max_docid, ub, payload)] min_docid-ordered, where payload
-        # is (codec_name, docids_z, tfs_z, doclens_z) for compressed index
-        # blocks ('varint'/'pfor', the index's payload codec) or
-        # ('raw', docids, tfs, doclens) for broadcast-clipped cold postings.
+        # is (codec_name, docids_z, tfs_z) for compressed index blocks
+        # ('varint'/'pfor', the index's payload codec) or ('raw', docids,
+        # tfs) for broadcast-clipped cold postings.
+        # norms, lo: the stripe's dense doclen array (norms[docid - lo]) for
+        # this cursor's field — doclens are NOT in block payloads anymore
+        # (index/norms.py sidecar), so scoring indexes the stripe array.
         # cache: multi-query batch serving shares one per-stripe decode cache
         # (payload-identity keyed) so two queries touching the same hot term
         # decode each block once.
         self.blocks = blocks
+        self.norms = norms
+        self.lo = lo
         self.bi = 0
         self.docids = None
         self.pi = 0
@@ -80,16 +86,16 @@ class _TermCursor:
                 key = id(payload) if self.cache is not None else None
                 hit = self.cache.get(key) if key is not None else None
                 if hit is not None:
-                    self.docids, self.tfs, self.doclens = hit
+                    self.docids, self.tfs = hit
                 else:
                     # payload[0] carries the index's payload codec name
-                    self.docids, self.tfs, self.doclens = codec.decode_block(
-                        payload[1], payload[2], payload[3], payload[0])
+                    self.docids, self.tfs = codec.decode_block(
+                        payload[1], payload[2], payload[0])
                     self.decodes += 1
                     if key is not None:
-                        self.cache[key] = (self.docids, self.tfs, self.doclens)
+                        self.cache[key] = (self.docids, self.tfs)
             else:
-                _, self.docids, self.tfs, self.doclens = payload
+                _, self.docids, self.tfs = payload
 
     def cur_doc(self) -> int:
         self._decode()
@@ -100,7 +106,7 @@ class _TermCursor:
 
     def score_cur(self) -> float:
         tf = float(self.tfs[self.pi])
-        dl = float(self.doclens[self.pi])
+        dl = float(self.norms[int(self.docids[self.pi]) - self.lo])
         return self.idf * tf / (tf + self.k1 * ((1.0 - self.b) + self.b * dl / self.avg))
 
     def shallow_advance(self, target: int):
@@ -146,10 +152,12 @@ def _push(heap, k, score, docid):
 
 def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
                  k1: float, b: float, avg: float, require_all: bool,
+                 norms, lo: int,
                  cache: dict | None = None,
                  deleted: frozenset | None = None) -> tuple[list, int]:
     """Block-max WAND over one salt stripe.
     term_blocks: query-term-index -> block tuples. Returns (top-k, decodes).
+    norms/lo: the stripe's dense doclen array for the query field.
 
     deleted: tombstoned docids (merge-on-read deletes). A deleted doc is
     never pushed into the heap, so it can neither appear in results nor
@@ -160,7 +168,8 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
     for i in range(n_terms):
         blks = term_blocks.get(i)
         if blks:
-            cursors.append((i, _TermCursor(blks, idfs[i], k1, b, avg, cache)))
+            cursors.append((i, _TermCursor(blks, idfs[i], k1, b, avg,
+                                           norms, lo, cache)))
     if require_all and len(cursors) < n_terms:
         return [], 0
     heap: list[tuple[float, int]] = []
@@ -294,6 +303,7 @@ def wand_topk_batch_local(reader: IndexReader,
     salt_range = reader.salt_range
     avgs = {f: reader.avg_doclen(f) for f in {f for ts, f in queries.values()}}
     pcodec = reader.payload_codec
+    norms_dir = os.path.join(reader.index_dir, "doc_lens_wide")
     idf_of: dict[tuple[str, str], float] = {}
     for f, t in all_pairs:
         df_ = stats.get((f, t), (0, 0))[0]
@@ -302,7 +312,7 @@ def wand_topk_batch_local(reader: IndexReader,
     spark = reader.spark
 
     sel = ["field", "term", "salt", "min_docid", "max_docid", "max_score",
-           "max_tf", "min_doclen", "docids_z", "tfs_z", "doclens_z"]
+           "max_tf", "min_doclen", "docids_z", "tfs_z"]
     blocks = reader.blocks_for(all_pairs).select("striped", *sel)
 
     def _ub(row_maxscore, row_maxtf, row_mindl, idf, avg):
@@ -319,7 +329,7 @@ def wand_topk_batch_local(reader: IndexReader,
             int(r["min_docid"]), int(r["max_docid"]),
             _ub(r["max_score"], r["max_tf"], r["min_doclen"],
                 idf_of[key], avgs[key[0]]),
-            bytes(r["docids_z"]), bytes(r["tfs_z"]), bytes(r["doclens_z"]),
+            bytes(r["docids_z"]), bytes(r["tfs_z"]),
         ))
     b_cold = spark.sparkContext.broadcast(cold)
     b_queries = spark.sparkContext.broadcast(
@@ -339,7 +349,7 @@ def wand_topk_batch_local(reader: IndexReader,
         F.lit(0).cast("long").alias("min_docid"), F.lit(-1).cast("long").alias("max_docid"),
         F.lit(0.0).alias("max_score"), F.lit(0).cast("int").alias("max_tf"),
         F.lit(0).cast("int").alias("min_doclen"),
-        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"), F.lit(b"").alias("doclens_z"),
+        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"),
     )
     hot = blocks.filter(F.col("striped")).select(*sel).unionByName(skeleton)
 
@@ -361,35 +371,44 @@ def wand_topk_batch_local(reader: IndexReader,
             else:
                 ubs = g["max_score"].astype(float)
             by_key[(field, term)] = [
-                (int(mn), (int(md), float(u), (pcodec, bytes(dz), bytes(tz), bytes(lz))))
-                for mn, md, u, dz, tz, lz in zip(
+                (int(mn), (int(md), float(u), (pcodec, bytes(dz), bytes(tz))))
+                for mn, md, u, dz, tz in zip(
                     g["min_docid"], g["max_docid"], ubs,
-                    g["docids_z"], g["tfs_z"], g["doclens_z"])
+                    g["docids_z"], g["tfs_z"])
             ]
         for ckey, blks in b_cold.value.items():
-            for mn, mx, ub, dz, tz, lz in blks:
+            for mn, mx, ub, dz, tz in blks:
                 if mx < lo or mn >= hi:
                     continue
-                d, t, dl = codec.decode_block(dz, tz, lz, pcodec)
+                d, t = codec.decode_block(dz, tz, pcodec)
                 s_ = int(np.searchsorted(d, lo))
                 e_ = int(np.searchsorted(d, hi))
                 if s_ >= e_:
                     continue
                 by_key.setdefault(ckey, []).append(
                     (int(d[s_]),
-                     (int(d[e_ - 1]), ub, ("raw", d[s_:e_], t[s_:e_], dl[s_:e_]))))
+                     (int(d[e_ - 1]), ub, ("raw", d[s_:e_], t[s_:e_]))))
         # min_docid is the total order: block ranges are disjoint per term,
         # also across incremental appends (blk numbers can repeat)
         by_key = {kk: [blk for _, blk in sorted(v, key=lambda x: x[0])]
                   for kk, v in by_key.items()}
         cache: dict = {}
+        # stripe norms: one dense doclen array per query field, loaded from
+        # the sidecar once per task and process-cached across tasks/queries
+        from ..index import norms as norms_mod
+
+        norms_by_field: dict[str, np.ndarray] = {}
         out_q, out_d, out_s, out_dec = [], [], [], []
         for qid, (terms, field) in b_queries.value.items():
             idfs = [idf_of.get((field, t), 0.0) for t in terms]
             tb = {i: by_key[(field, t)] for i, t in enumerate(terms)
                   if (field, t) in by_key}
+            if tb and field not in norms_by_field:
+                norms_by_field[field] = norms_mod.stripe_doclens(
+                    norms_dir, field, lo, hi)
             top, dec = _wand_stripe(tb, idfs, k, k1, b, avgs[field],
-                                    require_all, cache,
+                                    require_all,
+                                    norms_by_field.get(field), lo, cache,
                                     deleted=b_del.value if b_del else None)
             for d, s in top:
                 out_q.append(qid); out_d.append(d); out_s.append(s)

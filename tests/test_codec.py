@@ -29,12 +29,10 @@ def test_varint_roundtrip_hypothesis(vals):
 def test_block_roundtrip(docs):
     docids = np.array(sorted(docs), dtype=np.uint64)
     tfs = (docids % 7 + 1).astype(np.uint64)
-    lens = (docids % 100 + 10).astype(np.uint64)
-    dz, tz, lz = codec.encode_block(docids, tfs, lens)
-    d, t, l = codec.decode_block(dz, tz, lz)
+    dz, tz = codec.encode_block(docids, tfs)
+    d, t = codec.decode_block(dz, tz)
     assert d.tolist() == docids.tolist()
     assert t.tolist() == tfs.tolist()
-    assert l.tolist() == lens.tolist()
 
 
 def test_positions_roundtrip():
@@ -99,12 +97,14 @@ def test_sliced_encoders_match_per_block():
 
     for i, s in enumerate(bstarts):
         e = min(int(s) + BS, n)
-        dz, tz, lz = codec.encode_block(docids[s:e], tfs[s:e], dls[s:e])
+        dz, tz = codec.encode_block(docids[s:e], tfs[s:e])
+        lz = codec.encode_varint(dls[s:e])
         assert (d_sl[i], t_sl[i], l_sl[i]) == (dz, tz, lz)
         pz = codec.encode_positions_flat(pvals[poffs[s]:poffs[e]], np.diff(poffs[s:e + 1]))
         assert p_sl[i] == pz
         # and the decode round-trip
-        d2, t2, dl2 = codec.decode_block(d_sl[i], t_sl[i], l_sl[i])
+        d2, t2 = codec.decode_block(d_sl[i], t_sl[i])
+        dl2 = codec.decode_varint(l_sl[i])
         assert (d2 == docids[s:e]).all() and (t2 == tfs[s:e]).all() and (dl2 == dls[s:e]).all()
         ps = codec.decode_positions(p_sl[i], e - int(s))
         flat = np.concatenate(ps) if ps else np.empty(0)

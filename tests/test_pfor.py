@@ -87,14 +87,11 @@ def test_pfor_beats_varint_on_uniform_blocks():
 def test_decode_block_dispatch():
     d = np.array([3, 9, 40], dtype=np.uint64)
     tf = np.array([1, 2, 1], dtype=np.uint64)
-    dl = np.array([10, 11, 12], dtype=np.uint64)
     dd = codec.delta_encode(d)
     for pc, enc in (("varint", codec.encode_varint), ("pfor", codec.encode_pfor)):
-        out_d, out_t, out_l = codec.decode_block(
-            enc(dd), enc(tf), enc(dl), payload_codec=pc)
+        out_d, out_t = codec.decode_block(enc(dd), enc(tf), payload_codec=pc)
         assert np.array_equal(out_d, d)
         assert np.array_equal(out_t, tf)
-        assert np.array_equal(out_l, dl)
 
 
 # ------------------------------------------------------------- end-to-end

@@ -18,7 +18,7 @@ def index_fingerprint(spark, d):
     parts = []
     for tbl, cols in [
         ("blocks", ["field", "term", "salt", "blk", "n", "min_docid", "max_docid",
-                    "docids_z", "tfs_z", "doclens_z", "positions_z"]),
+                    "docids_z", "tfs_z", "positions_z"]),
         ("term_stats", ["field", "term", "df", "ctf"]),
         ("field_stats", ["field", "doc_count", "sum_len"]),
         ("doc_lens", ["docid", "field", "len"]),

@@ -31,9 +31,9 @@ def make_stripe(rng, n_terms=4, n_docs=400, block=16, density=0.3):
         for s in range(0, len(docids), block):
             d, tf = docids[s:s + block], tfs[s:s + block]
             dl = doclens[d.astype(np.int64)]
-            dz, tz, lz = codec.encode_block(d, tf, dl)
+            dz, tz = codec.encode_block(d, tf)
             ms = codec.bm25_upper_bound(tf, dl, df, n_docs, avg, K1, B)
-            blks.append((int(d[-1]), ms, ("varint", dz, tz, lz)))
+            blks.append((int(d[-1]), ms, ("varint", dz, tz)))
         if blks:
             term_blocks[t] = blks
     return term_blocks, postings, idfs, doclens, avg, n_docs
@@ -65,7 +65,8 @@ def brute_force(postings, idfs, doclens, avg, n_docs, k, require_all):
 def test_wand_exact(seed, require_all, k):
     rng = np.random.default_rng(seed)
     tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
-    got, decodes = _wand_stripe(tb, idfs, k, K1, B, avg, require_all)
+    got, decodes = _wand_stripe(tb, idfs, k, K1, B, avg, require_all,
+                                doclens.astype(np.int32), 0)
     want = brute_force(postings, idfs, doclens, avg, n_docs, k, require_all)
     assert [d for d, _ in got] == [d for d, _ in want], (seed, require_all, k)
     for (gd, gs), (_, ws) in zip(got, want):
@@ -79,7 +80,8 @@ def test_wand_actually_prunes():
         rng, n_terms=3, n_docs=5000, block=16, density=0.5
     )
     total_blocks = sum(len(b) for b in tb.values())
-    _, decodes = _wand_stripe(tb, idfs, 3, K1, B, avg, False)
+    _, decodes = _wand_stripe(tb, idfs, 3, K1, B, avg, False,
+                              doclens.astype(np.int32), 0)
     assert decodes < total_blocks, f"no pruning: {decodes} >= {total_blocks}"
 
 
@@ -89,7 +91,8 @@ def test_wand_missing_term_disjunctive():
     tb.pop(1, None)
     postings[1] = {}
     idfs = list(idfs)
-    got, _ = _wand_stripe(tb, idfs, 10, K1, B, avg, False)
+    got, _ = _wand_stripe(tb, idfs, 10, K1, B, avg, False,
+                          doclens.astype(np.int32), 0)
     want = brute_force(postings, idfs, doclens, avg, n_docs, 10, False)
     assert [d for d, _ in got] == [d for d, _ in want]
 
