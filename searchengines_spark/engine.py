@@ -138,6 +138,10 @@ class Engine:
             all_terms = sorted({t for r in roots.values() for t in _collect_terms(r)})
             need_pos = any(Planner(self.reader, m)._needs_positions(r)
                            for r in roots.values())
+            if need_pos and not getattr(self.reader, "store_positions", True):
+                raise ValueError(
+                    "positional operator in batch on an index built with "
+                    "store_positions=False (DOCS_AND_FREQS)")
             shared = decode_postings(
                 self.reader.blocks_for(all_terms), with_positions=need_pos,
                 payload_codec=self.reader.payload_codec,

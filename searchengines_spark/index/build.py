@@ -128,7 +128,8 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                   avg_len: dict[str, float], n_docs: int, salt_range: int,
                   k1: float = 1.2, b: float = 0.75,
                   salt_min_df: int = SALT_MIN_DF,
-                  payload_codec: str = "varint") -> DataFrame:
+                  payload_codec: str = "varint",
+                  store_positions: bool = True) -> DataFrame:
     """Salted block-encode kernel, shared by the batch build and incremental
     append.
 
@@ -214,8 +215,16 @@ def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
                       else codec.encode_pfor_sliced)
         d_sl = enc_sliced(dd, bstarts)
         t_sl = enc_sliced(tfs.astype(np.uint64), bstarts)
-        bcuts = zoffs[np.append(bstarts, n)]
-        p_sl = [zdata[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
+        if store_positions:
+            bcuts = zoffs[np.append(bstarts, n)]
+            p_sl = [zdata[s:e].tobytes() for s, e in zip(bcuts[:-1], bcuts[1:])]
+        else:
+            # DOCS_AND_FREQS-style index (Lucene IndexOptions analog): the
+            # serving blocks omit position payloads entirely — positions are
+            # ~half of all block bytes; positional operators raise at plan
+            # time. The forward table keeps positions, so a later compact()
+            # with store_positions=True can restore them without re-crawling.
+            p_sl = [b""] * len(bstarts)
         # block metadata, all reduceat: BM25 upper bound (same float shape as
         # codec.bm25_upper_bound: max of tf-weights, then x idf), max tf, min dl
         dfs_f = dfs.astype(np.float64)
@@ -356,6 +365,7 @@ def build_index(
     bm25_b: float = 0.75,
     salt_min_df: int = SALT_MIN_DF,
     payload_codec: str = "pfor",
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
     payload_codec: block payload compression for docids/tfs/doclens —
@@ -406,6 +416,7 @@ def build_index(
     metrics["bm25_k1"] = bm25_k1
     metrics["bm25_b"] = bm25_b
     metrics["payload_codec"] = payload_codec
+    metrics["store_positions"] = bool(store_positions)
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
@@ -495,6 +506,7 @@ def build_index(
         # same rule for the payload codec: blocks keep the codec they were
         # actually encoded with
         metrics["payload_codec"] = old_man.get("payload_codec", "varint")
+        metrics["store_positions"] = old_man.get("store_positions", True)
         if "bm25_k1" in old_man:
             metrics["bm25_k1"] = old_man["bm25_k1"]
             metrics["bm25_b"] = old_man["bm25_b"]
@@ -512,7 +524,8 @@ def build_index(
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
         blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, int(n_docs),
                                salt_range, bm25_k1, bm25_b, salt_min_df,
-                               payload_codec=payload_codec)
+                               payload_codec=payload_codec,
+                               store_positions=store_positions)
         blocks.write.mode("overwrite").parquet(segments_path)
         _mark_stage(index_dir, "segments")
         _lap("segments")
@@ -623,6 +636,9 @@ class IndexReader:
         self.docid_space = int(self.manifest.get("docid_space") or self.n_docs)
         self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
         self.payload_codec = self.manifest.get("payload_codec", "varint")
+        # False for DOCS_AND_FREQS-style indexes (blocks carry no position
+        # payloads; positional operators raise at plan time)
+        self.store_positions = bool(self.manifest.get("store_positions", True))
         # (field, term) -> (df, ctf) or None for known-absent; the reference's
         # ctf memoization across queries (QryEval.java:644-651). Readers are
         # per-index-version objects, so no staleness across appends.

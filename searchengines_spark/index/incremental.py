@@ -179,7 +179,8 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     blocks = encode_blocks(spark, delta_terms, new_ts, avg_len, n_docs,
                            salt_range, bm25_k1, bm25_b,
                            salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)),
-                           payload_codec=manifest.get("payload_codec", "varint"))
+                           payload_codec=manifest.get("payload_codec", "varint"),
+                           store_positions=manifest.get("store_positions", True))
     # Two-step layout, same as the build's segments->merge: a DIRECT
     # partitionBy("bucket") write here would emit one file per (encode task,
     # bucket) — measured 8k+ tiny files and 4x the append wall clock on a
@@ -281,7 +282,8 @@ def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
 
 
 def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
-            bm25_k1: float = 1.2, bm25_b: float = 0.75) -> dict:
+            bm25_k1: float = 1.2, bm25_b: float = 0.75,
+            store_positions: bool | None = None) -> dict:
     """Re-encode the whole posting store from the forward table — the LSM
     compaction that follows a run of appends. Skips tokenization (the
     dominant build stage); restores everything appends left approximate:
@@ -291,6 +293,11 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     - salt stripes re-cut over the full docid range (appends land new docids
       in new stripes; compaction rebalances stripe sizes);
     - one fresh bucket-contiguous file layout (appends accumulate files).
+
+    store_positions: None keeps the manifest's setting; True/False converts
+    the index between full-positional and DOCS_AND_FREQS layouts (the
+    forward table always keeps positions, so restoring them is pure
+    re-encode, no re-tokenize).
 
     Stats tables are already exact after appends and are left untouched.
     The docid assignment is preserved (url -> docid is append-stable)."""
@@ -388,9 +395,12 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
     term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
 
+    if store_positions is None:
+        store_positions = manifest.get("store_positions", True)
     blocks = encode_blocks(spark, doc_terms, term_stats, avg_len, n_docs,
                            salt_range, bm25_k1, bm25_b, salt_min_df,
-                           payload_codec=manifest.get("payload_codec", "varint"))
+                           payload_codec=manifest.get("payload_codec", "varint"),
+                           store_positions=store_positions)
     seg_tmp = os.path.join(index_dir, "blocks_segments_new")
     blocks.write.mode("overwrite").parquet(seg_tmp)
     _swap(index_dir, "blocks_segments")
@@ -413,6 +423,7 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     manifest["bm25_k1"] = bm25_k1
     manifest["bm25_b"] = bm25_b
     manifest["stale_block_bounds"] = False
+    manifest["store_positions"] = bool(store_positions)
     manifest.setdefault("compactions", []).append(
         {"ts": time.time(), "secs": round(time.time() - t0, 2)})
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:

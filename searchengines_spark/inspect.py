@@ -35,6 +35,7 @@ def term_dictionary(reader: IndexReader, field: str = "body",
 def postings_for(reader: IndexReader, term: str, field: str = "body",
                  with_positions: bool = True) -> DataFrame:
     """listPostings analog: decoded posting list joined to external ids."""
+    with_positions = with_positions and getattr(reader, "store_positions", True)
     p = decode_postings(reader.blocks_for([(field, term)]), with_positions,
                         payload_codec=reader.payload_codec,
                         norms_dir=reader.norms_dir,

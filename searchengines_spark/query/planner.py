@@ -104,6 +104,11 @@ class Planner:
             # every positional node qualifies for the candidate-filtered
             # path, or none exists, the slim decode feeds Score leaves and
             # conjunctive joins
+            if need_pos and not getattr(self.reader, "store_positions", True):
+                raise ValueError(
+                    "positional operator (#NEAR/#WINDOW/#SYN) on an index "
+                    "built with store_positions=False (DOCS_AND_FREQS); "
+                    "rebuild or compact() with store_positions=True")
             inline_pos = need_pos and self._needs_fallback_positions(root)
             self._postings = decode_postings(
                 self.reader.blocks_for(terms), with_positions=inline_pos,
