@@ -30,6 +30,9 @@ def main() -> None:
     b.add_argument("--n-salts", type=int, default=32)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--payload-codec", default="pfor", choices=["varint", "pfor"])
+    b.add_argument("--no-positions", action="store_true",
+                   help="DOCS_AND_FREQS index: no position payloads "
+                        "(positional operators unavailable)")
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
@@ -51,7 +54,8 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
         m = build_index(spark, pages, args.index_dir,
                         n_salts=args.n_salts, resume=args.resume,
-                        payload_codec=args.payload_codec)
+                        payload_codec=args.payload_codec,
+                        store_positions=not args.no_positions)
         print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
     elif args.cmd == "query":
         from searchengines_spark.engine import Engine
