@@ -47,12 +47,30 @@ ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "events_window", "events_sessions"]
 
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _loop_rate() -> float:
+    """Single-core Python-loop Miter/s — a host-health canary. This sandbox
+    VM shows multi-x run-to-run swings from hypervisor contention; recording
+    the canary beside every bench lets a reader normalize."""
+    t0 = time.time()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return round(2.0 / max(1e-9, time.time() - t0), 2)
+
+
 def main():
     from searchengines_spark.session import get_spark
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
     queries: dict[str, float] = {}
     extra: dict = {"n_pages": N_PAGES, "cpus": CPUS}
+    stat0 = _cpu_stat()
+    extra["host_loop_mops_start"] = _loop_rate()
     t_all = time.time()
     # scratch placement is measurable on this sandbox: A/B at 32-wide shows
     # tmpfs scratch 2.6x-slows the tokenize stage (tmpfs I/O competes with
@@ -113,12 +131,19 @@ def main():
             eng.search(f"#NEAR/2( {w1} {w2} )", model="bm25", k=10).collect()
             eng.search(f"#WAND( 0.5 {w1} 0.5 {w2} )", model="indri", k=10).collect()
             lat = []
+            serve_runs: dict[str, list[float]] = {}
+            n_serve_runs = int(os.environ.get("BENCH_SERVE_RUNS", "2"))
             for name, (q, model) in SERVE_QUERIES.items():
-                t0 = time.time()
-                eng.search(q, model=model, k=100).collect()
-                dt = time.time() - t0
-                queries[f"serve_{name}"] = round(dt, 3)
+                runs_q = []
+                for _ in range(n_serve_runs):
+                    t0 = time.time()
+                    eng.search(q, model=model, k=100).collect()
+                    runs_q.append(round(time.time() - t0, 3))
+                serve_runs[name] = runs_q
+                dt = min(runs_q)  # best-of-N damps host noise; all runs recorded
+                queries[f"serve_{name}"] = dt
                 lat.append(dt)
+            extra["serve_runs"] = serve_runs
             lat.sort()
             extra["serve_p95_sec"] = round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
 
@@ -136,15 +161,33 @@ def main():
             import __spark_entry__ as E
 
             qs = E.queries()
-            for name in ANALYTIC:
-                t0 = time.time()
-                qs[name](spark, SF_DIR).collect()
-                queries[f"analytic_{name}"] = round(time.time() - t0, 3)
+            n_an_runs = int(os.environ.get("BENCH_ANALYTIC_RUNS", "2"))
+            an_runs: dict[str, list[float]] = {n: [] for n in ANALYTIC}
+            t_an0 = time.time()
+            for r in range(n_an_runs):
+                for name in ANALYTIC:
+                    # caches from pass 1 are per-plan; clear so pass 2 is a
+                    # genuine fresh measurement, not a cache read
+                    if r:
+                        spark.catalog.clearCache()
+                    t0 = time.time()
+                    qs[name](spark, SF_DIR).collect()
+                    an_runs[name].append(round(time.time() - t0, 3))
+                if time.time() - t_an0 > 240:  # degraded host: one pass only
+                    break
+            for name, rs in an_runs.items():
+                if rs:
+                    queries[f"analytic_{name}"] = min(rs)
+            extra["analytic_runs"] = an_runs
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
 
     total = round(time.time() - t_all, 3)
+    stat1 = _cpu_stat()
+    d = [y - x for x, y in zip(stat0, stat1)]
+    extra["host_steal_pct"] = round(100.0 * d[7] / max(1, sum(d)), 2)
+    extra["host_loop_mops_end"] = _loop_rate()
     print(json.dumps({
         "metric": "index-build+serve+analytic wall clock",
         "value": total,

@@ -87,6 +87,18 @@ def md5hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _fill(df: DataFrame) -> DataFrame:
+    """cache() + eager materialize. Spark's cache has no cross-leg compute
+    lock: when one action references a frame from k plan legs (e.g. the
+    LSH candidate self-join + the candidate-restricted verify), the legs
+    race an unpopulated cache and EACH recomputes the full upstream
+    lineage — measured ~5x the shingle stage on the scaled dedup ops. One
+    small count() turns every leg into a cache read."""
+    df = df.cache()
+    df.count()
+    return df
+
+
 # --------------------------------------------------------------------- stats
 def q_term_stats(spark, sf_dir):
     tok = tokens(load(spark, sf_dir, "documents"))
@@ -285,26 +297,76 @@ def _jaccard_for_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
 def q_lsh_dup_pairs(spark, sf_dir):
     """LSH banding: candidate pairs sharing band (mh0, mh1), verified with
     true 3-shingle Jaccard >= 0.5 computed only on the candidates."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
-    mh = q_minhash(spark, sf_dir)
+    sh = _fill(_shingles(load(spark, sf_dir, "documents")))
+    mh = _fill(q_minhash(spark, sf_dir))
     a = mh.select(F.col("doc_id").alias("a_id"), "mh0", "mh1")
     b = mh.select(F.col("doc_id").alias("b_id"), "mh0", "mh1")
     cand = a.join(b, ["mh0", "mh1"]).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
     return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.5)
 
 
-def _minhash64(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m63): 64-permutation MinHash signature."""
+def _minhash64_long(spark, sh: DataFrame) -> DataFrame:
+    """(doc_id, i, m): 64-permutation MinHash signature in LONG form — one
+    row per (doc, permutation). The permutation coefficients join in as a
+    broadcast 64-row table and the signature is one groupBy(doc_id, i) —
+    narrow plans all the way (the previous 64-column ``agg(min, ...)``
+    produced a codegen unit with double-digit-seconds janino compile per
+    fresh session; the narrow form compiles instantly and shuffles ~64x
+    the shingle-count of tiny rows, which Tungsten chews through)."""
+    coef = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_AB64)], "i int, a long, b long")
     hashed = sh.withColumn("h", md5hash32(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_AB64)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return (
+        hashed.join(F.broadcast(coef))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(HASH_P)).alias("m"))
+    )
+
+
+def _minhash64(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63): wide MinHash signature (oracle-facing schema),
+    pivoted from the long form."""
+    spark = sh.sparkSession
+    return (
+        _minhash64_long(spark, sh)
+        .groupBy("doc_id")
+        .pivot("i", list(range(64)))
+        .agg(F.first("m"))
+        .select("doc_id", *[F.col(str(i)).alias(f"m{i}") for i in range(64)])
+    )
 
 
 def q_minhash64(spark, sf_dir):
     return _minhash64(_shingles(load(spark, sf_dir, "documents")))
+
+
+def _lsh64_sh_cand(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """Shared scale-path LSH stage: (cached shingles, candidate pairs from
+    the 16x4 band-bucket join). ``sh`` is cached and ``long`` cache-filled
+    (one count) because the downstream plan references sh from 3 legs and
+    long from 2 — see _fill."""
+    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    # band hash = md5 of the band's LSH_ROWS signature values comma-joined in
+    # permutation order — computed from the LONG signature form with one
+    # groupBy (string-identical to concat_ws over the wide m{i} columns)
+    sig = _minhash64_long(spark, sh)
+    long = _fill(
+        sig.groupBy(
+            "doc_id",
+            (F.col("i") / LSH_ROWS).cast("int").alias("band"))
+        .agg(md5hash32(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda x: x["m"].cast("string")),
+            ",")).alias("bh")))
+    cand = (
+        long.select(F.col("doc_id").alias("a_id"), "band", "bh")
+        .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return sh, cand
 
 
 def q_lsh_dup_pairs_scaled(spark, sf_dir):
@@ -313,28 +375,13 @@ def q_lsh_dup_pairs_scaled(spark, sf_dir):
     verification restricted to candidates. This is the 100 TB shape: one
     groupBy for signatures, one equi-join on (band, bandhash), one
     candidate-sized verify join — no all-pairs stage anywhere."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
-    mh = _minhash64(sh)
-    band_structs = []
-    for j in range(LSH_BANDS):
-        cols = [F.col(f"m{j * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        band_structs.append(F.struct(
-            F.lit(j).alias("band"), md5hash32(F.concat_ws(",", *cols)).alias("bh")))
-    long = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
-        "doc_id", "x.band", "x.bh")
-    cand = (
-        long.select(F.col("doc_id").alias("a_id"), "band", "bh")
-        .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    sh, cand = _lsh64_sh_cand(spark, sf_dir)
     return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.5)
 
 
 def q_jaccard_pairs(spark, sf_dir):
     """All-pairs 3-shingle Jaccard (intersection self-join)."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    sh = _fill(_shingles(load(spark, sf_dir, "documents")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.select(F.col("doc_id").alias("a_id"), "shingle")
@@ -365,22 +412,7 @@ def q_jaccard_topk_scaled(spark, sf_dir):
     """Top-k most-similar pairs restricted to LSH band-collision candidates
     (the 100 TB shape: the all-pairs join never happens; recall governed by
     the deterministic b x r scheme, identical in the DuckDB oracle)."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
-    mh = _minhash64(sh)
-    band_structs = []
-    for j in range(LSH_BANDS):
-        cols = [F.col(f"m{j * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        band_structs.append(F.struct(
-            F.lit(j).alias("band"), md5hash32(F.concat_ws(",", *cols)).alias("bh")))
-    long = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
-        "doc_id", "x.band", "x.bh")
-    cand = (
-        long.select(F.col("doc_id").alias("a_id"), "band", "bh")
-        .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    sh, cand = _lsh64_sh_cand(spark, sf_dir)
     return _jaccard_for_pairs(sh, cand).orderBy(
         F.desc("jaccard"), F.asc("a_id"), F.asc("b_id")
     ).limit(15)
@@ -396,24 +428,40 @@ def _simhash_bands(tok: DataFrame) -> DataFrame:
     materialized as four 16-bit band values (band j = bits 16j..16j+15).
     Bands both ARE the fingerprint (sh0 + sh1<<16 + ... = the 64-bit value)
     and feed the Hamming-banding join directly: any pair within Hamming
-    distance 3 of each other shares at least one exact band (pigeonhole)."""
+    distance 3 of each other shares at least one exact band (pigeonhole).
+
+    Shape note: bit index is EXPLODED into rows (64 rows per (doc, term))
+    rather than planned as 64 ``sum(when(...))`` aggregate columns — the
+    wide-agg form generated a codegen unit whose janino compile cost ~12s
+    of driver time per fresh session (measured; execution itself was fast).
+    The exploded form is ~7M tiny rows at sf0.1, two cheap shuffles, and
+    compiles instantly. Values are bit-identical."""
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("hA", md5hash32(F.col("term"))).withColumn("hB", md5hash32b(F.col("term")))
-    aggs = []
-    for i in range(64):
-        src, off = ("hA", i) if i < 32 else ("hB", i - 32)
-        bit = F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}"))
-    g = tf.groupBy("doc_id").agg(*aggs)
-    bands = []
-    for j in range(4):
-        band = reduce(
-            lambda acc, b: acc + F.when(F.col(f"b{16 * j + b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
-            range(1, 16),
-            F.when(F.col(f"b{16 * j}") >= 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-        bands.append(band.cast("long").alias(f"sh{j}"))
-    return g.select("doc_id", *bands)
+    # global bit i: i<32 -> bit i of hA; else bit i-32 of hB (same layout as
+    # the previous wide-agg form). sign contribution = +tf / -tf.
+    s = (
+        tf.select(
+            "doc_id", "tf", "hA", "hB",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"))
+        .withColumn(
+            "bit",
+            F.expr("CASE WHEN i < 32 THEN shiftright(hA, i) "
+                   "ELSE shiftright(hB, i - 32) END & 1"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.when(F.col("bit") == 1, F.col("tf"))
+                   .otherwise(-F.col("tf"))).alias("s"))
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("i") >= 16 * j) & (F.col("i") < 16 * (j + 1)) & (F.col("s") >= 0),
+                F.expr("shiftleft(CAST(1 AS LONG), CAST(i % 16 AS INT))"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(f"sh{j}")
+        for j in range(4)
+    ]
+    return s.groupBy("doc_id").agg(*aggs)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -468,7 +516,7 @@ def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs: Hamming-banding candidates (exact match on
     any of the 4 16-bit bands — complete for Hamming distance <= 3 by
     pigeonhole), verified with full 64-bit Hamming distance <= 3."""
-    g = _simhash_bands(tokens(load(spark, sf_dir, "documents")))
+    g = _fill(_simhash_bands(tokens(load(spark, sf_dir, "documents"))))
     long = g.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(j).alias("band"), F.col(f"sh{j}").alias("v")) for j in range(4)
     ])).alias("x")).select("doc_id", "x.band", "x.v")
@@ -569,9 +617,9 @@ def q_embed_dup_pairs(spark, sf_dir):
         .agg(F.when(F.sum(F.col("coef") * F.col("x")) >= 0, F.lit(1))
              .otherwise(F.lit(0)).alias("bit"))
     )
-    bands = bits.groupBy(
+    bands = _fill(bits.groupBy(
         "vec_id", F.expr(f"p div {SLSH_BAND_BITS}").cast("int").alias("band")
-    ).agg(F.sum(F.col("bit") * F.expr(f"shiftleft(1, p % {SLSH_BAND_BITS})")).alias("bv"))
+    ).agg(F.sum(F.col("bit") * F.expr(f"shiftleft(1, p % {SLSH_BAND_BITS})")).alias("bv")))
     cand = (
         bands.select(F.col("vec_id").alias("a_id"), "band", "bv")
         .join(bands.select(F.col("vec_id").alias("b_id"), "band", "bv"), ["band", "bv"])
