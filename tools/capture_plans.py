@@ -115,6 +115,19 @@ def main() -> None:
         "(`transform` over the token array inside WholeStageCodegen).",
         fmt(contam)))
 
+    lsh = A.q_lsh_dup_pairs_scaled(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Scaled LSH dedup (64-perm MinHash, 16x4 banding, candidate-restricted verify)",
+        "What to look for: the shingle table is read back as "
+        "`InMemoryTableScan` (cache-filled once; the verify legs are cache "
+        "reads, not recomputes of the tokenize+distinct lineage), the band "
+        "bucket join is an equi-join on (band, bh) — there is NO shingle "
+        "self-join of the full corpus anywhere — and the Jaccard verify "
+        "joins are candidate-sized. The 64-permutation signature is the "
+        "narrow long form (broadcast 64-row coefficient table + one "
+        "groupBy), not a 64-column aggregate.",
+        fmt(lsh)))
+
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("# PLANS — captured physical plans for the headline paths\n\n"
