@@ -72,6 +72,13 @@ def main():
     stat0 = _cpu_stat()
     extra["host_loop_mops_start"] = _loop_rate()
     t_all = time.time()
+    # soft wall-clock budget: the repeat runs that damp host noise are
+    # OPTIONAL — on a degraded host (or at large BENCH_N_PAGES) skip them
+    # rather than risk the caller's time budget. First passes always run.
+    deadline = t_all + float(os.environ.get("BENCH_DEADLINE_SEC", "420"))
+
+    def budget_left() -> float:
+        return deadline - time.time()
     # scratch placement is measurable on this sandbox: A/B at 32-wide shows
     # tmpfs scratch 2.6x-slows the tokenize stage (tmpfs I/O competes with
     # the allocation-heavy kernels for DRAM bandwidth), while virtio disk
@@ -99,6 +106,8 @@ def main():
                 2 if N_PAGES <= 150_000 else 1)
             runs = []
             for r in range(n_runs):
+                if r and budget_left() < 180:
+                    break  # keep the single honest run; note it in the output
                 path = os.path.join(idx_dir, "idx" if r == 0 else f"idx_r{r}")
                 t0 = time.time()
                 # n_salts fixed (NOT a function of CPUS): the scaling evidence
@@ -135,7 +144,9 @@ def main():
             n_serve_runs = int(os.environ.get("BENCH_SERVE_RUNS", "2"))
             for name, (q, model) in SERVE_QUERIES.items():
                 runs_q = []
-                for _ in range(n_serve_runs):
+                for rr in range(n_serve_runs):
+                    if rr and budget_left() < 90:
+                        break
                     t0 = time.time()
                     eng.search(q, model=model, k=100).collect()
                     runs_q.append(round(time.time() - t0, 3))
@@ -163,8 +174,9 @@ def main():
             qs = E.queries()
             n_an_runs = int(os.environ.get("BENCH_ANALYTIC_RUNS", "2"))
             an_runs: dict[str, list[float]] = {n: [] for n in ANALYTIC}
-            t_an0 = time.time()
             for r in range(n_an_runs):
+                if r and budget_left() < 120:  # extra pass is optional
+                    break
                 for name in ANALYTIC:
                     # caches from pass 1 are per-plan; clear so pass 2 is a
                     # genuine fresh measurement, not a cache read
@@ -173,8 +185,6 @@ def main():
                     t0 = time.time()
                     qs[name](spark, SF_DIR).collect()
                     an_runs[name].append(round(time.time() - t0, 3))
-                if time.time() - t_an0 > 240:  # degraded host: one pass only
-                    break
             for name, rs in an_runs.items():
                 if rs:
                     queries[f"analytic_{name}"] = min(rs)
