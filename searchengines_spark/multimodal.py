@@ -107,6 +107,115 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
     return df.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("src_w", T.IntegerType(), True),
+    T.StructField("src_h", T.IntegerType(), True),
+    T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+])
+
+
+def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4,
+                 id_col: str = "id", payload_col: str = "payload",
+                 fake: bool = True) -> DataFrame:
+    """Decode + area-mean resize to a fixed (out_h, out_w) pixel grid — the
+    canonical training-data normalization step (real impl: PIL
+    ``Image.resize``; the decode is the only stubbed piece, the resampling
+    math and the Spark shape are the production ones). Output pixels is a
+    row-major out_h*out_w float array; None for empty/undecodable payloads.
+    Stateless mapInPandas — media bytes never shuffle."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    w, h, px = decode_image(b, fake=fake)
+                except NotImplementedError:
+                    rows.append((int(i), None, None, None))
+                    continue
+                if px.size == 0:
+                    rows.append((int(i), w, h, None))
+                    continue
+                img = px.reshape(h, w)
+                # area-mean resampling: average each source pixel into its
+                # proportional target cell via bin indices (exact for
+                # integer ratios, a faithful box filter otherwise)
+                yi = np.minimum((np.arange(h) * out_h) // h, out_h - 1)
+                xi = np.minimum((np.arange(w) * out_w) // w, out_w - 1)
+                tgt = np.zeros((out_h, out_w), dtype=np.float64)
+                cnt = np.zeros((out_h, out_w), dtype=np.int64)
+                np.add.at(tgt, (yi[:, None], xi[None, :]), img)
+                np.add.at(cnt, (yi[:, None], xi[None, :]), 1)
+                out = tgt / np.maximum(cnt, 1)
+                rows.append((int(i), w, h, [float(x) for x in out.ravel()]))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
+    """STUB: real audio decode needs ffmpeg/torchaudio (not in this
+    container). fake=True: deterministic stand-in waveform — sample rate
+    from the first byte, samples from a seeded hash stream in [-1, 1)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires ffmpeg/torchaudio; run with fake=True in "
+            "this container, swap in the real decoder on a cluster"
+        )
+    if not payload:
+        return 0, np.zeros((0,), dtype=np.float32)
+    sr = 8000 * ((payload[0] % 3) + 1)  # 8/16/24 kHz
+    n = min(4096, max(64, len(payload) * 16))
+    seed = int.from_bytes(hashlib.md5(b"audio" + payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return sr, (rng.random(n, dtype=np.float32) * 2.0 - 1.0)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_s", T.FloatType(), True),
+    T.StructField("rms", T.ArrayType(T.FloatType()), True),
+    T.StructField("zero_cross_rate", T.FloatType(), True),
+])
+
+
+def audio_features(df: DataFrame, n_windows: int = 8,
+                   id_col: str = "id", payload_col: str = "payload",
+                   fake: bool = True) -> DataFrame:
+    """(id, payload) -> typed audio metadata + windowed RMS energy + global
+    zero-crossing rate (the standard cheap audio-quality signals). Decode is
+    the stub; the feature math is the production one. Stateless
+    mapInPandas."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    sr, wav = decode_audio(b, fake=fake)
+                except NotImplementedError:
+                    rows.append((int(i), len(b), None, None, None, None))
+                    continue
+                if wav.size == 0 or sr == 0:
+                    rows.append((int(i), len(b), None, None, None, None))
+                    continue
+                pad = (-wav.size) % n_windows
+                w2 = np.pad(wav, (0, pad)).reshape(n_windows, -1)
+                rms = np.sqrt((w2.astype(np.float64) ** 2).mean(axis=1))
+                zcr = float((np.signbit(wav[1:]) != np.signbit(wav[:-1])).mean())
+                rows.append((int(i), len(b), int(sr),
+                             float(wav.size / sr),
+                             [float(x) for x in rms], zcr))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Test helper: synthesize a deterministic binary payload column from
     text (the driver test tables carry no media)."""

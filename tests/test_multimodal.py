@@ -4,9 +4,14 @@ NotImplementedError."""
 
 import pytest
 
+import numpy as np
+
 from searchengines_spark.multimodal import (
+    audio_features,
+    decode_audio,
     decode_image,
     image_features,
+    resize_image,
     sample_frames,
     with_binary_payload,
 )
@@ -39,6 +44,42 @@ def test_image_features_pipeline(spark):
     # determinism across runs
     feats2 = {r["id"]: r for r in image_features(with_binary_payload(docs)).collect()}
     assert feats2[3]["feature"] == by_id[3]["feature"]
+
+
+def test_resize_image_exact_box_filter(spark):
+    docs = spark.createDataFrame([(1, "abc def"), (2, "")], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           resize_image(with_binary_payload(docs), out_w=2, out_h=2).collect()}
+    r = out[1]
+    # independently recompute the box filter on the fake-decoded pixels
+    w, h, px = decode_image(b"abc def", fake=True)
+    assert (r["src_w"], r["src_h"]) == (w, h)
+    img = px.reshape(h, w)
+    yi = np.minimum((np.arange(h) * 2) // h, 1)
+    xi = np.minimum((np.arange(w) * 2) // w, 1)
+    exp = np.zeros((2, 2)); cnt = np.zeros((2, 2))
+    np.add.at(exp, (yi[:, None], xi[None, :]), img)
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1)
+    exp = (exp / np.maximum(cnt, 1)).ravel()
+    assert np.allclose(r["pixels"], exp, atol=1e-6)
+    assert out[2]["pixels"] is None  # empty payload
+
+
+def test_audio_stub_and_features(spark):
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xyz", fake=False)
+    sr1, w1 = decode_audio(b"xyz", fake=True)
+    sr2, w2 = decode_audio(b"xyz", fake=True)
+    assert sr1 == sr2 and (w1 == w2).all() and sr1 in (8000, 16000, 24000)
+    docs = spark.createDataFrame([(1, "abc def"), (2, "")], ["doc_id", "text"])
+    out = {r["id"]: r for r in audio_features(with_binary_payload(docs)).collect()}
+    r = out[1]
+    assert r["sample_rate"] in (8000, 16000, 24000)
+    assert len(r["rms"]) == 8 and all(0.0 <= x <= 1.0 for x in r["rms"])
+    assert 0.0 <= r["zero_cross_rate"] <= 1.0
+    assert abs(r["duration_s"] - decode_audio(b"abc def", fake=True)[1].size
+               / r["sample_rate"]) < 1e-6
+    assert out[2]["rms"] is None  # empty payload
 
 
 def test_sample_frames(spark):
