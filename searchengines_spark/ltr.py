@@ -397,3 +397,48 @@ def rerank(features: DataFrame, weights: np.ndarray, urls: DataFrame, k: int = 1
         .filter(F.col("rank") <= k)
         .select("qid", "url", "rank", "ltr_score")
     )
+
+
+# --------------------------------------------------- model / DocScore files
+def save_model(model: RankModel, path: str) -> None:
+    """Persist a trained ranker — the reference's ``.Model`` artifact
+    (SVMrank writes its own model file, QryEval.java:977-984; RankLib saves
+    via ``-save``, 985-1002). Linear models (ridge/svmrank) serialize as
+    JSON weights; the GBT model uses Spark ML's native save under
+    ``path + ".ml"`` with a JSON pointer at ``path``."""
+    import json as _json
+
+    if model.weights is not None:
+        with open(path, "w") as f:
+            _json.dump({"kind": model.kind,
+                        "weights": [float(x) for x in model.weights]}, f)
+        return
+    model.ml_model.write().overwrite().save(path + ".ml")
+    with open(path, "w") as f:
+        _json.dump({"kind": model.kind, "ml_path": path + ".ml"}, f)
+
+
+def load_model(spark, path: str) -> RankModel:
+    import json as _json
+
+    with open(path) as f:
+        d = _json.load(f)
+    if "weights" in d:
+        return RankModel(d["kind"], weights=np.array(d["weights"], dtype=float))
+    from pyspark.ml.regression import GBTRegressionModel
+
+    return RankModel(d["kind"], ml_model=GBTRegressionModel.load(d["ml_path"]))
+
+
+def write_docscore(features: DataFrame, model: RankModel, urls: DataFrame,
+                   path: str) -> None:
+    """The reference's ``.DocScore`` artifact: one model score per feature
+    line, in the SAME order as the SVMlight feature file (SVMrank
+    svm_rank_classify output, consumed by sortAndOutputFinalLtrResults,
+    QryEval.java:892-949) — so line i of the .DocScore file scores line i
+    of the .LtrTest file (our write_svmlight order: qid asc, url asc)."""
+    rows = (model.score(features).join(urls, "docid")
+            .orderBy("qid", "url").select("ltr_score").collect())
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['ltr_score']}\n")

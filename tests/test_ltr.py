@@ -247,3 +247,54 @@ def test_train_toolkits(spark, tiny_index):
                 elif sc[a] < sc[b]:
                     bad += 1
     assert good > bad
+
+
+def test_model_and_docscore_files(spark, tiny_index, tmp_path):
+    """The reference's .Model / .DocScore artifacts (QryEval.java:977-1002,
+    892-949): a saved model reloads to identical scores; the .DocScore file
+    has one score per feature line in write_svmlight order."""
+    import numpy as np
+
+    from searchengines_spark.ltr import (
+        load_model,
+        save_model,
+        train_ranker,
+        write_docscore,
+        write_svmlight,
+    )
+
+    queries = {"q1": "cebaba1 dibaba2", "q2": "fobaba3 cebaba1"}
+    cand = spark.createDataFrame(
+        [(qid, d, (1 if d % 4 == 0 else 0)) for qid in queries for d in range(12)],
+        ["qid", "docid", "rel"],
+    )
+    feats = minmax_normalize(
+        extract_features(tiny_index, cand, queries, K1, B, MU, LAM)).cache()
+    urls = tiny_index.docid_url_map()
+
+    for toolkit in ("ridge", "svmrank", "ranklib"):
+        m = train_ranker(feats, toolkit)
+        mp = str(tmp_path / f"{toolkit}.Model")
+        save_model(m, mp)
+        m2 = load_model(spark, mp)
+        s1 = {(r["qid"], r["docid"]): r["ltr_score"] for r in m.score(feats).collect()}
+        s2 = {(r["qid"], r["docid"]): r["ltr_score"] for r in m2.score(feats).collect()}
+        assert set(s1) == set(s2)
+        assert all(abs(s1[k] - s2[k]) < 1e-9 for k in s1)
+
+    m = train_ranker(feats, "ridge")
+    fp = str(tmp_path / "test.LtrTest")
+    dp = str(tmp_path / "test.DocScore")
+    write_svmlight(feats, urls, fp)
+    write_docscore(feats, m, urls, dp)
+    feat_lines = open(fp).read().splitlines()
+    scores = [float(x) for x in open(dp).read().splitlines()]
+    assert len(scores) == len(feat_lines) == 24
+    # line i of .DocScore scores line i of the feature file: recompute from
+    # the (qid, url)-keyed score map using the feature file's own order
+    url_of = {i: ln.split(" # ")[1] for i, ln in enumerate(feat_lines)}
+    qid_of = {i: ln.split()[1].split(":", 1)[1] for i, ln in enumerate(feat_lines)}
+    urls_map = {r["url"]: r["docid"] for r in urls.collect()}
+    smap = {(r["qid"], r["docid"]): r["ltr_score"] for r in m.score(feats).collect()}
+    for i, sc in enumerate(scores):
+        assert abs(sc - smap[(qid_of[i], urls_map[url_of[i]])]) < 1e-9
