@@ -116,10 +116,39 @@ def run_engine(cpus: int, cpu_range: str, n_pages: int) -> dict:
     return out
 
 
+def _canary_once(cpu: int) -> float:
+    os.sched_setaffinity(0, {cpu})
+    t0 = time.time()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return 2.0 / max(1e-9, time.time() - t0)
+
+
+def _host_healthy(min_mops: float = 18.0) -> tuple[bool, float]:
+    """Python-loop canary across 4 pinned cores: this sandbox's hypervisor
+    degrades the box by 2x+ for stretches of minutes (and per-core placement
+    alone swings a single sample 10 <-> 24 Mops), so numbers measured then
+    are garbage that would OVERWRITE good evidence. Gate on the median of 4
+    distinct-core samples."""
+    cpus = sorted(os.sched_getaffinity(0))
+    sample = cpus[:: max(1, len(cpus) // 4)][:4]
+    with mp.Pool(len(sample)) as p:
+        rates = sorted(p.map(_canary_once, sample))
+    med = rates[len(rates) // 2]
+    return med >= min_mops, round(med, 1)
+
+
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
+
+    ok, mops = _host_healthy()
+    if not ok and os.environ.get("SCALING_FORCE", "") != "1":
+        print(json.dumps({"aborted": "host degraded", "loop_mops": mops,
+                          "hint": "retry when canary >= 20 Mops or set SCALING_FORCE=1"}))
+        sys.exit(3)
 
     cal_cpu_8 = _calibrate(lo, set(range(lo)), "cpu")
     cal_cpu_32 = _calibrate(hi, set(range(hi)), "cpu")
