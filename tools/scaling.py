@@ -240,7 +240,9 @@ buckets) partitioning, so the task supply scales to 1000+ executors.
 ## Cross-regime note
 
 The same measurement at the memory-unsaturated, low-steal pair (2 -> 8
-CPUs, see `BENCH/SCALING_2v8.md`) is the cleaner N-vs-4N proxy on this
+CPUs, see `BENCH/SCALING_2v8.md`; the spark-submit multi-executor
+deployment study is `BENCH/SCALING_EXECUTORS.md`) is the cleaner
+N-vs-4N proxy on this
 sandbox: at 8-wide load both DRAM contention and hypervisor steal are a
 fraction of their 32-wide levels, so that file's numbers isolate the
 ENGINE's scaling behavior; this file shows the same job tracking whatever
