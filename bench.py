@@ -178,10 +178,11 @@ def main():
                 if r and budget_left() < 120:  # extra pass is optional
                     break
                 for name in ANALYTIC:
-                    # caches from pass 1 are per-plan; clear so pass 2 is a
-                    # genuine fresh measurement, not a cache read
-                    if r:
-                        spark.catalog.clearCache()
+                    # clear BEFORE every query in every pass: Spark's
+                    # CacheManager matches re-built identical plans, so one
+                    # query's cached shingle/band tables would serve the next
+                    # query (and pass-1 headline numbers) warm
+                    spark.catalog.clearCache()
                     t0 = time.time()
                     qs[name](spark, SF_DIR).collect()
                     an_runs[name].append(round(time.time() - t0, 3))

@@ -431,14 +431,26 @@ def load_model(spark, path: str) -> RankModel:
 
 
 def write_docscore(features: DataFrame, model: RankModel, urls: DataFrame,
-                   path: str) -> None:
-    """The reference's ``.DocScore`` artifact: one model score per feature
-    line, in the SAME order as the SVMlight feature file (SVMrank
-    svm_rank_classify output, consumed by sortAndOutputFinalLtrResults,
-    QryEval.java:892-949) — so line i of the .DocScore file scores line i
-    of the .LtrTest file (our write_svmlight order: qid asc, url asc)."""
+                   path: str, kind: str | None = None) -> None:
+    """The reference's ``.DocScore`` artifact, per-toolkit format
+    (sortAndOutputFinalLtrResults, QryEval.java:892-949): line i scores
+    line i of the .LtrTest feature file (our write_svmlight order: qid asc,
+    url asc). SVMrank's svm_rank_classify emits one bare score per line
+    (isSVMRank=true branch parses the whole line); RankLib score files are
+    three whitespace-separated columns ``<qid> <idx> <score>`` with the
+    score in items[2] (isSVMRank=false branch), idx = 0-based line index
+    within the query. kind defaults to the trained model's toolkit."""
+    kind = kind or model.kind
     rows = (model.score(features).join(urls, "docid")
-            .orderBy("qid", "url").select("ltr_score").collect())
+            .orderBy("qid", "url").select("qid", "ltr_score").collect())
     with open(path, "w") as f:
-        for r in rows:
-            f.write(f"{r['ltr_score']}\n")
+        if kind == "ranklib":
+            idx, prev = 0, None
+            for r in rows:
+                if r["qid"] != prev:
+                    idx, prev = 0, r["qid"]
+                f.write(f"{r['qid']} {idx} {r['ltr_score']}\n")
+                idx += 1
+        else:
+            for r in rows:
+                f.write(f"{r['ltr_score']}\n")

@@ -115,6 +115,19 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
+def _axis_bounds(src: int, out: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-target-cell [start, end) source-pixel ranges along one axis.
+    start = ceil(t*src/out) (integer arithmetic) reproduces the scatter
+    partition floor(y*out/src) == t exactly; empty upscale cells are widened
+    to the single covering source pixel."""
+    t = np.arange(out, dtype=np.int64)
+    s = -((-t * src) // out)
+    e = -((-(t + 1) * src) // out)
+    s = np.minimum(s, src - 1)
+    e = np.clip(e, s + 1, src)
+    return s, e
+
+
 def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4,
                  id_col: str = "id", payload_col: str = "payload",
                  fake: bool = True) -> DataFrame:
@@ -138,17 +151,23 @@ def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4,
                 if px.size == 0:
                     rows.append((int(i), w, h, None))
                     continue
-                img = px.reshape(h, w)
-                # area-mean resampling: average each source pixel into its
-                # proportional target cell via bin indices (exact for
-                # integer ratios, a faithful box filter otherwise)
-                yi = np.minimum((np.arange(h) * out_h) // h, out_h - 1)
-                xi = np.minimum((np.arange(w) * out_w) // w, out_w - 1)
-                tgt = np.zeros((out_h, out_w), dtype=np.float64)
-                cnt = np.zeros((out_h, out_w), dtype=np.int64)
-                np.add.at(tgt, (yi[:, None], xi[None, :]), img)
-                np.add.at(cnt, (yi[:, None], xi[None, :]), 1)
-                out = tgt / np.maximum(cnt, 1)
+                img = px.reshape(h, w).astype(np.float64)
+                # area-mean resampling, gather form: target cell (ty, tx)
+                # averages the source pixels y with floor(y*out_h/h) == ty,
+                # i.e. y in [ceil(ty*h/out_h), ceil((ty+1)*h/out_h)) — the
+                # exact same partition as the scatter form for downscales
+                # (exact box filter at integer ratios). When UPSCALING
+                # (out > src) some cells own no source pixel; they take the
+                # covering source pixel (replication) instead of silently
+                # becoming 0.0. Box sums via an integral image, fully
+                # vectorized.
+                ys, ye = _axis_bounds(h, out_h)
+                xs, xe = _axis_bounds(w, out_w)
+                I = np.zeros((h + 1, w + 1))
+                I[1:, 1:] = img.cumsum(0).cumsum(1)
+                sums = (I[ye[:, None], xe[None, :]] - I[ys[:, None], xe[None, :]]
+                        - I[ye[:, None], xs[None, :]] + I[ys[:, None], xs[None, :]])
+                out = sums / ((ye - ys)[:, None] * (xe - xs)[None, :])
                 rows.append((int(i), w, h, [float(x) for x in out.ravel()]))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 

@@ -298,3 +298,19 @@ def test_model_and_docscore_files(spark, tiny_index, tmp_path):
     smap = {(r["qid"], r["docid"]): r["ltr_score"] for r in m.score(feats).collect()}
     for i, sc in enumerate(scores):
         assert abs(sc - smap[(qid_of[i], urls_map[url_of[i]])]) < 1e-9
+
+    # RankLib .DocScore shape (sortAndOutputFinalLtrResults, isSVMRank=false
+    # branch): three columns "<qid> <idx> <score>", score parsed from
+    # items[2], idx 0-based within each query, same line order as .LtrTest
+    mr = train_ranker(feats, "ranklib")
+    drp = str(tmp_path / "ranklib.DocScore")
+    write_docscore(feats, mr, urls, drp)
+    rl_lines = [ln.split() for ln in open(drp).read().splitlines()]
+    assert len(rl_lines) == len(feat_lines)
+    rmap = {(r["qid"], r["docid"]): r["ltr_score"] for r in mr.score(feats).collect()}
+    seen_idx: dict[str, int] = {}
+    for i, (qid, idx, sc) in enumerate(rl_lines):
+        assert qid == qid_of[i]
+        assert int(idx) == seen_idx.get(qid, 0)
+        seen_idx[qid] = int(idx) + 1
+        assert abs(float(sc) - rmap[(qid, urls_map[url_of[i]])]) < 1e-9

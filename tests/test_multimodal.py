@@ -65,6 +65,29 @@ def test_resize_image_exact_box_filter(spark):
     assert out[2]["pixels"] is None  # empty payload
 
 
+def test_resize_image_upscale_replicates(spark):
+    """Upscaling (out > src): cells with no source pixel of their own must
+    replicate the covering source pixel, never silently become 0.0. The
+    check is formula-independent: when out >= src every target cell covers
+    exactly one source pixel, so the output multiset must be drawn from the
+    source pixels, with the corners pinned to the source corners."""
+    payload = bytes([1, 2]) + b"ab"  # fake-decodes to w=2, h=3
+    df = spark.createDataFrame([(1, bytearray(payload))], ["id", "payload"])
+    r = resize_image(df, out_w=8, out_h=8).collect()[0]
+    w, h, px = decode_image(payload, fake=True)
+    assert (r["src_w"], r["src_h"]) == (2, 3)
+    img = px.reshape(h, w)
+    got = np.array(r["pixels"], dtype=np.float64).reshape(8, 8)
+    src_vals = set(float(np.float32(v)) for v in img.ravel())
+    assert all(any(abs(g - s) < 1e-6 for s in src_vals) for g in got.ravel())
+    assert abs(got[0, 0] - img[0, 0]) < 1e-6
+    assert abs(got[-1, -1] - img[-1, -1]) < 1e-6
+    # downscale partition unchanged by the gather rewrite: row 0 of an
+    # 8->2 downscale averages the first half of the source rows
+    r2 = resize_image(df, out_w=1, out_h=1).collect()[0]
+    assert abs(r2["pixels"][0] - img.mean()) < 1e-6
+
+
 def test_audio_stub_and_features(spark):
     with pytest.raises(NotImplementedError):
         decode_audio(b"xyz", fake=False)
