@@ -129,30 +129,67 @@ def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
             lines.extend(Engine.trec_lines(qid, rankings[qid], run_id))
         return lines
 
-    from .prf import learned_query, prf_search, write_expanded_query, write_expansion_list
+    from .prf import (
+        expanded_query,
+        expansion_terms_batch,
+        learned_query,
+        write_expanded_query,
+        write_expansion_list,
+    )
 
-    for qid, q in queries.items():
-        # PRF is inherently two-pass per query (expansion depends on the
-        # initial ranking); the expansion scoring itself is one job
-        init = None
-        if "prf:initialRankingFile" in params:
-            init = parse_ranking(params["prf:initialRankingFile"]).get(qid)
-        final, terms, _ = prf_search(
-            eng, q, model=model, k=k, initial_ranking=init,
-            num_docs=int(params.get("prf:numDocs", 10)),
-            num_terms=int(params.get("prf:numTerms", 10)),
-            prf_mu=float(params.get("prf:Indri:mu", 0.0)),
-            orig_weight=float(params.get("prf:Indri:origWeight", 0.5)),
-            field=params.get("prf:expansionField", "body"),
-            **kw,
-        )
+    # PRF is inherently two-pass (expansion depends on the initial ranking),
+    # but each PASS batches every query into ONE Spark action — an N-query
+    # PRF workload is O(1) actions, not O(N) (the per-query loop was the
+    # round-2 scale bug; the reference loops QryEval.java:1388-1416).
+    num_docs = int(params.get("prf:numDocs", 10))
+    num_terms = int(params.get("prf:numTerms", 10))
+    prf_mu = float(params.get("prf:Indri:mu", 0.0))
+    orig_w = float(params.get("prf:Indri:origWeight", 0.5))
+    field = params.get("prf:expansionField", "body")
+    # the rewritten #WAND embeds the original query as ONE operand, so bare
+    # bag-of-words queries wrap in the model default op (same as prf_search)
+    wrapped = {
+        qid: (q if q.strip().startswith("#")
+              else ("#SUM( " if model == "bm25" else "#AND( ") + q + " )")
+        for qid, q in queries.items()
+    }
+
+    # pass 1 — every query's initial top-numDocs in one batched action
+    if "prf:initialRankingFile" in params:
+        ranked = parse_ranking(params["prf:initialRankingFile"])
+        init_urls = {qid: ranked.get(qid, [])[:num_docs] for qid in queries}
+    else:
+        rows = eng.search_batch_df(wrapped, model, num_docs, **kw).collect()
+        init_urls = {qid: [] for qid in queries}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            init_urls[r["qid"]].append((r["url"], r["score"]))
+
+    # url -> docid for the UNION of top urls: one collect bounded by
+    # n_queries * numDocs rows — never the whole docid map
+    all_urls = sorted({u for lst in init_urls.values() for u, _ in lst})
+    url2id = {r["url"]: int(r["docid"]) for r in
+              eng.reader.docid_url_map()
+              .filter(F.col("url").isin(all_urls)).collect()}
+    initials = {qid: [(url2id[u], s) for u, s in lst if u in url2id]
+                for qid, lst in init_urls.items()}
+
+    # expansion scoring — one job for every query (groupBy(qid, term))
+    terms_by_qid = expansion_terms_batch(
+        eng.reader, initials, num_docs, num_terms, prf_mu, field)
+    for qid in queries:  # artifacts accumulate in query order
         if "prf:expansionQueryFile" in params:
-            write_expanded_query(qid, learned_query(terms),
+            write_expanded_query(qid, learned_query(terms_by_qid[qid]),
                                  params["prf:expansionQueryFile"])
         if "prf:qryOutFile" in params:
-            write_expansion_list(terms, params["prf:qryOutFile"])
-        ranking = [(r["url"], r["score"]) for r in final.collect()]
-        lines.extend(Engine.trec_lines(qid, ranking, run_id))
+            write_expansion_list(terms_by_qid[qid], params["prf:qryOutFile"])
+
+    # pass 2 — every expanded query's final ranking in one batched action
+    expanded = {qid: expanded_query(wrapped[qid],
+                                    learned_query(terms_by_qid[qid]), orig_w)
+                for qid in queries}
+    rankings = eng.search_batch(expanded, model, k, **kw)
+    for qid in queries:
+        lines.extend(Engine.trec_lines(qid, rankings[qid], run_id))
     return lines
 
 
@@ -169,19 +206,28 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
     spark = eng.reader.spark
     url_ids = eng.reader.docid_url_map()
     rows = []
+    rdf = None
     if "diversity:initialRankingFile" in params:
         # rankings supplied as a TREC file: qid rows = query ranking,
-        # qid.i rows = intent rankings (QryEval.java:247-305)
+        # qid.i rows = intent rankings (QryEval.java:247-305). The file is
+        # the SMALL side (thousands of rows) — parse it into a DataFrame and
+        # broadcast-join it against the docid map; never collect the
+        # O(corpus) docid map to the driver (the round-2 scale bug).
         ranked = parse_ranking(params["diversity:initialRankingFile"])
-        url2id = {r["url"]: int(r["docid"]) for r in url_ids.collect()}
+        file_rows = []
         for key, ranking in ranked.items():
             qid, _, i = key.partition(".")
             if qid not in queries:
                 continue
             intent_no = int(i) if i else 0
             for u, s in ranking:
-                if u in url2id:
-                    rows.append((qid, intent_no, url2id[u], float(s)))
+                file_rows.append((qid, intent_no, u, float(s)))
+        rdf = (
+            url_ids.join(
+                F.broadcast(spark.createDataFrame(
+                    file_rows, ["qid", "intent", "url", "score"])), "url")
+            .select("qid", "intent", "docid", "score")
+        )
     else:
         # every (query, intent) ranking in ONE batched action: key them as
         # "qid\x00intent" through search_batch_df, split back after
@@ -195,7 +241,8 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
         for r in res.collect():
             qid, _, i = r["qid"].partition("\x00")
             rows.append((qid, int(i), int(r["docid"]), float(r["score"])))
-    rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
+    if rdf is None:
+        rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
     out = diversify_df(rdf, algo, lam, max_in, max_out).join(url_ids, "docid")
     by_qid: dict[str, list] = {}
     for r in out.collect():  # ONE collect for every query's diversified list
@@ -218,22 +265,33 @@ def run_ltr(reader: IndexReader, params: dict, train_queries: dict[str, str],
     eng = Engine(reader)
     k = int(params.get("trecEvalOutputLength", 100))
     url_ids = reader.docid_url_map()
-    url2id = {r["url"]: int(r["docid"]) for r in url_ids.collect()}
 
-    train_rows = [(qid, url2id[u], rel) for qid, u, rel in qrels if u in url2id]
-    cand_train = spark.createDataFrame(train_rows, ["qid", "docid", "rel"])
+    # qrels are the SMALL side (thousands of rows): broadcast-join the
+    # parsed qrels frame against the docid map instead of collecting the
+    # O(corpus) map to the driver (the round-2 scale bug). Inner join drops
+    # qrels urls the index doesn't have, same as the old dict-membership.
+    qrels_df = spark.createDataFrame(qrels, ["qid", "url", "rel"])
+    # cache + eager fill: extract_features references the candidate frame
+    # from 20 feature legs — an unfilled cache would recompute the upstream
+    # join/search once per leg (Spark's cache has no cross-leg compute lock)
+    cand_train = (url_ids.join(F.broadcast(qrels_df), "url")
+                  .select("qid", "docid", "rel").cache())
+    cand_train.count()
     feats = minmax_normalize(extract_features(reader, cand_train, train_queries))
     w = train_ridge(feats)
 
-    # initial BM25 top-100 for every test query in one batched action
+    # initial BM25 top-100 for every test query in one batched action; the
+    # candidate frame stays distributed — no driver round-trip
     init = eng.search_batch_df(test_queries, "bm25", 100).join(url_ids, "url")
-    test_rows = [(r["qid"], int(r["docid"]), 0) for r in init.collect()]
-    cand_test = spark.createDataFrame(test_rows, ["qid", "docid", "rel"])
+    cand_test = init.select("qid", "docid", F.lit(0).alias("rel")).cache()
+    cand_test.count()
     tfeats = minmax_normalize(extract_features(reader, cand_test, test_queries))
     ranked = rerank(tfeats, w, url_ids, k=k)
     by_qid: dict[str, list] = {}
     for r in ranked.collect():  # ONE collect for every query's reranking
         by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["ltr_score"]))
+    cand_train.unpersist()
+    cand_test.unpersist()
     lines = []
     for qid in test_queries:
         rs = sorted(by_qid.get(qid, []))

@@ -78,6 +78,75 @@ def expansion_terms(reader: IndexReader, initial: list[tuple[int, float]],
     return [(r["term"], float(r["score"])) for r in scored.collect()]
 
 
+def expansion_terms_batch(reader: IndexReader,
+                          initials: dict[str, list[tuple[int, float]]],
+                          num_docs: int, num_terms: int, mu: float,
+                          field: str = "body") -> dict[str, list[tuple[str, float]]]:
+    """Batched twin of expansion_terms: EVERY query's expansion scoring in
+    ONE Spark job (the per-query formula is one groupBy — QryEval.java's
+    per-query loop at 1218-1306 becomes a groupBy(qid, term) over the union
+    of every query's top docs, with the per-query unseen-mass constant S
+    joined in as a tiny broadcast table). Driver-side state is bounded by
+    n_queries * num_docs, never the corpus.
+
+    initials: qid -> [(docid, score)] ranked. Returns qid -> [(term, score)]
+    top num_terms each, sorted score desc / term asc — same per-qid output
+    as expansion_terms."""
+    from pyspark.sql import Window
+
+    tops = {qid: lst[:num_docs] for qid, lst in initials.items() if lst}
+    out: dict[str, list[tuple[str, float]]] = {qid: [] for qid in initials}
+    if not tops:
+        return out
+    fieldlen = float(reader.field_stats[field][1])
+    spark = reader.spark
+    all_ids = sorted({d for lst in tops.values() for d, _ in lst})
+    dl_rows = (
+        reader.doc_lens()
+        .filter((F.col("field") == field) & F.col("docid").isin(all_ids))
+        .collect()
+    )
+    dls = {int(r["docid"]): float(r["len"]) for r in dl_rows}
+    sdf_rows, s_rows = [], []
+    for qid, lst in tops.items():
+        # skip doclen==0 docs when mu==0 (QryEval.java:1249-1251)
+        lst = [(d, s) for d, s in lst if not (dls.get(d, 0.0) == 0.0 and mu == 0.0)]
+        if not lst:
+            continue
+        s_rows.append((qid, sum(s / (dls.get(d, 0.0) + mu) for d, s in lst)))
+        sdf_rows.extend((qid, d, s, dls.get(d, 0.0)) for d, s in lst)
+    if not sdf_rows:
+        return out
+    sdf = spark.createDataFrame(sdf_rows, ["qid", "docid", "dscore", "dl"])
+    s_df = spark.createDataFrame(s_rows, ["qid", "S"])
+    part1 = (
+        reader.doc_terms()
+        .filter((F.col("field") == field) & F.col("docid").isin(all_ids))
+        .join(F.broadcast(sdf), "docid")
+        .groupBy("qid", "term")
+        .agg(F.sum(F.col("dscore") * F.col("tf") / (F.col("dl") + F.lit(mu))).alias("p1"))
+    )
+    stats = (
+        reader._term_stats.filter(F.col("field") == field).select("term", "ctf")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    scored = (
+        part1.join(stats, "term").join(F.broadcast(s_df), "qid")
+        .withColumn("idf", F.log(F.lit(fieldlen) / F.col("ctf")))
+        .withColumn("ptc", F.col("ctf") / F.lit(fieldlen))
+        .select(
+            "qid", "term",
+            (F.col("idf") * (F.col("p1") + F.col("ptc") * F.lit(mu) * F.col("S"))).alias("score"),
+        )
+        .filter(~F.col("term").rlike(r"[.,]") & F.col("term").rlike(r"^[\x00-\x7F]+$"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= num_terms)
+    )
+    for r in sorted(scored.collect(), key=lambda r: (r["qid"], r["rn"])):
+        out[r["qid"]].append((r["term"], float(r["score"])))
+    return out
+
+
 def learned_query(terms: list[tuple[str, float]]) -> str:
     """#WAND with terms lowest-score first (QryEval.java:1188-1201)."""
     parts = [f"{s} {t}" for t, s in reversed(terms)]

@@ -238,6 +238,109 @@ def test_prf_and_diversity_end_to_end_depth_100(spark, tiny_index, tmp_path):
     assert len({ln.split()[2] for ln in lines}) == 100  # distinct docs
 
 
+def test_prf_batch_matches_sequential(spark, tiny_index):
+    """run_batch's batched PRF (one action per pass for ALL queries) must be
+    result-identical to the sequential per-query prf_search path."""
+    import math
+
+    from searchengines_spark.engine import Engine
+    from searchengines_spark.prf import prf_search
+
+    eng = Engine(tiny_index)
+    queries = {"p1": "haceba4 badiba5", "p2": "cebaba1", "p3": "fobaba3 gubaba4"}
+    params = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000,
+              "Indri:lambda": 0.4, "prf": "Indri", "prf:numDocs": 5,
+              "prf:numTerms": 5, "prf:Indri:mu": 0.0,
+              "prf:Indri:origWeight": 0.5, "trecEvalOutputLength": 8}
+    lines = run_batch(tiny_index, params, queries)
+    got = {}
+    for ln in lines:
+        qid, _, url, rank, score, _ = ln.split()
+        got.setdefault(qid, []).append((url, float(score)))
+    for qid, q in queries.items():
+        final, terms, _ = prf_search(
+            eng, q, model="indri", k=8, num_docs=5, num_terms=5,
+            prf_mu=0.0, orig_weight=0.5, mu=1000.0, lam=0.4)
+        want = [(r["url"], r["score"]) for r in final.collect()]
+        assert [u for u, _ in got[qid]] == [u for u, _ in want], qid
+        for (_, gs), (_, ws) in zip(got[qid], want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), qid
+
+
+def test_prf_batch_is_bounded_actions(spark, tiny_index):
+    """An N-query PRF workload must issue O(1) Spark jobs, not O(N): the
+    job count for 6 queries may not exceed the count for 2 (both are
+    [initial batch, dl collect, expansion job, final batch] + AQE jobs)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker
+
+    def jobs_during(fn):
+        before = len(tracker().getJobIdsForGroup(None) or [])
+        fn()
+        return len(tracker().getJobIdsForGroup(None) or []) - before
+
+    params = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000,
+              "Indri:lambda": 0.4, "prf": "Indri", "prf:numDocs": 3,
+              "prf:numTerms": 4, "trecEvalOutputLength": 5}
+    qs = {"1": "haceba4 badiba5", "2": "cebaba1 dibaba2",
+          "3": "fobaba3", "4": "gubaba4 cebaba1",
+          "5": "dibaba2 fobaba3", "6": "badiba5"}
+    two = dict(list(qs.items())[:2])
+    n2 = jobs_during(lambda: run_batch(tiny_index, params, two))
+    n6 = jobs_during(lambda: run_batch(tiny_index, params, qs))
+    assert n6 <= n2, (n6, n2)
+
+
+def test_driver_paths_never_collect_corpus(spark, tiny_index, tmp_path, monkeypatch):
+    """The diversity-from-file and LTR paths must resolve urls to docids via
+    a broadcast JOIN of the small parsed-file frame — never by collecting
+    the O(corpus) docid map to the driver (round-2's driver.py:176,221
+    scale bug). Spy on every DataFrame.collect and bound the row counts."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is an ABC in Spark 4
+    # and instances dispatch to classic.dataframe.DataFrame's own method
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from searchengines_spark.engine import Engine
+
+    n_docs = tiny_index.n_docs
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    eng = Engine(tiny_index)
+    ranking = [(r["url"], r["score"]) for r in
+               eng.search("haceba4 badiba5", model="bm25", k=15).collect()]
+    rank_file = tmp_path / "div.inRank"
+    rank_file.write_text("".join(
+        f"{qid} Q0 {u} {i+1} {s} ref\n"
+        for qid in ("1", "1.1") for i, (u, s) in enumerate(ranking)))
+    intents = tmp_path / "i.txt"
+    intents.write_text("1.1:haceba4\n")
+    div_params = {
+        "retrievalAlgorithm": "BM25", "diversity": "true",
+        "diversity:algorithm": "xQuAD", "diversity:lambda": 0.4,
+        "diversity:maxInputRankingsLength": 15,
+        "diversity:maxResultRankingLength": 8,
+        "diversity:intentsFile": str(intents),
+        "diversity:initialRankingFile": str(rank_file),
+        "trecEvalOutputLength": 8,
+    }
+    urls = [r["url"] for r in tiny_index.docid_url_map().limit(30).collect()]
+    qrels = [("1", u, i % 3) for i, u in enumerate(urls)]
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = run_batch(tiny_index, div_params, {"1": "haceba4 badiba5"})
+    assert len(out) == 8
+    lines = run_ltr(tiny_index, {"trecEvalOutputLength": 10},
+                    {"1": "cebaba1 dibaba2"}, {"9": "fobaba3 cebaba1"}, qrels)
+    assert len(lines) == 10
+    assert sizes and max(sizes) < n_docs, max(sizes)
+
+
 def test_search_batch_mixed_fields_and_models(spark, tiny_index):
     """Batch WAND routing must handle per-query fields (title vs body) and
     coexist with structured queries in one batch, result-identical to the
