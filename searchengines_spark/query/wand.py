@@ -335,9 +335,14 @@ def wand_topk_batch_local(reader: IndexReader,
     b_queries = spark.sparkContext.broadcast(
         {qid: (list(ts), f) for qid, (ts, f) in queries.items()})
     # tombstones: bounded by deletes since the last compaction (compaction
-    # removes them physically). Broadcast whole; at crawl scale the kernel
-    # would range-slice the sorted tombstone list per stripe instead.
-    b_del = spark.sparkContext.broadcast(deleted) if deleted else None
+    # removes them physically). Broadcast ONE sorted array; each stripe
+    # binary-searches its [lo, hi) slice so the per-probe membership set is
+    # bounded by the stripe's own tombstones, not the global delete count
+    # (100k global tombstones -> ~3k per stripe at 32 stripes; slice cost is
+    # 2 searchsorted calls per stripe task).
+    del_arr = (np.fromiter(sorted(deleted), dtype=np.int64, count=len(deleted))
+               if deleted else None)
+    b_del = spark.sparkContext.broadcast(del_arr) if del_arr is not None else None
 
     # stripes must cover the docid SPACE, not the doc count: after a
     # physical purge the surviving docids keep their values (holes), so the
@@ -398,6 +403,13 @@ def wand_topk_batch_local(reader: IndexReader,
         from ..index import norms as norms_mod
 
         norms_by_field: dict[str, np.ndarray] = {}
+        # range-slice the sorted tombstone array to THIS stripe's docids
+        stripe_del = None
+        if b_del is not None:
+            arr = b_del.value
+            s_, e_ = np.searchsorted(arr, lo), np.searchsorted(arr, hi)
+            if e_ > s_:
+                stripe_del = frozenset(int(x) for x in arr[s_:e_])
         out_q, out_d, out_s, out_dec = [], [], [], []
         for qid, (terms, field) in b_queries.value.items():
             idfs = [idf_of.get((field, t), 0.0) for t in terms]
@@ -409,7 +421,7 @@ def wand_topk_batch_local(reader: IndexReader,
             top, dec = _wand_stripe(tb, idfs, k, k1, b, avgs[field],
                                     require_all,
                                     norms_by_field.get(field), lo, cache,
-                                    deleted=b_del.value if b_del else None)
+                                    deleted=stripe_del)
             for d, s in top:
                 out_q.append(qid); out_d.append(d); out_s.append(s)
                 out_dec.append(dec)
