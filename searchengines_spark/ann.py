@@ -79,6 +79,35 @@ def assign_cells(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return emb.mapInPandas(kernel, schema)
 
 
+def write_ivf(emb: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Materialize the IVF index PHYSICALLY partitioned by cell — one
+    directory per cell via .write.partitionBy('cell'), so a probe's
+    cell-membership filter prunes at the directory level: the scan's
+    PartitionFilters lists the probed cells and unprobed cells' files are
+    never opened (plan captured in PLANS.md). Centroids persist beside the
+    data as a tiny parquet sidecar so search needs no retraining."""
+    spark = emb.sparkSession
+    (assign_cells(emb, centroids)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["cell", "centroid"],
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+
+
+def read_ivf(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a write_ivf index: (cell-partitioned DataFrame, centroids).
+    The returned frame's ``cell`` is a partition column — filters on it
+    prune directories, which is the scale path for probes."""
+    cells = spark.read.parquet(path)
+    rows = spark.read.parquet(path + "_centroids").collect()
+    dim = len(rows[0]["centroid"])
+    cents = np.zeros((len(rows), dim), dtype=np.float64)
+    for r in rows:
+        cents[int(r["cell"])] = np.asarray(r["centroid"], dtype=np.float64)
+    return cells, cents
+
+
 def probe_cells(centroids: np.ndarray, qv: np.ndarray, n_probe: int) -> list[int]:
     q = np.asarray(qv, dtype=np.float64)
     nq = np.linalg.norm(q)

@@ -93,3 +93,29 @@ def test_probe_scan_prunes(fixture):
     df = ivf_topk(cells, cents, qv, k=5, n_probe=2)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "cell" in plan
+
+
+def test_write_ivf_partition_pruned_probe(fixture, spark, tmp_path):
+    """write_ivf materializes one directory per cell; a probe against the
+    read-back table must (a) show the probed cells as PartitionFilters in
+    the scan — directory-level pruning, the 100 TB path — and (b) return
+    exactly the in-memory probe's results."""
+    from searchengines_spark.ann import read_ivf, write_ivf
+
+    emb, cents, cells, rows = fixture
+    path = str(tmp_path / "ivf_idx")
+    write_ivf(emb, cents, path)
+    disk_cells, disk_cents = read_ivf(spark, path)
+    assert np.allclose(disk_cents, cents)
+
+    qv = np.asarray(rows[2]["embedding"], dtype=np.float64)
+    out = ivf_topk(disk_cells, disk_cents, qv, k=10, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln and " IN " in ln for ln in pf), pf
+    want = [(r["vec_id"], r["cos"]) for r in
+            ivf_topk(cells, cents, qv, k=10, n_probe=3).collect()]
+    got = [(r["vec_id"], r["cos"]) for r in out.collect()]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    assert all(abs(g - w) < 1e-9 for (_, g), (_, w) in zip(got, want))

@@ -128,6 +128,42 @@ def main() -> None:
         "groupBy), not a 64-column aggregate.",
         fmt(lsh)))
 
+    import numpy as np
+
+    from searchengines_spark import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ann.train_ivf(emb, n_cells=8, seed=7)
+    ivf_path = "/tmp/plans_ivf_idx"
+    ann.write_ivf(emb, cents, ivf_path)
+    disk_cells, disk_cents = ann.read_ivf(spark, ivf_path)
+    qv = np.asarray(emb.limit(1).collect()[0]["embedding"], dtype=np.float64)
+    probe = ann.ivf_topk(disk_cells, disk_cents, qv, k=10, n_probe=3)
+    sections.append((
+        "IVF ANN probe over a cell-partitioned index (write_ivf layout)",
+        "What to look for: `PartitionFilters: [..., cell IN (...)]` on the "
+        "embeddings scan — write_ivf lays the index out one directory per "
+        "cell, so a 3-of-8-cell probe opens 3/8 of the files (at 4096 cells "
+        "and n_probe=8 the scan touches 0.2% of the data); the scoring "
+        "kernel is one `MapInPandas` matmul per Arrow batch emitting "
+        "per-batch partial top-k, and the global merge is a k-rows-per-"
+        "batch window.",
+        fmt(probe)))
+
+    indri = e.search("#WAND( 0.6 haceba4 0.4 #AND( badiba5 fobaba3 ) )",
+                     model="indri", mu=1000.0, lam=0.4, k=10)
+    sections.append((
+        "Indri #WAND (structured query, planner path)",
+        "What to look for: per-term score legs reading ONE shared decoded "
+        "postings scan, full-outer-folded on docid (Indri scores unseen "
+        "terms via the default score, so the candidate set is the UNION of "
+        "the operand posting lists — bounded by sum(df) of the query terms, "
+        "never n_docs: absent docs score background for every term and "
+        "cannot enter the top k); doc_lens_wide joined once for default "
+        "scores; stats (ctf, fieldlen) arrive via 1-row broadcast joins; "
+        "final `TakeOrderedAndProject`.",
+        fmt(indri)))
+
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("# PLANS — captured physical plans for the headline paths\n\n"
