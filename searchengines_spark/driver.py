@@ -42,6 +42,48 @@ def parse_queries(path_or_lines) -> dict[str, str]:
     return out
 
 
+def parse_params(path_or_lines) -> dict[str, str]:
+    """``key=value`` param file — the reference's parameter-file shape
+    (QryEval.readParameterFile; every PARAM_DIR/*.param is this format).
+    Blank lines and ``#`` comments skipped; values keep internal spaces."""
+    if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
+        with open(path_or_lines) as f:
+            lines = f.readlines()
+    elif isinstance(path_or_lines, str):
+        lines = path_or_lines.splitlines()
+    else:
+        lines = list(path_or_lines)
+    out = {}
+    for ln in lines:
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        k, _, v = ln.partition("=")
+        out[k.strip()] = v.strip()
+    return out
+
+
+def run_param_file(reader: IndexReader, params: dict | str,
+                   run_id: str = "run") -> list[str]:
+    """One-call param-file dispatch — the QryEval.main contract
+    (QryEval.java:45-92): queries come from ``queryFilePath``, TREC output
+    goes to ``trecEvalOutputPath``, ``retrievalAlgorithm=ltr`` routes to
+    the LTR artifact flow (ltr:* keys), everything else (BM25 / Indri /
+    RankedBoolean, + prf / diversity) through run_batch. Accepts a parsed
+    dict, a path to a .param file, or raw param-file text."""
+    if isinstance(params, str):
+        params = parse_params(params)
+    queries = parse_queries(params["queryFilePath"])
+    if params.get("retrievalAlgorithm", "BM25").lower() == "ltr":
+        lines = run_ltr(reader, params, None, queries, None, run_id)
+    else:
+        lines = run_batch(reader, params, queries, run_id)
+    if "trecEvalOutputPath" in params:
+        with open(params["trecEvalOutputPath"], "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return lines
+
+
 def parse_intents(path_or_lines) -> dict[str, list[tuple[int, str]]]:
     """``qid.i:intent text`` lines (QryEval.java:319-334)."""
     if isinstance(path_or_lines, str) and os.path.exists(path_or_lines):
@@ -254,17 +296,51 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
     return lines
 
 
-def run_ltr(reader: IndexReader, params: dict, train_queries: dict[str, str],
-            test_queries: dict[str, str], qrels: list[tuple[str, str, int]],
+def run_ltr(reader: IndexReader, params: dict,
+            train_queries: dict[str, str] | None = None,
+            test_queries: dict[str, str] | None = None,
+            qrels: list[tuple[str, str, int]] | None = None,
             run_id: str = "run") -> list[str]:
     """EP2 (QryEval.java:951-1057): train features on qrels, initial BM25
-    top-100 for test queries, feature-score rerank, TREC output."""
-    from .ltr import extract_features, minmax_normalize, rerank, train_ridge
+    top-100 for test queries, feature-score rerank, TREC output.
+
+    Honors the reference's full ltr:* key set: trainingQueryFile /
+    trainingQrelsFile (used when the corresponding argument is None),
+    toolkit (SVMRank -> pairwise linear, RankLib -> GBT, else ridge),
+    featureDisable, and the four artifact files —
+    trainingFeatureVectorsFile (.LtrTrain), modelFile (.Model),
+    testingFeatureVectorsFile (.LtrTest), testingDocumentScores
+    (.DocScore), each in the reference's format (QryEval.java:951-1057)."""
+    from .ltr import (
+        apply_feature_disable,
+        extract_features,
+        minmax_normalize,
+        rerank_with,
+        save_model,
+        train_ranker,
+        write_docscore,
+        write_svmlight,
+    )
 
     spark = reader.spark
     eng = Engine(reader)
     k = int(params.get("trecEvalOutputLength", 100))
     url_ids = reader.docid_url_map()
+
+    if train_queries is None:
+        train_queries = parse_queries(params["ltr:trainingQueryFile"])
+    if qrels is None:
+        qrels = parse_qrels(params["ltr:trainingQrelsFile"])
+    if test_queries is None:
+        test_queries = parse_queries(params["queryFilePath"])
+    toolkit = {"svmrank": "svmrank", "ranklib": "ranklib"}.get(
+        params.get("ltr:toolkit", "").lower(), "ridge")
+    disable = {int(x) for x in
+               str(params.get("ltr:featureDisable", "")).split(",") if x.strip()}
+    fkw = {"k1": float(params.get("BM25:k_1", 1.2)),
+           "b": float(params.get("BM25:b", 0.75)),
+           "mu": float(params.get("Indri:mu", 2500.0)),
+           "lam": float(params.get("Indri:lambda", 0.4))}
 
     # qrels are the SMALL side (thousands of rows): broadcast-join the
     # parsed qrels frame against the docid map instead of collecting the
@@ -277,16 +353,28 @@ def run_ltr(reader: IndexReader, params: dict, train_queries: dict[str, str],
     cand_train = (url_ids.join(F.broadcast(qrels_df), "url")
                   .select("qid", "docid", "rel").cache())
     cand_train.count()
-    feats = minmax_normalize(extract_features(reader, cand_train, train_queries))
-    w = train_ridge(feats)
+    feats = minmax_normalize(apply_feature_disable(
+        extract_features(reader, cand_train, train_queries, **fkw), disable))
+    if "ltr:trainingFeatureVectorsFile" in params:
+        write_svmlight(feats, url_ids, params["ltr:trainingFeatureVectorsFile"])
+    model = train_ranker(feats, toolkit)
+    if "ltr:modelFile" in params:
+        save_model(model, params["ltr:modelFile"])
 
     # initial BM25 top-100 for every test query in one batched action; the
     # candidate frame stays distributed — no driver round-trip
-    init = eng.search_batch_df(test_queries, "bm25", 100).join(url_ids, "url")
+    init = eng.search_batch_df(test_queries, "bm25", 100,
+                               k1=fkw["k1"], b=fkw["b"]).join(url_ids, "url")
     cand_test = init.select("qid", "docid", F.lit(0).alias("rel")).cache()
     cand_test.count()
-    tfeats = minmax_normalize(extract_features(reader, cand_test, test_queries))
-    ranked = rerank(tfeats, w, url_ids, k=k)
+    tfeats = minmax_normalize(apply_feature_disable(
+        extract_features(reader, cand_test, test_queries, **fkw), disable))
+    if "ltr:testingFeatureVectorsFile" in params:
+        write_svmlight(tfeats, url_ids, params["ltr:testingFeatureVectorsFile"])
+    if "ltr:testingDocumentScores" in params:
+        write_docscore(tfeats, model, url_ids,
+                       params["ltr:testingDocumentScores"])
+    ranked = rerank_with(tfeats, model, url_ids, k=k)
     by_qid: dict[str, list] = {}
     for r in ranked.collect():  # ONE collect for every query's reranking
         by_qid.setdefault(r["qid"], []).append((r["rank"], r["url"], r["ltr_score"]))

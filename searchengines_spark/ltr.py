@@ -200,6 +200,19 @@ def extract_features(reader: IndexReader, candidates: DataFrame,
     return out.select("qid", "docid", "rel", *[f"f{i}" for i in range(1, N_FEATURES + 1)])
 
 
+def apply_feature_disable(features: DataFrame, disable: set[int]) -> DataFrame:
+    """``ltr:featureDisable`` — disabled features are never computed in the
+    reference (QryEval.java:567-575 skips them), so their ids are absent
+    from the SVMlight vectors: null them out (the sparse writer omits
+    nulls, trainers fillna(0), min-max preserves null). Out-of-range ids
+    are ignored (the reference's id space is larger than ours)."""
+    out = features
+    for i in sorted(disable):
+        if 1 <= i <= N_FEATURES:
+            out = out.withColumn(f"f{i}", F.lit(None).cast("double"))
+    return out
+
+
 def minmax_normalize(features: DataFrame) -> DataFrame:
     """Per-query per-feature min-max to [0,1]; null-preserving; max==min -> 0
     (normalizeFeatureValues, QryEval.java:706-736)."""

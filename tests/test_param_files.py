@@ -1,0 +1,133 @@
+"""Reference-format end-to-end goldens: each HW family's actual .param file
+from /root/reference/PARAM_DIR is parsed VERBATIM (every key, in the
+reference's own key=value shape — only the path-valued keys are re-pointed
+at fixture/tmp files, since the ClueWeb index and .qry files aren't
+shipped), run through run_param_file, and the produced artifacts are
+byte-compared against frozen goldens in tests/golden/ (GOLDEN_REGEN=1
+refreshes them).
+
+  HW3  Indri + PRF           -> .teIn + expansion-query file
+  HW4  LTR (SVMRank, feature sweep) -> .teIn + .LtrTrain + .LtrTest + .DocScore
+  HW5  diversity (xQuAD)     -> .teIn
+"""
+
+import os
+import shutil
+
+import pytest
+
+from searchengines_spark.driver import parse_params, run_param_file
+
+PARAM_DIR = "/root/reference/PARAM_DIR"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(PARAM_DIR), reason="reference PARAM_DIR not present")
+
+
+def _check_golden(got_path: str, name: str) -> None:
+    golden = os.path.join(GOLDEN, name)
+    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+        shutil.copy(got_path, golden)
+    with open(got_path) as f, open(golden) as g:
+        assert f.read() == g.read(), f"{name} drifted from frozen golden"
+
+
+def _load_ref_params(fname: str) -> dict:
+    """Parse the reference param file verbatim; assert the key families we
+    claim to honor are actually present in the file we mirror."""
+    params = parse_params(os.path.join(PARAM_DIR, fname))
+    assert "queryFilePath" in params and "trecEvalOutputPath" in params
+    return params
+
+
+def test_hw3_indri_prf_param_file(tiny_index, tmp_path):
+    params = _load_ref_params("HW3-Train-1.param")
+    assert params["retrievalAlgorithm"] == "Indri" and params["prf"] == "Indri"
+    qry = tmp_path / "hw3.qry"
+    qry.write_text("1:haceba4 badiba5\n2:cebaba1 dibaba2\n")
+    params.update({
+        "queryFilePath": str(qry),
+        "trecEvalOutputPath": str(tmp_path / "HW3.teIn"),
+        "prf:expansionQueryFile": str(tmp_path / "HW3.qryOut"),
+    })
+    lines = run_param_file(tiny_index, params)
+    assert lines and open(params["trecEvalOutputPath"]).read().splitlines() == lines
+    _check_golden(params["trecEvalOutputPath"], "HW3-Train-1.teIn")
+    _check_golden(params["prf:expansionQueryFile"], "HW3-Train-1.qryOut")
+
+
+def test_hw4_ltr_param_file(tiny_index, tmp_path):
+    params = _load_ref_params("HW4-Exp-2.1a.param")
+    assert params["retrievalAlgorithm"] == "ltr"
+    assert params["ltr:toolkit"] == "SVMRank"
+    assert params["ltr:featureDisable"]  # the sweep family disables features
+    urls = [r["url"] for r in
+            tiny_index.docid_url_map().orderBy("docid").limit(30).collect()]
+    qrels = tmp_path / "hw4.trainQrels"
+    qrels.write_text("".join(f"1 0 {u} {i % 3}\n" for i, u in enumerate(urls)))
+    train_qry = tmp_path / "hw4.train.qry"
+    train_qry.write_text("1:cebaba1 dibaba2\n")
+    test_qry = tmp_path / "hw4.test.qry"
+    test_qry.write_text("9:fobaba3 cebaba1\n")
+    params.update({
+        "queryFilePath": str(test_qry),
+        "trecEvalOutputPath": str(tmp_path / "HW4.teIn"),
+        "ltr:trainingQueryFile": str(train_qry),
+        "ltr:trainingQrelsFile": str(qrels),
+        "ltr:trainingFeatureVectorsFile": str(tmp_path / "HW4.LtrTrain"),
+        "ltr:modelFile": str(tmp_path / "HW4.Model"),
+        "ltr:testingFeatureVectorsFile": str(tmp_path / "HW4.LtrTest"),
+        "ltr:testingDocumentScores": str(tmp_path / "HW4.DocScore"),
+    })
+    lines = run_param_file(tiny_index, params)
+    assert lines and all(ln.startswith("9 Q0 ") for ln in lines)
+    # featureDisable=17..26 must leave f17-f20 out of the SVMlight vectors
+    train_txt = open(params["ltr:trainingFeatureVectorsFile"]).read()
+    assert " 16:" in train_txt
+    for fid in (17, 18, 19, 20):
+        assert f" {fid}:" not in train_txt
+    # one model score per .LtrTest line (SVMrank shape)
+    n_test = len(open(params["ltr:testingFeatureVectorsFile"]).read().splitlines())
+    n_scores = len(open(params["ltr:testingDocumentScores"]).read().splitlines())
+    assert n_test == n_scores > 0
+    _check_golden(params["trecEvalOutputPath"], "HW4-Exp-2.1a.teIn")
+    _check_golden(params["ltr:trainingFeatureVectorsFile"], "HW4-Exp-2.1a.LtrTrain")
+    _check_golden(params["ltr:testingFeatureVectorsFile"], "HW4-Exp-2.1a.LtrTest")
+    _check_golden(params["ltr:testingDocumentScores"], "HW4-Exp-2.1a.DocScore")
+
+
+def test_hw5_diversity_param_file(tiny_index, tmp_path):
+    params = _load_ref_params("HW5-Train-8.param")
+    assert params["diversity"] == "true"
+    assert params["diversity:algorithm"] == "xQuAD"
+    qry = tmp_path / "hw5.qry"
+    qry.write_text("1:haceba4 badiba5\n")
+    intents = tmp_path / "hw5.intents"
+    intents.write_text("1.1:haceba4\n1.2:badiba5\n")
+    params.update({
+        "queryFilePath": str(qry),
+        "trecEvalOutputPath": str(tmp_path / "HW5.teIn"),
+        "diversity:intentsFile": str(intents),
+    })
+    lines = run_param_file(tiny_index, params)
+    assert lines and all(ln.split()[0] == "1" for ln in lines)
+    _check_golden(params["trecEvalOutputPath"], "HW5-Train-8.teIn")
+
+
+def test_param_file_roundtrip_from_disk(tiny_index, tmp_path):
+    """run_param_file also accepts a PATH to a key=value file — the exact
+    QryEval.main entry shape (java QryEval param.param)."""
+    qry = tmp_path / "r.qry"
+    qry.write_text("1:cebaba1\n")
+    pfile = tmp_path / "r.param"
+    pfile.write_text(
+        "indexPath=IGNORED\n"
+        f"queryFilePath={qry}\n"
+        f"trecEvalOutputPath={tmp_path / 'r.teIn'}\n"
+        "trecEvalOutputLength=5\n"
+        "retrievalAlgorithm=BM25\n"
+        "BM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\n")
+    lines = run_param_file(tiny_index, str(pfile))
+    assert len(lines) == 5
+    assert open(str(tmp_path / "r.teIn")).read().splitlines() == lines
