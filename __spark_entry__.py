@@ -231,7 +231,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return A.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's cached intermediates when the next
+    query is built: harnesses run one query per action, so by the time
+    query N is constructed, query N-1's action has consumed its caches.
+    Bounds executor storage to one query's working set across a 48-query
+    correctness sweep (otherwise every shingle/signature/band cache lives
+    for the whole session and they evict each other at scale)."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        A.release_caches()
+        return fn(spark, sf_dir)
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
+def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": A.q_term_stats,
         "doc_lens": A.q_doc_lens,
@@ -282,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": A.q_fingerprint,
         "binary_meta": A.q_binary_meta,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _released(fn) for name, fn in _queries_impl().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -87,6 +87,29 @@ def md5hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """cache() + register so release_caches() can free it. Every cached
+    intermediate in this module goes through here — without a registry the
+    caches outlive their query and accumulate in executor storage for the
+    session's lifetime (at the 100 TB shape, MEMORY_AND_DISK blocks from
+    dozens of queries evict each other and spill)."""
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by this module's queries. Call
+    between actions (the __spark_entry__ wrappers release the previous
+    query's caches when the next query is built; harnesses may also call
+    it directly). A released frame simply recomputes if re-collected."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 def _fill(df: DataFrame) -> DataFrame:
     """cache() + eager materialize. Spark's cache has no cross-leg compute
     lock: when one action references a frame from k plan legs (e.g. the
@@ -94,7 +117,7 @@ def _fill(df: DataFrame) -> DataFrame:
     race an unpopulated cache and EACH recomputes the full upstream
     lineage — measured ~5x the shingle stage on the scaled dedup ops. One
     small count() turns every leg into a cache read."""
-    df = df.cache()
+    df = _track(df)
     df.count()
     return df
 
@@ -345,7 +368,7 @@ def _lsh64_sh_cand(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     the 16x4 band-bucket join). ``sh`` is cached and ``long`` cache-filled
     (one count) because the downstream plan references sh from 3 legs and
     long from 2 — see _fill."""
-    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sh = _track(_shingles(load(spark, sf_dir, "documents")))
     # band hash = md5 of the band's LSH_ROWS signature values comma-joined in
     # permutation order — computed from the LONG signature form with one
     # groupBy (string-identical to concat_ws over the wide m{i} columns)
@@ -474,13 +497,12 @@ def q_dup_clusters(spark, sf_dir):
     fully distributed (the 100 TB shape; large-star/small-star is the same
     idea with better worst-case bounds)."""
     pairs = q_lsh_dup_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = (
+    edges = _track(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .cache()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "canon", F.col("doc_id")).cache()
+    labels = _track(edges.select(F.col("src").alias("doc_id")).distinct()
+                    .withColumn("canon", F.col("doc_id")))
     for _ in range(12):  # >= diameter of any plausible dup cluster
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -489,12 +511,12 @@ def q_dup_clusters(spark, sf_dir):
         )
         # cache each round: iterative algorithms otherwise recompute the
         # whole lineage chain every iteration (O(rounds^2) work)
-        new_labels = (
+        new_labels = _track(
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("canon"), F.coalesce(F.col("nbr_canon"), F.col("canon")))
                     .alias("canon"))
-        ).cache()
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("canon", "old"), "doc_id")
             .filter(F.col("canon") != F.col("old")).limit(1).count()
