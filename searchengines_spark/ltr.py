@@ -230,10 +230,23 @@ def minmax_normalize(features: DataFrame) -> DataFrame:
     return out
 
 
+def _canonical_fit_input(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Run-to-run deterministic training input: one partition, totally
+    ordered. Float addition is non-associative, so a distributed fit's
+    treeAggregate sums drift in the low decimals with partition/arrival
+    order — enough to break byte-frozen goldens (.teIn/.DocScore). Training
+    matrices here are qrels-bounded (thousands of rows; the reference ships
+    the same data to a single-node SVMrank/RankLib process), so a canonical
+    single sorted partition costs nothing while feature extraction and
+    rerank scoring stay fully distributed."""
+    return df.coalesce(1).sortWithinPartitions(*order_cols)
+
+
 def train_ridge(features: DataFrame, l2: float = 1e-3) -> np.ndarray:
     """Closed-form ridge regression rel ~ f1..f20 (nulls -> 0). A
     deterministic in-process linear baseline."""
-    rows = features.fillna(0.0).collect()
+    rows = sorted(features.fillna(0.0).collect(),
+                  key=lambda r: (r["qid"], r["docid"]))
     X = np.array([[float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)] for r in rows])
     y = np.array([float(r["rel"]) for r in rows])
     A = X.T @ X + l2 * np.eye(N_FEATURES)
@@ -275,7 +288,7 @@ def train_pairwise_lr(features: DataFrame, max_iter: int = 60,
     lr = LogisticRegression(featuresCol="features", labelCol="label",
                             fitIntercept=False, maxIter=max_iter,
                             regParam=reg, standardization=False)
-    model = lr.fit(ds)
+    model = lr.fit(_canonical_fit_input(ds, ["label"] + cols))
     return np.asarray(model.coefficients.toArray(), dtype=np.float64)
 
 
@@ -289,7 +302,7 @@ def train_gbt(features: DataFrame, seed: int = 7, max_iter: int = 20,
     _, ds = _assembled(features)
     gbt = GBTRegressor(featuresCol="features", labelCol="rel", seed=seed,
                        maxIter=max_iter, maxDepth=max_depth)
-    return gbt.fit(ds)
+    return gbt.fit(_canonical_fit_input(ds, ["qid", "docid"]))
 
 
 class RankModel:
