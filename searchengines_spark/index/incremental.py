@@ -140,6 +140,14 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     ts_tmp = os.path.join(index_dir, "term_stats_new")
     merged_ts.write.mode("overwrite").parquet(ts_tmp)
     _swap(index_dir, "term_stats")
+    # Which term buckets did this delta touch? Bounded by N_BUCKETS (64)
+    # rows; computed from the delta's own vocab (cached `tokenized` lineage),
+    # never a rescan of the index. compact_buckets() uses this to re-encode
+    # only the fragmented buckets instead of the whole posting store.
+    touched_buckets = sorted(
+        int(r["b"]) for r in delta_stats.select(
+            term_bucket_col(F.col("term")).alias("b")).distinct().collect()
+    )
     _lap("stats_merge")
 
     # field_stats: old + DELTA (never a rescan of the full doc_lens table —
@@ -217,9 +225,15 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     # exactly n_new on top of the old extent
     manifest["docid_space"] = int(max_docid) + 1 + int(n_new)
     manifest.setdefault("appends", []).append(
-        {"n_new": int(n_new), "ts": time.time(), "secs": time.time() - t0}
+        {"n_new": int(n_new), "ts": time.time(), "secs": time.time() - t0,
+         "buckets": touched_buckets}
     )
+    manifest["uncompacted_buckets"] = sorted(
+        set(manifest.get("uncompacted_buckets", [])) | set(touched_buckets))
     manifest["stale_block_bounds"] = True  # old max_score under old stats
+    # an append changes GLOBAL stats (n_docs, avg doclen), so every bucket's
+    # bounds go stale again — drop any partial-compact freshness record
+    manifest.pop("stale_bound_buckets", None)
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     from .snapshots import commit_snapshot
@@ -283,7 +297,8 @@ def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
 
 def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             bm25_k1: float = 1.2, bm25_b: float = 0.75,
-            store_positions: bool | None = None) -> dict:
+            store_positions: bool | None = None,
+            salt_range: int | None = None) -> dict:
     """Re-encode the whole posting store from the forward table — the LSM
     compaction that follows a run of appends. Skips tokenization (the
     dominant build stage); restores everything appends left approximate:
@@ -388,7 +403,8 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
         F.max("docid")).collect()[0][0]
     docid_space = int(mx) + 1 if mx is not None else n_docs
     manifest["docid_space"] = docid_space
-    salt_range = max(1, math.ceil(docid_space / n_salts))
+    if salt_range is None:  # explicit override keeps existing stripe cuts
+        salt_range = max(1, math.ceil(docid_space / n_salts))
     fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
     avg_len = {r["field"]: (r["sum_len"] / r["doc_count"] if r["doc_count"] else 1.0)
                for r in fs if r["field"] != "__docs__"}
@@ -424,6 +440,8 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     manifest["bm25_b"] = bm25_b
     manifest["stale_block_bounds"] = False
     manifest["store_positions"] = bool(store_positions)
+    manifest["uncompacted_buckets"] = []
+    manifest.pop("stale_bound_buckets", None)
     manifest.setdefault("compactions", []).append(
         {"ts": time.time(), "secs": round(time.time() - t0, 2)})
     with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
@@ -438,6 +456,138 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     os.remove(marker)
     return {"secs": time.time() - t0, "n_docs": n_docs,
             "salt_range": salt_range, "snapshot": snap}
+
+
+def compact_buckets(spark: SparkSession, index_dir: str,
+                    buckets: list[int] | None = None,
+                    bm25_k1: float | None = None,
+                    bm25_b: float | None = None) -> dict:
+    """Bucket-scoped compaction — re-encode ONLY the term buckets appends
+    touched, leaving every other ``blocks/bucket=N`` directory's files
+    physically untouched (byte- and inode-identical).
+
+    After a run of appends the posting store is fragmented per bucket (each
+    append adds docid-disjoint block files) and block max_score bounds are
+    stale. A full compact() re-encodes the whole corpus; this re-encodes the
+    postings of the touched buckets only — same codec, same stripe cuts
+    (manifest ``salt_range`` is preserved, because the WAND kernel derives
+    stripe docid windows from ONE global salt_range) and CURRENT corpus
+    stats, so for the touched buckets the result is row-identical to a full
+    compact run at the same salt_range.
+
+    Cost shape at scale: the forward doc_terms scan is still O(corpus)
+    (forward files are doc-ordered, every bucket's terms live in every file),
+    but the expensive legs — the encode shuffle, the numpy block kernel and
+    the serving-layout write — are O(touched fraction). The touched-bucket
+    swap in the serving layout uses Spark's dynamic partition overwrite, so
+    untouched bucket directories are never listed, read, or rewritten.
+
+    Bounds bookkeeping: touched buckets get fresh max_score bounds (current
+    stats); untouched buckets keep bounds from their last encode, which are
+    stale whenever stats moved since. The manifest records the still-stale
+    set in ``stale_bound_buckets`` and keeps ``stale_block_bounds`` True
+    until it empties, so WAND keeps recomputing conservative bounds —
+    correctness never depends on the partial freshness.
+
+    Deletes are copy-on-write across ALL buckets a doc's terms hash into, so
+    pending tombstones require the full compact(): this raises if any exist.
+
+    buckets: explicit bucket list; default = manifest ``uncompacted_buckets``
+    (recorded per-append). bm25 params default to the manifest's encode
+    params — overriding them only makes sense together with a full compact,
+    since untouched buckets would keep the old scoring."""
+    import shutil
+
+    from .build import SALT_MIN_DF, doc_terms_dir, encode_blocks
+
+    t0 = time.time()
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    reader = IndexReader(spark, index_dir)
+    if reader.deletes_df() is not None:
+        raise ValueError(
+            "pending tombstones: physical delete touches every bucket — "
+            "run the full compact()")
+    if buckets is None:
+        buckets = manifest.get("uncompacted_buckets", [])
+    buckets = sorted(set(int(b) for b in buckets))
+    if not buckets:
+        return {"secs": time.time() - t0, "buckets": [], "noop": True}
+
+    n_docs = int(manifest["n_docs"])
+    salt_range = int(manifest.get("salt_range") or max(1, -(-n_docs // 32)))
+    k1 = float(manifest.get("bm25_k1", 1.2)) if bm25_k1 is None else bm25_k1
+    b = float(manifest.get("bm25_b", 0.75)) if bm25_b is None else bm25_b
+
+    marker = os.path.join(index_dir, "COMPACTING")
+    with open(marker, "w") as f:
+        f.write(str(t0))
+
+    fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()
+    avg_len = {r["field"]: (r["sum_len"] / r["doc_count"] if r["doc_count"] else 1.0)
+               for r in fs if r["field"] != "__docs__"}
+    bucket_filter = term_bucket_col(F.col("term")).isin(buckets)
+    doc_terms = spark.read.parquet(doc_terms_dir(index_dir)).filter(bucket_filter)
+    term_stats = spark.read.parquet(
+        os.path.join(index_dir, "term_stats")).filter(F.col("bucket").isin(buckets))
+    blocks = encode_blocks(
+        spark, doc_terms, term_stats, avg_len, n_docs, salt_range, k1, b,
+        salt_min_df=int(manifest.get("salt_min_df", SALT_MIN_DF)),
+        payload_codec=manifest.get("payload_codec", "varint"),
+        store_positions=manifest.get("store_positions", True))
+
+    # keep the segments store (flat staging copy of the serving rows) in
+    # sync: replace the touched buckets' rows. At 100 TB the segments store
+    # would be bucket-partitioned too and take the same dynamic-overwrite
+    # path; here the rewrite is IO-only over ~100x-compressed blocks.
+    seg_path = os.path.join(index_dir, "blocks_segments")
+    if os.path.isdir(seg_path):
+        keep = spark.read.parquet(seg_path).filter(~F.col("bucket").isin(buckets))
+        keep.unionByName(blocks).write.mode("overwrite").parquet(seg_path + "_new")
+        _swap(index_dir, "blocks_segments")
+        shutil.rmtree(os.path.join(index_dir, "blocks_segments_old"),
+                      ignore_errors=True)
+        blocks = spark.read.parquet(seg_path).filter(F.col("bucket").isin(buckets))
+
+    # serving layout: dynamic partition overwrite swaps ONLY the bucket
+    # directories present in `blocks`; untouched bucket dirs keep their files
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            blocks.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 16),
+                "bucket", "field", "term", "salt")
+            .sortWithinPartitions("bucket", "field", "term", "salt", "min_docid")
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "blocks"))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    remaining_stale: list[int] = []
+    if manifest.get("stale_block_bounds"):
+        blocks_root = os.path.join(index_dir, "blocks")
+        present = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(blocks_root)
+            if d.startswith("bucket="))
+        prior_stale = set(manifest.get("stale_bound_buckets", present))
+        remaining_stale = sorted(prior_stale - set(buckets))
+    manifest["stale_bound_buckets"] = remaining_stale
+    manifest["stale_block_bounds"] = bool(remaining_stale)
+    manifest["uncompacted_buckets"] = sorted(
+        set(manifest.get("uncompacted_buckets", [])) - set(buckets))
+    manifest.setdefault("partial_compactions", []).append(
+        {"ts": time.time(), "secs": round(time.time() - t0, 2),
+         "buckets": buckets})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    from .snapshots import commit_snapshot
+
+    snap = commit_snapshot(index_dir, "compact_buckets")
+    os.remove(marker)
+    return {"secs": time.time() - t0, "buckets": buckets,
+            "stale_bound_buckets": remaining_stale, "snapshot": snap}
 
 
 def _swap(index_dir: str, name: str) -> None:
