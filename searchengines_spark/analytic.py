@@ -5,7 +5,10 @@ Every function here is the Spark half of a (Spark, DuckDB-SQL) pair wired in
 row-count + schema + order-insensitive value hashes. So each function:
 
 - uses SIMPLE tokenization (split on ' ', matching DuckDB string_split);
-- uses only built-in pyspark.sql.functions (JVM-side, codegen) — no UDFs;
+- uses built-in pyspark.sql.functions (JVM-side, codegen) — no row UDFs;
+  the single exception is the 64-permutation MinHash kernel, an
+  Arrow-batched pandas_udf whose integer math is bit-identical to the SQL
+  oracle (see _minhash64_arr for why the pure-Catalyst forms lose);
 - aliases every computed column to the exact name the SQL uses;
 - rounds floating-point outputs (ROUND_DP) so both engines hash identically;
 - breaks ties deterministically (doc_id asc) before any LIMIT.
@@ -328,34 +331,54 @@ def q_lsh_dup_pairs(spark, sf_dir):
     return _jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= 0.5)
 
 
-def _minhash64_long(spark, sh: DataFrame) -> DataFrame:
-    """(doc_id, i, m): 64-permutation MinHash signature in LONG form — one
-    row per (doc, permutation). The permutation coefficients join in as a
-    broadcast 64-row table and the signature is one groupBy(doc_id, i) —
-    narrow plans all the way (the previous 64-column ``agg(min, ...)``
-    produced a codegen unit with double-digit-seconds janino compile per
-    fresh session; the narrow form compiles instantly and shuffles ~64x
-    the shingle-count of tiny rows, which Tungsten chews through)."""
-    coef = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_AB64)], "i int, a long, b long")
-    hashed = sh.withColumn("h", md5hash32(F.col("shingle")))
-    return (
-        hashed.join(F.broadcast(coef))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(HASH_P)).alias("m"))
+def _mh64_kernel(hs):
+    """numpy kernel: per doc, min over its shingle hashes of the 64 affine
+    permutations (a*h + b) mod P. int64-exact: a < 2^20 (gen_ab), h < 2^32
+    -> a*h + b < 2^52. Per-row vectorized (64, n) broadcast; the row loop
+    is bounded by the Arrow batch size and keeps peak memory at one doc's
+    (64, n) block instead of a whole batch's."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in MINHASH_AB64], dtype=np.int64).reshape(-1, 1)
+    B = np.array([b for _, b in MINHASH_AB64], dtype=np.int64).reshape(-1, 1)
+    out = []
+    for h in hs:
+        hv = np.asarray(h, dtype=np.int64)
+        out.append(((A * hv + B) % HASH_P).min(axis=1))
+    return pd.Series(out)
+
+
+def _minhash64_arr(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh: array<long>[64]): 64-permutation MinHash signature.
+
+    Shape note — this supersedes two measured earlier forms: a 64-column
+    ``agg(min, ...)`` stalls ~12s in janino codegen per fresh session, and
+    the long (doc_id, i) form (broadcast 64-row coefficient join + one
+    groupBy) compiles instantly but shuffles and hash-aggregates 64x the
+    shingle count (~93M tiny rows at sf0.1 — the dominant cost of every
+    scaled dedup query). Here the distinct-shingle hashes shuffle ONCE
+    (collect_list per doc — bounded by doc length, the same per-doc payload
+    shape the documents table itself carries) and the 64 permutations run
+    in one Arrow-batched numpy kernel with zero additional shuffle. Values
+    are bit-identical to both earlier forms (same integer math), so the
+    DuckDB oracle is unchanged. min() is order-invariant, so the
+    nondeterministic collect_list order is immaterial."""
+    from pyspark.sql.functions import pandas_udf
+
+    udf = pandas_udf(_mh64_kernel, "array<long>")
+    per_doc = (
+        sh.withColumn("h", md5hash32(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
     )
+    return per_doc.select("doc_id", udf("hs").alias("mh"))
 
 
 def _minhash64(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m63): wide MinHash signature (oracle-facing schema),
-    pivoted from the long form."""
-    spark = sh.sparkSession
-    return (
-        _minhash64_long(spark, sh)
-        .groupBy("doc_id")
-        .pivot("i", list(range(64)))
-        .agg(F.first("m"))
-        .select("doc_id", *[F.col(str(i)).alias(f"m{i}") for i in range(64)])
+    """(doc_id, m0..m63): wide MinHash signature (oracle-facing schema)."""
+    return _minhash64_arr(sh).select(
+        "doc_id", *[F.col("mh")[i].alias(f"m{i}") for i in range(64)]
     )
 
 
@@ -369,19 +392,19 @@ def _lsh64_sh_cand(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     (one count) because the downstream plan references sh from 3 legs and
     long from 2 — see _fill."""
     sh = _track(_shingles(load(spark, sf_dir, "documents")))
-    # band hash = md5 of the band's LSH_ROWS signature values comma-joined in
-    # permutation order — computed from the LONG signature form with one
-    # groupBy (string-identical to concat_ws over the wide m{i} columns)
-    sig = _minhash64_long(spark, sh)
+    # band hash = md5 of the band's LSH_ROWS signature values comma-joined
+    # in permutation order, straight off the signature array (string- and
+    # hash-identical to concat_ws over the wide m{i} columns)
+    band_arr = F.array(*[
+        md5hash32(F.concat_ws(",", *[
+            F.col("mh")[band * LSH_ROWS + r].cast("string")
+            for r in range(LSH_ROWS)
+        ]))
+        for band in range(LSH_BANDS)
+    ])
     long = _fill(
-        sig.groupBy(
-            "doc_id",
-            (F.col("i") / LSH_ROWS).cast("int").alias("band"))
-        .agg(md5hash32(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda x: x["m"].cast("string")),
-            ",")).alias("bh")))
+        _minhash64_arr(sh).select(
+            "doc_id", F.posexplode(band_arr).alias("band", "bh")))
     cand = (
         long.select(F.col("doc_id").alias("a_id"), "band", "bh")
         .join(long.select(F.col("doc_id").alias("b_id"), "band", "bh"), ["band", "bh"])
