@@ -71,11 +71,64 @@ class Engine:
                                  recompute_bounds=self._wand_stale(m))
         scores = self._drop_deleted(Planner(self.reader, m).plan(root))
         urls = self.reader.docid_url_map()
+        top = self._topk_per_segment(scores, k)
+        base = top.hint("broadcast") if top is not None else scores
         return (
-            scores.join(urls, "docid")
+            base.join(urls, "docid")
             .select("url", "score")
             .orderBy(F.desc("score"), F.asc("url"))
             .limit(k)
+        )
+
+    def _topk_per_segment(self, scores: DataFrame, k: int,
+                          by: tuple = ()) -> DataFrame | None:
+        """Cut the candidate set to an exact top-k pool BEFORE resolving
+        urls, so the O(corpus) docid↔url table joins against <= k*n_seg
+        rows (broadcast) instead of every candidate.
+
+        The reference tie rule is (score desc, external-id asc)
+        (ScoreList.java:90-105). Docids are url ranks WITHIN each url-rank
+        segment — the base build plus each append delta
+        (IndexReader.segment_cuts) — so a per-partition (score desc, docid
+        asc) cut over partitions that never mix segments keeps every true
+        winner: two-stage window, first by (seg, docid mod P) for an
+        evenly-hashed distributed partial top-k (no single-task sort), then
+        by seg to bound the pool at k per segment. The caller's final
+        (score desc, url asc) sort over the pool restores the exact
+        reference order. Returns None when segment history is unusable —
+        caller falls back to resolving urls for every candidate.
+
+        ``by`` prepends grouping columns (the batch path's qid) to both
+        window partitions."""
+        cuts = self.reader.segment_cuts()
+        if cuts is None:
+            return None
+        if len(cuts) == 1 and not by:
+            # fresh/unappended index: TakeOrderedAndProject (map-side
+            # partial top-k + driver merge, no shuffle at all)
+            return scores.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        seg = reduce(
+            lambda a, b: a + b,
+            [(F.col("docid") >= F.lit(c)).cast("int") for c in cuts[1:]],
+            F.lit(0),
+        )
+        n_p = max(self.reader.spark.sparkContext.defaultParallelism, 16)
+        bucket = F.pmod(F.col("docid"), F.lit(n_p))
+        w1 = Window.partitionBy(*by, seg, bucket).orderBy(
+            F.desc("score"), F.asc("docid"))
+        pool = (
+            scores.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= k).drop("__rn")
+        )
+        w2 = Window.partitionBy(*by, seg).orderBy(
+            F.desc("score"), F.asc("docid"))
+        return (
+            pool.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k).drop("__rn")
         )
 
     def _drop_deleted(self, scores: DataFrame) -> DataFrame:
@@ -163,9 +216,15 @@ class Engine:
                                       deleted=self.reader.deleted_set())
                 .select("qid", "docid", "score"))
         unioned = reduce(lambda a, b: a.unionByName(b), frames)
+        # per-qid exact top-k pool BEFORE the url join (see
+        # _topk_per_segment) — the url map then resolves <= k*n_seg rows
+        # per query (broadcast) instead of every candidate of every query
+        # against the O(corpus) docid↔url table.
+        top = self._topk_per_segment(unioned, k, by=("qid",))
+        base = top.hint("broadcast") if top is not None else unioned
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
         return (
-            unioned.join(urls, "docid")
+            base.join(urls, "docid")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "url", "score", "rank")

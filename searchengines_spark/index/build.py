@@ -650,6 +650,28 @@ class IndexReader:
         read doclens from (blocks no longer carry them)."""
         return os.path.join(self.index_dir, "doc_lens_wide")
 
+    def segment_cuts(self) -> list[int] | None:
+        """Docid cut points of the url-rank SEGMENTS: [0, lo_1, lo_2, ...]
+        where lo_i is the first docid of the i-th append. WITHIN a segment,
+        docid order == url order (build docids are ranks of the sorted
+        urls; each append's delta docids are ranks of the delta's sorted
+        urls, offset past the old max) — the invariant serving tie-breaks
+        lean on. Across segments it does not hold, so exact reference
+        tie-breaks need a per-segment cut (Engine's pre-join top-k).
+        Returns None when the history is unusable (a legacy append entry
+        without extents, or so many segments that a per-segment plan would
+        be unwieldy) — callers must then fall back to resolving urls for
+        every candidate."""
+        appends = self.manifest.get("appends", [])
+        cuts = [0]
+        for e in appends:
+            if "docid_lo" not in e:
+                return None
+            cuts.append(int(e["docid_lo"]))
+        if len(cuts) > 64:
+            return None
+        return sorted(set(cuts))
+
     def avg_doclen(self, field: str) -> float:
         c, s = self.field_stats[field]
         return s / c if c else 1.0

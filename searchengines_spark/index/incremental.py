@@ -10,10 +10,14 @@ with the existing index — no re-sort, no rewrite of old blocks. Stats tables
 Two consistency caveats, by design:
 
 1. docid order == url order no longer holds globally after an append (new
-   urls may sort before old ones). Planner-path results are unaffected (the
-   final sort is on url); the WAND kernel's within-stripe docid tie-break can
-   keep the "wrong" member of an exact score tie at the k boundary until the
-   next compaction (a full rebuild restores the invariant).
+   urls may sort before old ones) — it holds WITHIN each url-rank segment
+   (base build, each append delta). The planner path stays exact by
+   cutting top-k per segment before resolving urls (manifest appends
+   record each segment's docid extent; IndexReader.segment_cuts /
+   Engine._topk_per_segment). The WAND kernel's within-stripe docid
+   tie-break can still keep the "wrong" member of an exact score tie at
+   the k boundary in the one stripe that straddles the append boundary,
+   until the next compaction (a full rebuild restores the invariant).
 2. BM25 block max_score metadata in OLD blocks was computed under the old
    corpus stats (n_docs, avg doclen, df). After an append those bounds are
    stale, so WAND must recompute conservative bounds from the stored
@@ -33,6 +37,19 @@ from pyspark.sql import functions as F
 
 from ..corpus import assign_docids, pages_to_tokenized
 from .build import IndexReader, doc_terms_dir, encode_blocks, term_bucket_col
+
+
+
+def _invalidate_path_caches(spark: SparkSession, index_dir: str) -> None:
+    """Drop/refresh any cached plan fragment that scans this index's files.
+    Serving layers cache decoded-postings and stats frames, and Spark's
+    CacheManager keys them by the scan's root PATH — every mutator here
+    rewrites files under the SAME paths (_swap, dynamic partition
+    overwrite), so without an explicit refresh a post-mutation read
+    silently serves the pre-mutation cache (e.g. postings of purged docs
+    after compact). refreshByPath invalidates by path prefix, covering
+    blocks/, term_stats/, doc_lens_wide/, docids/ in one call."""
+    spark.catalog.refreshByPath(index_dir)
 
 
 def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
@@ -226,7 +243,13 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     manifest["docid_space"] = int(max_docid) + 1 + int(n_new)
     manifest.setdefault("appends", []).append(
         {"n_new": int(n_new), "ts": time.time(), "secs": time.time() - t0,
-         "buckets": touched_buckets}
+         "buckets": touched_buckets,
+         # docid extent of this append SEGMENT. Within a segment docid
+         # order == url order (delta docids are ranks of the delta's sorted
+         # urls); serving uses these cuts for exact per-segment top-k
+         # tie-breaks (IndexReader.segment_cuts / Engine pre-join top-k).
+         "docid_lo": int(max_docid) + 1,
+         "docid_hi": int(max_docid) + int(n_new)}
     )
     manifest["uncompacted_buckets"] = sorted(
         set(manifest.get("uncompacted_buckets", [])) | set(touched_buckets))
@@ -239,6 +262,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "append")
+    _invalidate_path_caches(spark, index_dir)
     _lap("snapshot")
     return {"appended": int(n_new), "secs": time.time() - t0, "n_docs": n_docs,
             "snapshot": snap, "stage_secs": stage_secs}
@@ -291,6 +315,7 @@ def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "delete")
+    _invalidate_path_caches(spark, index_dir)
     return {"n_deleted_total": int(n_del), "secs": time.time() - t0,
             "snapshot": snap}
 
@@ -453,6 +478,7 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "compact")
+    _invalidate_path_caches(spark, index_dir)
     os.remove(marker)
     return {"secs": time.time() - t0, "n_docs": n_docs,
             "salt_range": salt_range, "snapshot": snap}
@@ -585,6 +611,7 @@ def compact_buckets(spark: SparkSession, index_dir: str,
     from .snapshots import commit_snapshot
 
     snap = commit_snapshot(index_dir, "compact_buckets")
+    _invalidate_path_caches(spark, index_dir)
     os.remove(marker)
     return {"secs": time.time() - t0, "buckets": buckets,
             "stale_bound_buckets": remaining_stale, "snapshot": snap}
