@@ -282,6 +282,7 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": A.q_lm_score,
         "tfidf_topterms": A.q_tfidf_topterms,
         "contamination": A.q_contamination,
+        "substring_dedup": A.q_substring_dedup,
         "doc_entropy": A.q_doc_entropy,
         "ngram_topk": A.q_ngram_topk,
         "length_quantiles": A.q_length_quantiles,
@@ -551,6 +552,28 @@ SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
        COALESCE(h.n_shared, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING(doc_id)
 WHERE d.doc_id % {A.CONTAM_MOD} <> 0""",
+        "substring_dedup": f"""
+WITH {_TOK},
+g0 AS (
+  SELECT doc_id, pos,
+         {" || ' ' || ".join(["term"] + [f"lead(term,{i}) OVER w" for i in range(1, A.SUBDUP_N)])} AS gram,
+         lead(term,{A.SUBDUP_N - 1}) OVER w AS _ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT doc_id, pos, gram FROM g0 WHERE _ok IS NOT NULL),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + d.x AS j
+  FROM g JOIN dup USING(gram)
+  CROSS JOIN (SELECT UNNEST(range({A.SUBDUP_N})) AS x) d
+),
+covn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(COALESCE(c.dup_tokens, 0) * 1.0 / nt.n_tokens, 6) AS dup_frac,
+       COALESCE(c.dup_tokens, 0) * 1.0 / nt.n_tokens > {A.SUBDUP_MAX_FRAC} AS drop_doc
+FROM nt LEFT JOIN covn c USING(doc_id)""",
         "doc_entropy": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)

@@ -922,23 +922,30 @@ CONTAM_MOD, CONTAM_N = 29, 5
 NGRAM_TOPK_N, NGRAM_TOPK_K = 3, 15
 
 
-def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) with one row per n-gram OCCURRENCE, built doc-locally
-    from the token array (transform over sequence — no per-doc window sort,
-    no shuffle; the same shape as _shingles/_rep_stats bigrams)."""
+def _doc_ngrams_pos(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos [1-based gram start], gram) with one row per n-gram
+    OCCURRENCE, built doc-locally from the token array (transform over
+    sequence — no per-doc window sort, no shuffle; the same shape as
+    _shingles/_rep_stats bigrams)."""
     joined = ", ".join(f"arr[j+{i}]" for i in range(n))
     return (
         docs.select(
             "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("arr"))
         .select(
             "doc_id",
-            F.explode(F.when(
+            F.posexplode(F.when(
                 F.size("arr") >= n,
                 F.expr(f"transform(sequence(0, size(arr) - {n}), "
                        f"j -> concat_ws(' ', {joined}))"),
-            ).otherwise(F.array().cast("array<string>"))).alias("gram"),
+            ).otherwise(F.array().cast("array<string>"))).alias("pos0", "gram"),
         )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     )
+
+
+def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — _doc_ngrams_pos without the start position."""
+    return _doc_ngrams_pos(docs, n).select("doc_id", "gram")
 
 
 def q_contamination(spark, sf_dir):
@@ -965,6 +972,58 @@ def q_contamination(spark, sf_dir):
             F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+# Exact substring-level dedup: a token is duplicated when some verbatim
+# SUBDUP_N-token run covering it also occurs in ANOTHER doc (the
+# suffix-array dedup criterion of Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", recast as three narrow Spark passes —
+# no suffix array, no self-join).
+SUBDUP_N, SUBDUP_MAX_FRAC = 16, 0.5
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Per-doc duplicated-token coverage + drop flag (dup_frac > 0.5).
+
+    Scale shape: gram construction is doc-local (transform over sequence);
+    cross-doc grams come from ONE groupBy on the gram — singleton grams,
+    the vast majority of a crawl, die in the map-side partial aggregate;
+    coverage expansion explodes only DUPLICATED gram starts
+    (candidate-restricted, ≤ SUBDUP_N rows per dup gram), then one doc_id
+    groupBy. At crawl scale the groupBy key would be xxhash64(gram) (8-byte
+    shuffle rows); here the verbatim string is kept so the DuckDB oracle is
+    collision-free-identical."""
+    return _substring_dedup(load(spark, sf_dir, "documents"))
+
+
+def _substring_dedup(docs: DataFrame, n: int = SUBDUP_N) -> DataFrame:
+    g = _doc_ngrams_pos(docs, n)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("j"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
+    )
+    nt = _doclens(tokens(docs)).withColumnRenamed("len", "n_tokens")
+    return (
+        nt.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+                    ROUND_DP).alias("dup_frac"),
+        )
+        .withColumn("drop_doc", F.col("dup_frac") > SUBDUP_MAX_FRAC)
     )
 
 

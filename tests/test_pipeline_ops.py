@@ -222,3 +222,33 @@ def test_dedup_keep_consistency(spark, docs):
     assert sum(r.exact_keep for r in rows) == n_md5
     for r in rows:
         assert r.keep == (r.exact_keep and r.near_keep)
+
+
+def test_substring_dedup_planted_run(spark):
+    """A verbatim n-token run shared by two docs marks exactly the run's
+    tokens as duplicated in each doc (runs longer than n cover their full
+    extent via overlapping grams); docs without a shared n-run stay clean."""
+    n = 4
+    run = "p q r s t u"          # 6 tokens > n: overlap-union must cover all 6
+    d1 = f"a1 b1 c1 {run} d1 e1 f1 g1"  # 13 tokens, 6 dup
+    d2 = f"{run} x2 y2"                 # 8 tokens, 6 dup
+    d3 = "p q r m t u o2 k2"            # shares only 3-runs with the run: clean
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in A._substring_dedup(df, n=n).collect()}
+    assert out[1].n_tokens == 13 and out[1].dup_tokens == 6
+    assert out[2].n_tokens == 8 and out[2].dup_tokens == 6
+    assert out[3].dup_tokens == 0 and not out[3].drop_doc
+    assert out[2].drop_doc  # 6/8 > 0.5
+    assert not out[1].drop_doc  # 6/13 < 0.5
+    assert out[1].dup_frac == pytest.approx(6 / 13, abs=1e-6)
+
+
+def test_substring_dedup_self_repeat_not_dup(spark):
+    """A doc repeating ITS OWN n-gram is not cross-doc duplicated (the
+    dup set requires >= 2 distinct docs)."""
+    df = spark.createDataFrame(
+        [(1, "z z z z z z z z"), (2, "q w e r t y u i")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in A._substring_dedup(df, n=4).collect()}
+    assert out[1].dup_tokens == 0
+    assert out[2].dup_tokens == 0
