@@ -116,7 +116,8 @@ def main(argv: list[str]) -> int:
 
         python -m searchengines_spark.inspect -index DIR \
             [-list-stats] [-list-fields] [-list-docids N] [-list-edocid ID]
-            [-list-idocid URL] [-list-metadata ID] [-list-terms FIELD]
+            [-list-idocid URL] [-list-doc ID] [-list-metadata ID]
+            [-list-terms FIELD]
             [-list-postings TERM FIELD] [-list-postings-sample TERM FIELD]
             [-list-termvector URL] [-list-termvector-field URL FIELD]
             [-list-snapshots] [-snapshot N]
@@ -160,6 +161,13 @@ def main(argv: list[str]) -> int:
             print(external_docid(reader, int(argv[i + 1]))); i += 2
         elif a == "-list-idocid":
             print(internal_docid(reader, argv[i + 1])); i += 2
+        elif a == "-list-doc":
+            # listDoc (InspectIndex.java:381-390): "Document: docid N" +
+            # the stored fields. The engine stores url/attrs/field lens,
+            # not raw text (raw html stays in the source lake).
+            did = int(argv[i + 1])
+            print(f"\nDocument:  docid {did}")
+            print(_json.dumps(doc_metadata(reader, did), indent=2)); i += 2
         elif a == "-list-metadata":
             print(_json.dumps(doc_metadata(reader, int(argv[i + 1])), indent=2)); i += 2
         elif a == "-list-terms":

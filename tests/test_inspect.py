@@ -67,3 +67,17 @@ def test_inspect_long_tail(spark, tiny_index):
     fields_seen = {r["field"] for r in dv}
     assert "body" in fields_seen and len(fields_seen) >= 3
     assert all(r["tf"] == len(r["positions"]) for r in dv)
+
+
+def test_inspect_cli_list_doc(tiny_index, capsys):
+    """-list-doc CLI flag (InspectIndex.java:381-390): header line + the
+    stored fields of the document."""
+    import json
+
+    from searchengines_spark.inspect import main
+
+    assert main(["-index", tiny_index.index_dir, "-list-doc", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "Document:  docid 0" in out
+    body = json.loads(out.split("Document:  docid 0", 1)[1])
+    assert body["docid"] == 0 and body["field_lens"]["body"] > 0
