@@ -150,6 +150,19 @@ def main() -> None:
         "batch window.",
         fmt(probe)))
 
+    sub = A.q_substring_dedup(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Exact substring dedup (16-token verbatim runs, Lee et al. 2022 criterion)",
+        "What to look for: gram construction is doc-local (`posexplode` of a "
+        "`transform` over the token array inside WholeStageCodegen — no "
+        "per-doc window sort); the duplicated-gram set comes from ONE "
+        "`HashAggregate` on gram where the partial_count_distinct kills "
+        "singleton grams map-side before the shuffle; the coverage "
+        "expansion join is gram-equi (candidate-restricted — only "
+        "duplicated gram starts explode their <=16 covered offsets); and "
+        "there is NO corpus self-join anywhere.",
+        fmt(sub)))
+
     indri = e.search("#WAND( 0.6 haceba4 0.4 #AND( badiba5 fobaba3 ) )",
                      model="indri", mu=1000.0, lam=0.4, k=10)
     sections.append((
