@@ -426,14 +426,67 @@ def rerank(features: DataFrame, weights: np.ndarray, urls: DataFrame, k: int = 1
 
 
 # --------------------------------------------------- model / DocScore files
+def write_svmlight_model(weights: np.ndarray, path: str, b: float = 0.0) -> None:
+    """SVM-light model file (the format ``svm_rank_learn`` writes and
+    ``svm_rank_classify`` reads — svm_light's ``write_model`` in
+    svm_common.c): 11 header lines, then one support vector per line
+    starting with alpha*y. A LINEAR SVMrank model collapses to a single SV
+    with alpha=1 carrying the weight vector, which is exactly what
+    svm_rank_learn emits for kernel 0. Weights use %.17g so a round-trip is
+    bit-exact while staying parseable by the real tools."""
+    sv = " ".join(f"{i + 1}:{float(w):.17g}" for i, w in enumerate(weights))
+    with open(path, "w") as f:
+        f.write("SVM-light Version V6.20\n")
+        f.write("0 # kernel type\n")
+        f.write("3 # kernel parameter -d \n")
+        f.write("1 # kernel parameter -g \n")
+        f.write("1 # kernel parameter -s \n")
+        f.write("1 # kernel parameter -r \n")
+        f.write("empty# kernel parameter -u \n")
+        f.write(f"{len(weights)} # highest feature index \n")
+        f.write("2 # number of training documents \n")
+        f.write("2 # number of support vectors plus 1 \n")
+        f.write(f"{b:.17g} # threshold b, each following line is a SV "
+                "(starting with alpha*y)\n")
+        f.write(f"1 {sv} #\n")
+
+
+def read_svmlight_model(path: str) -> tuple[np.ndarray, float]:
+    """Parse an SVM-light model file back to (w, b): w = sum over SVs of
+    alpha*y * x (general enough for multi-SV files from the real tool, not
+    just our single-SV writer)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    if not lines or not lines[0].startswith("SVM-light"):
+        raise ValueError(f"{path}: not an SVM-light model file")
+    n_feat = int(lines[7].split("#")[0])
+    b = float(lines[10].split("#")[0])
+    w = np.zeros(n_feat, dtype=np.float64)
+    for sv in lines[11:]:
+        sv = sv.split("#")[0].strip()
+        if not sv:
+            continue
+        parts = sv.split()
+        alpha = float(parts[0])
+        for fv in parts[1:]:
+            i, v = fv.split(":")
+            w[int(i) - 1] += alpha * float(v)
+    return w, b
+
+
 def save_model(model: RankModel, path: str) -> None:
-    """Persist a trained ranker — the reference's ``.Model`` artifact
-    (SVMrank writes its own model file, QryEval.java:977-984; RankLib saves
-    via ``-save``, 985-1002). Linear models (ridge/svmrank) serialize as
-    JSON weights; the GBT model uses Spark ML's native save under
-    ``path + ".ml"`` with a JSON pointer at ``path``."""
+    """Persist a trained ranker — the reference's ``.Model`` artifact,
+    per-toolkit format. The svmrank toolkit writes the real SVM-light model
+    format (what svm_rank_learn produces, QryEval.java:977-984), so the
+    artifact is format-compatible with svm_rank_classify; ridge serializes
+    as JSON weights; the GBT model uses Spark ML's native save under
+    ``path + ".ml"`` with a JSON pointer at ``path`` (RankLib's -save
+    analog, 985-1002)."""
     import json as _json
 
+    if model.kind == "svmrank" and model.weights is not None:
+        write_svmlight_model(model.weights, path)
+        return
     if model.weights is not None:
         with open(path, "w") as f:
             _json.dump({"kind": model.kind,
@@ -447,6 +500,11 @@ def save_model(model: RankModel, path: str) -> None:
 def load_model(spark, path: str) -> RankModel:
     import json as _json
 
+    with open(path) as f:
+        head = f.read(9)
+    if head == "SVM-light":
+        w, _b = read_svmlight_model(path)
+        return RankModel("svmrank", weights=w)
     with open(path) as f:
         d = _json.load(f)
     if "weights" in d:

@@ -281,6 +281,19 @@ def test_model_and_docscore_files(spark, tiny_index, tmp_path):
         s2 = {(r["qid"], r["docid"]): r["ltr_score"] for r in m2.score(feats).collect()}
         assert set(s1) == set(s2)
         assert all(abs(s1[k] - s2[k]) < 1e-9 for k in s1)
+        if toolkit == "svmrank":
+            # the .Model artifact is the real SVM-light model format
+            # (svm_rank_learn's output shape): version header, kernel-0
+            # header block, threshold, one linear SV with alpha=1
+            lines = open(mp).read().splitlines()
+            assert lines[0] == "SVM-light Version V6.20"
+            assert lines[1].startswith("0 # kernel type")
+            assert lines[7].split("#")[0].strip() == "20"
+            assert lines[11].startswith("1 1:")
+            from searchengines_spark.ltr import read_svmlight_model
+
+            w, b = read_svmlight_model(mp)
+            assert b == 0.0 and np.allclose(w, m.weights, atol=0)
 
     m = train_ranker(feats, "ridge")
     fp = str(tmp_path / "test.LtrTest")
