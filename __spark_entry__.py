@@ -268,6 +268,7 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": A.q_simhash,
         "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
+        "pq_topk": A.q_pq_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
         "embed_dup_pairs": A.q_embed_dup_pairs,
         "events_window": A.q_events_window,
@@ -390,6 +391,13 @@ SELECT a_id, b_id, jaccard FROM jac ORDER BY jaccard DESC, a_id ASC, b_id ASC LI
             "ORDER BY jaccard DESC, a_id ASC, b_id ASC LIMIT 15"),
         "simhash": _simhash_sql(),
         "cosine_topk": f"""
+WITH {_COS_NRM},
+dots AS (
+  SELECT e.vec_id, SUM(e.x * q.x) AS dot, SQRT(SUM(e.x * e.x)) AS ne, SQRT(SUM(q.x * q.x)) AS nq
+  FROM ex e JOIN qx q USING(i) WHERE e.vec_id <> 0 GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot/(ne*nq), 6) AS cos FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "pq_topk": f"""
 WITH {_COS_NRM},
 dots AS (
   SELECT e.vec_id, SUM(e.x * q.x) AS dot, SQRT(SUM(e.x * e.x)) AS ne, SQRT(SUM(q.x * q.x)) AS nq

@@ -606,6 +606,33 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (pq.py; Jegou et al. 2011 / FAISS IVFPQ
+    shape): m=16 x k=64 codebooks trained on a bounded deterministic sample,
+    16-byte codes (16x compression of the 64-dim float32 column), ADC scan
+    with per-batch partial top-k, then exact-cosine refinement of the
+    150-candidate shortlist. At this fixture scale the shortlist provably
+    contains the exact top-10 (tests/test_pq.py), so the DuckDB oracle is
+    the exact cosine ranking — the same gate trick as ann_ivf_topk. Final
+    order mirrors the oracle exactly: rounded cos desc, vec_id asc."""
+    import numpy as np
+
+    from . import pq as P
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = P.train_pq(emb, m=16, k=64, seed=7)
+    codes = P.pq_encode(emb, books)
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64)
+    sl = P.pq_topk_batch(codes, books, {"q": qv}, k=150, refine=150,
+                         emb=emb, exclude_vec_id=0)
+    return (
+        sl.select("vec_id", F.round("score", ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: restrict search to the query's coarse cell (label
     column = precomputed quantizer cell), then exact cosine top-10. The

@@ -150,6 +150,26 @@ def main() -> None:
         "batch window.",
         fmt(probe)))
 
+    from searchengines_spark import pq as PQ
+
+    books = PQ.train_pq(emb, m=16, k=64, seed=7)
+    ivfpq_path = "/tmp/plans_ivfpq_idx"
+    PQ.write_ivfpq(emb, cents, books, ivfpq_path)
+    pq_codes, pq_cents, pq_books = PQ.read_ivfpq(spark, ivfpq_path)
+    pq_probe = PQ.ivfpq_topk(pq_codes, pq_cents, pq_books, qv, k=10,
+                             n_probe=3, refine=50, emb=emb)
+    sections.append((
+        "IVF-PQ probe (16-byte codes, ADC scan, exact refine)",
+        "What to look for: the codes scan carries `PartitionFilters: "
+        "[..., cell IN (...)]` (3-of-8 cell directories opened) AND its "
+        "`ReadSchema` is only (vec_id, code) — the probe reads 16-byte "
+        "codes, never the 256-byte float vectors; the exact-refine leg "
+        "joins the ORIGINAL embeddings against the R-row shortlist via "
+        "`BroadcastHashJoin` (candidate-sized — the full embedding column "
+        "never feeds the refine); both kernels are single `MapInPandas` "
+        "nodes (LUT-gather ADC, matmul refine).",
+        fmt(pq_probe)))
+
     sub = A.q_substring_dedup(spark, "/root/testdata/sf0.001")
     sections.append((
         "Exact substring dedup (16-token verbatim runs, Lee et al. 2022 criterion)",
