@@ -386,22 +386,28 @@ def q_minhash64(spark, sf_dir):
     return _minhash64(_shingles(load(spark, sf_dir, "documents")))
 
 
+def band_hash_arr(col: str = "mh"):
+    """array<int>[LSH_BANDS] of band-bucket hashes off a 64-long signature
+    array: band hash = md5 of the band's LSH_ROWS signature values
+    comma-joined in permutation order (string- and hash-identical to
+    concat_ws over the wide m{i} columns). Shared by the batch LSH path and
+    the streaming near-dup store so their buckets collide identically."""
+    return F.array(*[
+        md5hash32(F.concat_ws(",", *[
+            F.col(col)[band * LSH_ROWS + r].cast("string")
+            for r in range(LSH_ROWS)
+        ]))
+        for band in range(LSH_BANDS)
+    ])
+
+
 def _lsh64_sh_cand(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     """Shared scale-path LSH stage: (cached shingles, candidate pairs from
     the 16x4 band-bucket join). ``sh`` is cached and ``long`` cache-filled
     (one count) because the downstream plan references sh from 3 legs and
     long from 2 — see _fill."""
     sh = _track(_shingles(load(spark, sf_dir, "documents")))
-    # band hash = md5 of the band's LSH_ROWS signature values comma-joined
-    # in permutation order, straight off the signature array (string- and
-    # hash-identical to concat_ws over the wide m{i} columns)
-    band_arr = F.array(*[
-        md5hash32(F.concat_ws(",", *[
-            F.col("mh")[band * LSH_ROWS + r].cast("string")
-            for r in range(LSH_ROWS)
-        ]))
-        for band in range(LSH_BANDS)
-    ])
+    band_arr = band_hash_arr()
     long = _fill(
         _minhash64_arr(sh).select(
             "doc_id", F.posexplode(band_arr).alias("band", "bh")))
