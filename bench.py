@@ -42,8 +42,8 @@ SERVE_QUERIES = {
 
 ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
-            "simhash_dup_pairs", "cosine_topk", "embed_dup_pairs",
-            "near_pairs", "quality",
+            "simhash_dup_pairs", "cosine_topk", "pq_topk", "embed_dup_pairs",
+            "substring_dedup", "near_pairs", "quality",
             "events_window", "events_sessions"]
 
 
