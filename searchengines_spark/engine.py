@@ -205,7 +205,20 @@ class Engine:
             # (Spark's cache has no cross-task compute lock)
             shared.count()
             stats = self.reader.term_stats(all_terms)
+            # term-leaf-only trees fold into ONE plan for the whole group
+            # (one pivot shuffle + per-qid CASE, float-identical — see
+            # plan_batch_fold); positional queries keep per-query legs.
+            # Chunked so the CASE/pivot width stays codegen-friendly.
+            from .query.planner import fold_eligible, plan_batch_fold
+            foldable = {qid: r for qid, r in roots.items() if fold_eligible(r)}
+            fold_qids = sorted(foldable)
+            for i0 in range(0, len(fold_qids), 256):
+                grp = {q: foldable[q] for q in fold_qids[i0:i0 + 256]}
+                frames.append(self._drop_deleted(
+                    plan_batch_fold(self.reader, m, grp, shared, stats)))
             for qid, root in roots.items():
+                if qid in foldable:
+                    continue
                 scores = self._drop_deleted(Planner(self.reader, m).plan(
                     root, shared_postings=shared, shared_stats=stats))
                 frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))

@@ -512,3 +512,211 @@ class Planner:
             default = F.lit(0.0)
 
         return Scored(pdf.select("docid", score.alias("score")), default)
+
+
+# ------------------------------------------------------------- batch fold
+#
+# N structured queries -> ONE Catalyst plan. The per-query planner compiles
+# each query into its own subtree of joins (one union+pivot per query), so a
+# batched workload of N queries unions N plan legs — and every leg carries
+# its own shuffle, which AQE materializes as its own job. At the reference's
+# 40-57-query workloads that is 40-57 shuffles where one would do; at a
+# 10^4-query offline scoring workload it is a scheduler bottleneck.
+#
+# The fold rests on one observation: for a query tree whose IOP leaves are
+# all plain TERMs, every SOP node is a PURE EXPRESSION over its leaf score
+# columns — the per-query full-outer/inner joins only exist to line up leaf
+# columns per docid, and "child unmatched" is representable as NULL. So the
+# whole batch evaluates as:
+#
+#   postings (shared pruned scan, union of all terms)
+#     JOIN broadcast leaf-param table (field, term, idf/smoothing literals)
+#     JOIN broadcast (qid, field, term, slot) occurrence table
+#     -> groupBy(qid, docid).pivot(slot)          [the ONE shuffle]
+#     -> per-qid CASE WHEN over the reference fold expressions
+#
+# Expressions reproduce _sop/_score_leaf arithmetic shape exactly (same
+# literal doubles, same operation order), so results are float-identical to
+# the per-query path — gated by tests/test_batch_fold.py. Queries containing
+# positional IOPs (#NEAR/#WINDOW/#SYN) are not foldable (their leaves are
+# derived frames, not term columns) and fall back to per-query legs.
+
+_FOLD_SOPS = (ast.And, ast.Or, ast.Sum, ast.Wand, ast.Wsum)
+
+
+def fold_eligible(node: ast.Node) -> bool:
+    """True iff every IOP leaf under node is a plain Term (no positional /
+    synonym derived lists), i.e. the query folds to column expressions."""
+    if isinstance(node, ast.Score):
+        return isinstance(node.arg, ast.Term)
+    if isinstance(node, _FOLD_SOPS):
+        return bool(node.args) and all(fold_eligible(a) for a in node.args)
+    return False
+
+
+def _fold_slots(node: ast.Node, out: list) -> None:
+    """Depth-first leaf enumeration — slot order IS query order, so fold
+    expressions consume children in the same order as _sop."""
+    if isinstance(node, ast.Score):
+        out.append((node.arg.field, node.arg.term))
+        return
+    for a in node.args:
+        _fold_slots(a, out)
+
+
+def _fold_expr(node: ast.Node, m, slot_iter, stats, reader) -> tuple[Column, Column]:
+    """Compile node -> (score_expr, default_expr) over pivoted leaf columns
+    s<i>. score_expr is NULL exactly when the node does not match the doc —
+    the expression image of the per-query path's full-outer-join NULLs."""
+    if isinstance(node, ast.Score):
+        i = next(slot_iter)
+        field, term = node.arg.field, node.arg.term
+        s = F.col(f"s{i}")
+        if isinstance(m, Indri):
+            _, ctf_ = stats.get((field, term), (0, 0))
+            ctf = ctf_ if ctf_ != 0 else 0.5
+            pqc = ctf / reader.field_stats[field][1]
+            dlen = F.coalesce(F.col(f"len_{field}").cast("double"), F.lit(0.0))
+            default = (F.lit(1.0 - m.lam) * F.lit(m.mu * pqc)
+                       / (dlen + F.lit(m.mu)) + F.lit(m.lam * pqc))
+        else:
+            default = F.lit(0.0)
+        return s, default
+
+    children = [_fold_expr(a, m, slot_iter, stats, reader) for a in node.args]
+    k = len(children)
+    s = [c[0] for c in children]
+    d = [c[1] for c in children]
+    sv = [F.coalesce(s[i], d[i]) for i in range(k)]
+    any_m = reduce(lambda a, b: a | b, [x.isNotNull() for x in s])
+    all_m = reduce(lambda a, b: a & b, [x.isNotNull() for x in s])
+    weights = getattr(node, "weights", None)
+    total_w = sum(weights) if weights else None
+
+    if isinstance(node, ast.And):
+        if isinstance(m, UnrankedBoolean):
+            return F.when(all_m, F.lit(1.0)), F.lit(0.0)
+        if isinstance(m, Indri):
+            prod = reduce(lambda a, b: a * b, sv)
+            dprod = reduce(lambda a, b: a * b, d)
+            return (F.when(any_m, F.pow(prod, F.lit(1.0 / k))),
+                    F.pow(dprod, F.lit(1.0 / k)))
+        val = F.least(*s) if k > 1 else s[0]
+        return F.when(all_m, val), F.lit(0.0)
+    if isinstance(node, ast.Or):
+        if isinstance(m, UnrankedBoolean):
+            return F.when(any_m, F.lit(1.0)), F.lit(0.0)
+        if isinstance(m, Indri):
+            prod = reduce(lambda a, b: a * b, [F.lit(1.0) - x for x in sv])
+            return F.when(any_m, F.lit(1.0) - prod), F.lit(0.0)
+        val = F.greatest(*s) if k > 1 else s[0]
+        return F.when(any_m, val), F.lit(0.0)
+    if isinstance(node, ast.Sum):
+        if isinstance(m, UnrankedBoolean):
+            return F.when(any_m, F.lit(1.0)), F.lit(0.0)
+        if isinstance(m, Indri):
+            return F.when(any_m, reduce(lambda a, b: a + b, sv)), F.lit(0.0)
+        val = reduce(lambda a, b: a + b, [F.coalesce(x, F.lit(0.0)) for x in s])
+        return F.when(any_m, val), F.lit(0.0)
+    if isinstance(node, ast.Wand):
+        if isinstance(m, Indri):
+            parts = [F.pow(sv[i], F.lit(weights[i] / total_w)) for i in range(k)]
+            dparts = [F.pow(d[i], F.lit(weights[i] / total_w)) for i in range(k)]
+            return (F.when(any_m, reduce(lambda a, b: a * b, parts)),
+                    reduce(lambda a, b: a * b, dparts))
+        parts = [F.pow(F.coalesce(s[i], F.lit(1.0)), F.lit(weights[i] / total_w))
+                 for i in range(k)]
+        return F.when(any_m, reduce(lambda a, b: a * b, parts)), F.lit(0.0)
+    if isinstance(node, ast.Wsum):
+        if isinstance(m, Indri):
+            parts = [sv[i] * F.lit(weights[i] / total_w) for i in range(k)]
+            dparts = [d[i] * F.lit(weights[i] / total_w) for i in range(k)]
+            return (F.when(any_m, reduce(lambda a, b: a + b, parts)),
+                    reduce(lambda a, b: a + b, dparts))
+        if isinstance(m, BM25):
+            parts = [F.coalesce(s[i], F.lit(0.0))
+                     * F.lit((m.k3 + 1.0) * weights[i] / (m.k3 + weights[i]))
+                     for i in range(k)]
+            return F.when(any_m, reduce(lambda a, b: a + b, parts)), F.lit(0.0)
+        parts = [F.coalesce(s[i], F.lit(0.0)) * F.lit(weights[i] / total_w)
+                 for i in range(k)]
+        return F.when(any_m, reduce(lambda a, b: a + b, parts)), F.lit(0.0)
+    raise TypeError(f"not foldable: {node}")
+
+
+def plan_batch_fold(reader: IndexReader, model,
+                    roots: dict[str, ast.Node],
+                    shared_postings: DataFrame,
+                    shared_stats: dict) -> DataFrame:
+    """Compile a dict of fold_eligible query trees into ONE DataFrame
+    (qid, docid, score) — one shuffle for the whole group, float-identical
+    to the per-query planner (see module comment above)."""
+    m = model
+    spark = shared_postings.sparkSession
+
+    # leaf occurrence table: (qid, field, term, slot), slot local to qid
+    occ_rows, max_slots = [], 0
+    for qid, root in roots.items():
+        leaves: list[tuple[str, str]] = []
+        _fold_slots(root, leaves)
+        max_slots = max(max_slots, len(leaves))
+        occ_rows.extend((qid, f, t, i) for i, (f, t) in enumerate(leaves))
+    occ = spark.createDataFrame(occ_rows, ["qid", "field", "term", "slot"])
+
+    # leaf-param table: per distinct (field, term), the model's literal
+    # constants — the SAME doubles _score_leaf would F.lit()
+    tf = F.col("tf").cast("double")
+    dl = F.col("doclen").cast("double")
+    pairs = sorted({(f, t) for _, f, t, _ in occ_rows})
+    if isinstance(m, BM25):
+        n_docs = reader.n_docs
+        prm = [(f, t, max(0.0, math.log(
+            (n_docs - shared_stats.get((f, t), (0, 0))[0] + 0.5)
+            / (shared_stats.get((f, t), (0, 0))[0] + 0.5))),
+            reader.avg_doclen(f)) for f, t in pairs]
+        leaf_s = (F.col("c1") * tf
+                  / (tf + F.lit(m.k1) * (F.lit(1.0 - m.b)
+                                         + F.lit(m.b) * dl / F.col("c2"))))
+    elif isinstance(m, Indri):
+        prm = []
+        for f, t in pairs:
+            ctf_ = shared_stats.get((f, t), (0, 0))[1]
+            pqc = (ctf_ if ctf_ != 0 else 0.5) / reader.field_stats[f][1]
+            prm.append((f, t, m.mu * pqc, m.lam * pqc))
+        leaf_s = (F.lit(1.0 - m.lam) * (tf + F.col("c1"))
+                  / (dl + F.lit(m.mu)) + F.col("c2"))
+    elif isinstance(m, RankedBoolean):
+        prm = [(f, t, 0.0, 0.0) for f, t in pairs]
+        leaf_s = tf
+    else:
+        prm = [(f, t, 0.0, 0.0) for f, t in pairs]
+        leaf_s = F.lit(1.0)
+    params = spark.createDataFrame(prm, ["field", "term", "c1", "c2"])
+
+    scored = (
+        shared_postings
+        .join(F.broadcast(params), ["field", "term"])
+        .join(F.broadcast(occ), ["field", "term"])
+        .select("qid", "docid", "slot", leaf_s.alias("s"))
+    )
+    pivoted = (scored.groupBy("qid", "docid")
+               .pivot("slot", list(range(max_slots))).agg(F.first("s")))
+    for i in range(max_slots):
+        pivoted = pivoted.withColumnRenamed(str(i), f"s{i}")
+
+    if isinstance(m, Indri):
+        fields = sorted({f for _, f, _, _ in occ_rows})
+        pivoted = pivoted.join(
+            reader.doc_lens_wide().select(
+                "docid", *[f"len_{f}" for f in fields]),
+            "docid", "left")
+
+    score_case = None
+    for qid, root in roots.items():
+        expr, _ = _fold_expr(root, m, iter(range(10 ** 9)), shared_stats, reader)
+        cond = F.col("qid") == qid
+        score_case = (F.when(cond, expr) if score_case is None
+                      else score_case.when(cond, expr))
+    return (pivoted.withColumn("score", score_case)
+            .filter(F.col("score").isNotNull())
+            .select("qid", "docid", "score"))
