@@ -45,12 +45,21 @@ STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 # DuckDB oracle regenerates the identical scheme.
 LSH_BANDS, LSH_ROWS = 16, 4
 
-# Sign-LSH (random-hyperplane) scheme for embedding-cosine near-dup: 64
+# Sign-LSH (random-hyperplane) scheme for embedding-cosine near-dup: 128
 # deterministic hyperplanes (coefficients hashed from (plane, dim), so the
-# DuckDB oracle regenerates the identical planes) cut into 8 bands of 8
+# DuckDB oracle regenerates the identical planes) cut into 8 bands of 16
 # sign bits. A pair collides when any band matches exactly; the exact
 # cosine is then computed ONLY for colliding pairs.
-SLSH_PLANES, SLSH_BAND_BITS = 64, 8
+#
+# Band width is a SCALE parameter, not a tuning nicety: with b-bit bands the
+# expected candidate load grows as O(n^2 / 2^b) for the random (non-dup)
+# mass. The original 8-bit bands (256 buckets) were fine at the 2k-vector
+# gate fixture but degenerate at 64k vectors (measured: 64M candidate pairs,
+# a 30+ GB verify shuffle that filled local disk). 16-bit bands (65,536
+# buckets) keep random collisions ~O(n) well past 10^6 vectors per
+# partition-group while retaining ~80% recall at cosine 0.95 and ~99.5% at
+# 0.99 (p_bit = 1 - theta/pi per Charikar 2002).
+SLSH_PLANES, SLSH_BAND_BITS = 128, 16
 EMB_COS_T = 0.35
 
 
@@ -663,14 +672,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embed_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup via random-hyperplane (sign) LSH: 64
-    deterministic hyperplanes -> 8 bands x 8 sign bits per vector, band-
-    bucket equi-join for candidates, exact cosine computed ONLY for
-    colliding pairs (>= EMB_COS_T kept). The 100 TB shape: the plane table
-    is 64x64 rows (broadcast), signatures are one shuffle by vec_id, and
-    the verify join is candidate-sized — no all-pairs stage anywhere.
-    Hyperplane coefficients are hashed from (plane, dim), so the DuckDB
-    oracle regenerates the identical scheme bit-for-bit."""
+    """Embedding-cosine near-dup via random-hyperplane (sign) LSH: 128
+    deterministic hyperplanes -> 8 bands x 16 sign bits per vector (see the
+    SLSH_* comment for why band width is a scale parameter), band-bucket
+    equi-join for candidates, exact cosine computed ONLY for colliding
+    pairs (>= EMB_COS_T kept). The 100 TB shape: the plane table is 128xdim
+    rows (broadcast), signatures are one shuffle by vec_id, and the verify
+    join is candidate-sized — no all-pairs stage anywhere. Hyperplane
+    coefficients are hashed from (plane, dim), so the DuckDB oracle
+    regenerates the identical scheme bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
