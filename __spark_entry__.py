@@ -54,6 +54,67 @@ sh0 AS (
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE _ok IS NOT NULL)"""
 
+# trec_eval-style metric scaffold (eval.py): synthetic run/qrels from pure
+# integer arithmetic on doc_id, then per-query AP/P@10/R@10/RR/NDCG@10.
+_EVAL_CTES = """
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 5 AS VARCHAR) AS qid,
+         ((doc_id * 37 + 11) % 1000) / 1000.0 AS score,
+         (doc_id * 13 + 3) % 17 AS relcode
+  FROM documents
+),
+run AS (
+  SELECT qid, url,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, url ASC) AS rank
+  FROM base QUALIFY rank <= 50
+),
+qrels AS (
+  SELECT qid, url, CASE WHEN relcode = 0 THEN 2 ELSE 1 END AS rel
+  FROM base WHERE relcode < 2
+),
+judged AS (
+  SELECT r.qid, r.rank, COALESCE(q.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels q USING (qid, url)
+),
+cum AS (
+  SELECT qid, rank, rel,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM judged
+),
+perq AS (
+  SELECT qid,
+         COUNT(*) AS num_ret,
+         SUM(CASE WHEN rel > 0 THEN cum_rel * 1.0 / rank ELSE 0 END) AS sum_prec,
+         SUM(CASE WHEN rel > 0 AND rank <= 10 THEN 1.0 ELSE 0.0 END) AS rel_in_k,
+         SUM(CASE WHEN rank <= 10 THEN (POW(2.0, rel) - 1) / LOG2(rank + 1.0)
+                  ELSE 0 END) AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+  FROM cum GROUP BY qid
+),
+ideal AS (
+  SELECT qid, COUNT(*) AS num_rel,
+         SUM(CASE WHEN irank <= 10 THEN (POW(2.0, rel) - 1) / LOG2(irank + 1.0)
+                  ELSE 0 END) AS idcg
+  FROM (SELECT qid, rel, url,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, url ASC) AS irank
+        FROM qrels)
+  GROUP BY qid
+),
+pq AS (
+  SELECT i.qid,
+         CAST(COALESCE(p.num_ret, 0) AS BIGINT) AS num_ret,
+         CAST(i.num_rel AS BIGINT) AS num_rel,
+         ROUND(COALESCE(p.sum_prec, 0) / i.num_rel, 6) AS ap,
+         ROUND(COALESCE(p.rel_in_k, 0) / 10.0, 6) AS p_at_10,
+         ROUND(COALESCE(p.rel_in_k, 0) / i.num_rel, 6) AS r_at_10,
+         ROUND(CASE WHEN p.first_rel_rank IS NOT NULL
+                    THEN 1.0 / p.first_rel_rank ELSE 0.0 END, 6) AS rr,
+         ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg_at_10
+  FROM ideal i LEFT JOIN perq p USING (qid)
+)"""
+
 _MH = ",\nmh AS (SELECT doc_id, " + ", ".join(
     f"MIN(({a}*h + {b}) % {A.HASH_P}) AS mh{i}" for i, (a, b) in enumerate(A.MINHASH_AB)
 ) + f" FROM (SELECT doc_id, {_H32.format(col='shingle')} AS h FROM sh) GROUP BY doc_id)"
@@ -297,6 +358,8 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": A.q_token_stats,
         "fingerprint": A.q_fingerprint,
         "binary_meta": A.q_binary_meta,
+        "eval_per_query": A.q_eval_per_query,
+        "eval_summary": A.q_eval_summary,
     }
 
 
@@ -683,4 +746,18 @@ SELECT doc_id,
        CAST((ascii(substr(text,1,1)) % 32) + 1 AS INTEGER) AS width,
        CAST((ascii(substr(text,2,1)) % 32) + 1 AS INTEGER) AS height
 FROM documents""",
+        "eval_per_query": f"""
+WITH {_EVAL_CTES}
+SELECT * FROM pq ORDER BY qid""",
+        "eval_summary": f"""
+WITH {_EVAL_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS num_q,
+       CAST(SUM(num_ret) AS BIGINT) AS num_ret,
+       CAST(SUM(num_rel) AS BIGINT) AS num_rel,
+       ROUND(AVG(ap), 6) AS map,
+       ROUND(AVG(p_at_10), 6) AS p_at_10,
+       ROUND(AVG(r_at_10), 6) AS r_at_10,
+       ROUND(AVG(rr), 6) AS mrr,
+       ROUND(AVG(ndcg_at_10), 6) AS ndcg_at_10
+FROM pq""",
     }

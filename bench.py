@@ -45,6 +45,11 @@ ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "simhash_dup_pairs", "cosine_topk", "pq_topk", "embed_dup_pairs",
             "substring_dedup", "near_pairs", "quality",
             "events_window", "events_sessions"]
+# csv subset override (the scaled-input scaling study excludes the
+# explicitly-labeled exact all-pairs baselines, which are O(n^2) by design)
+if os.environ.get("BENCH_ANALYTIC_QUERIES"):
+    ANALYTIC = [q for q in os.environ["BENCH_ANALYTIC_QUERIES"].split(",")
+                if q in ANALYTIC]
 
 
 def _cpu_stat():

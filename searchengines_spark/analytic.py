@@ -1314,3 +1314,44 @@ def q_dedup_keep(spark, sf_dir):
             (F.col("exact_keep") & near_keep).alias("keep"),
         )
     )
+
+
+# --- retrieval evaluation (trec_eval-style metrics, eval.py) ---------------
+
+def _eval_run_qrels(spark, sf_dir):
+    """Deterministic synthetic (run, qrels) pair derived from documents by
+    pure integer arithmetic — identical in Spark and the DuckDB oracle, no
+    engine-specific hash anywhere. 5 pseudo-queries, top-50 run rows each,
+    graded qrels for ~2/17 of the corpus."""
+    from pyspark.sql import Window
+
+    base = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.col("doc_id") % 5).cast("string").alias("qid"),
+        (((F.col("doc_id") * 37 + 11) % 1000) / 1000.0).alias("score"),
+        ((F.col("doc_id") * 13 + 3) % 17).alias("relcode"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    run = (base.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 50).select("qid", "url", "score"))
+    qrels = (base.filter(F.col("relcode") < 2)
+             .select("qid", "url",
+                     F.when(F.col("relcode") == 0, 2).otherwise(1).alias("rel")))
+    return run, qrels
+
+
+def q_eval_per_query(spark, sf_dir):
+    """Per-query AP / P@10 / R@10 / RR / NDCG@10 over the synthetic run
+    (eval.per_query_metrics — the engine-side trec_eval)."""
+    from .eval import per_query_metrics
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return per_query_metrics(run, qrels, k=10).orderBy("qid")
+
+
+def q_eval_summary(spark, sf_dir):
+    """trec_eval summary row (MAP, mean P@10/R@10, MRR, mean NDCG@10)."""
+    from .eval import mean_metrics
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
+    return mean_metrics(run, qrels, k=10)

@@ -1,4 +1,4 @@
 """Source connectors: external file formats -> the canonical ``pages``
 table (url, warc_ts, html, text, lang) from BASELINE.json's input_hint."""
 
-from .warc import read_warc, write_warc  # noqa: F401
+from .warc import read_warc, read_wet, write_warc, write_wet  # noqa: F401

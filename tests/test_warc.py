@@ -114,3 +114,33 @@ def test_warc_feeds_index_build(spark, tmp_path):
     r2 = [(r["url"], round(r["score"], 9))
           for r in Engine(IndexReader(spark, d2)).search(q, model="bm25", k=20).collect()]
     assert r1 == r2 and len(r1) > 0
+
+
+# --- WET (extracted-text conversion records) --------------------------------
+
+def test_wet_roundtrip(spark, tmp_path):
+    from searchengines_spark.sources import read_wet, write_wet
+
+    src = generate_pages(spark, 80, seed=9, partitions=2)
+    out = str(tmp_path / "wet")
+    manifest = write_wet(src, out)
+    assert sum(m["n_records"] for m in manifest) == 80
+    back = read_wet(spark, out)
+    want = sorted((r["url"], r["warc_ts"], r["text"], r["lang"])
+                  for r in src.select("url", "warc_ts", "text", "lang").collect())
+    got = sorted((r["url"], r["warc_ts"], r["text"], r["lang"])
+                 for r in back.collect())
+    assert got == want
+
+
+def test_wet_and_warc_records_disjoint(spark, tmp_path):
+    """A WET reader over a WARC shard yields nothing, and vice versa
+    (record-type filters do not cross)."""
+    from searchengines_spark.sources import read_warc, read_wet, write_warc, write_wet
+
+    src = generate_pages(spark, 20, seed=3, partitions=1)
+    warc_dir, wet_dir = str(tmp_path / "warc"), str(tmp_path / "wet")
+    write_warc(src, warc_dir)
+    write_wet(src, wet_dir)
+    assert read_wet(spark, warc_dir).count() == 0
+    assert read_warc(spark, wet_dir).count() == 0

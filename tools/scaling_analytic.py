@@ -28,7 +28,9 @@ from scaling import _host_healthy, _steal_jiffies  # noqa: E402
 
 def run_battery(cpus: int, cpu_range: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               BENCH_PHASES="analytic", BENCH_ANALYTIC_RUNS="2")
+               BENCH_PHASES="analytic",
+               BENCH_ANALYTIC_RUNS=os.environ.get("BENCH_ANALYTIC_RUNS", "2"),
+               BENCH_DEADLINE_SEC=os.environ.get("BENCH_DEADLINE_SEC", "3000"))
     s0, t0 = _steal_jiffies()
     p = subprocess.run(
         ["taskset", "-c", cpu_range, sys.executable, os.path.join(REPO, "bench.py")],
@@ -68,19 +70,18 @@ def main():
         rows.append((n.replace("analytic_", ""), a, b,
                      round(a / b, 2), round(a / b / (hi / lo), 2)))
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    label = os.environ.get("SCALING_LABEL", os.path.basename(sf_dir.rstrip("/")))
     section = [
         "",
-        f"## Analytics-layer scaling ({lo} -> {hi} CPUs, taskset-pinned, sf0.1)",
+        f"## Analytics-layer scaling ({lo} -> {hi} CPUs, taskset-pinned, {label})",
         "",
         "Same protocol as the build study above (pinned process tree, "
-        "min-of-2 per query, cache cleared before every query); "
+        "best-of-N per query, cache cleared before every query); "
         f"whole-box steal {r_lo['steal_pct']}% / {r_hi['steal_pct']}% during "
-        "the narrow/wide runs. Driver-bounded gate queries (tiny embeddings "
-        "table; k-means training is an O(sample) driver collect BY DESIGN) "
-        "sit near speedup 1; the data-parallel text/dedup passes are the "
-        "scaling-relevant rows.",
+        f"the narrow/wide runs; input {sf_dir}.",
         "",
-        "| query | 8-CPU s | 32-CPU s | speedup | efficiency |",
+        f"| query | {lo}-CPU s | {hi}-CPU s | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
     for n, a, b, sp, eff in rows:
