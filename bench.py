@@ -177,6 +177,22 @@ def main():
             import __spark_entry__ as E
 
             qs = E.queries()
+            # session warm-up, mirroring the serve phase: Python/Arrow
+            # worker spawn + first whole-stage-codegen compile are
+            # per-session costs (~6s at 32-wide) that would otherwise be
+            # billed to whichever query happens to run first
+            from pyspark.sql import functions as F_
+
+            spark.range(1000, numPartitions=CPUS).mapInPandas(
+                lambda it: it, "id long").groupBy((F_.col("id") % 7).alias("g")
+                                                  ).count().collect()
+            # ...plus one untimed run of the first battery query: codegen
+            # compile + parquet FileIndex listing are also per-session.
+            # (Serve-phase analog: its warm-up queries are untimed too.)
+            if ANALYTIC:
+                spark.catalog.clearCache()
+                qs[ANALYTIC[0]](spark, SF_DIR).collect()
+                extra["analytic_warmup_query"] = ANALYTIC[0]
             n_an_runs = int(os.environ.get("BENCH_ANALYTIC_RUNS", "2"))
             an_runs: dict[str, list[float]] = {n: [] for n in ANALYTIC}
             for r in range(n_an_runs):

@@ -22,6 +22,7 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,28 +168,48 @@ def _tf(tok: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def _per_doc_qtf(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """ONE tokenize pass -> one narrow row per doc:
+    (doc_id, len, tf_0..tf_{n-1}) for the query terms. The scale shape for
+    every bag-of-words retrieval twin below: a single shuffle (groupBy
+    doc_id) with map-side partial aggregation; the query-term tfs fold as
+    pivoted conditional sums instead of one join per term, and doclen
+    comes out of the same pass instead of a second tokenize of the corpus
+    (at 10^12 docs the tokenize IS the cost — running it once per derived
+    statistic is the difference between flat and linear scaling)."""
+    tok = tokens(docs)
+    aggs = [F.count(F.lit(1)).cast("long").alias("len")]
+    aggs += [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
 def q_bm25_topk(spark, sf_dir):
     """#SUM of BM25 term scores (QrySopScore.java:78-90, QrySopSum.java:59-80),
-    SIMPLE mode, top-20 by (score desc, doc_id asc)."""
+    SIMPLE mode, top-20 by (score desc, doc_id asc). One tokenize pass,
+    one shuffle: per-doc pivoted tfs via _per_doc_qtf, corpus stats (avg
+    doclen, per-term df) as one tiny agg over the cached narrow frame."""
     docs = load(spark, sf_dir, "documents")
-    tok = tokens(docs)
     n_docs = docs.count()
-    dl = _doclens(tok)
-    avg = dl.agg(F.avg("len")).collect()[0][0]
-    tf = _tf(tok, Q_BM25)
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "s",
-            F.greatest(F.lit(0.0), F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
-            * F.col("tf")
-            / (F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("len") / F.lit(float(avg)))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("s"), ROUND_DP).alias("score"))
-    )
+    pdq = _fill(_per_doc_qtf(docs, Q_BM25))
+    stats = pdq.agg(
+        F.avg("len"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+          for i in range(len(Q_BM25))]).collect()[0]
+    avg, dfs = float(stats[0]), [float(x) for x in stats[1:]]
+    parts = []
+    for i in range(len(Q_BM25)):
+        idf = max(0.0, math.log((n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        parts.append(
+            F.lit(idf) * tf
+            / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("len") / F.lit(avg))))
+    matched = reduce(lambda a, b: a | b,
+                     [F.col(f"tf_{i}") > 0 for i in range(len(Q_BM25))])
+    scored = pdq.filter(matched).select(
+        "doc_id", F.round(reduce(lambda a, b: a + b, parts), ROUND_DP).alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
@@ -197,25 +218,23 @@ def q_indri_topk(spark, sf_dir):
     missing a term (QrySopScore.java:64-76,13-26): candidates = docs matching
     >= 1 term (matchMin)."""
     docs = load(spark, sf_dir, "documents")
-    tok = tokens(docs)
-    dl = _doclens(tok)
-    sum_len = dl.agg(F.sum("len")).collect()[0][0]
-    tf = _tf(tok, Q_BM25)
-    ctf = {r["term"]: int(r["ctf"]) for r in
-           tok.filter(F.col("term").isin(Q_BM25)).groupBy("term").agg(F.count(F.lit(1)).alias("ctf")).collect()}
-    cand = tf.select("doc_id").distinct().join(dl, "doc_id")
+    pdq = _fill(_per_doc_qtf(docs, Q_BM25))
+    tot = pdq.agg(F.sum("len"),
+                  *[F.sum(f"tf_{i}") for i in range(len(Q_BM25))]).collect()[0]
+    sum_len, ctfs = float(tot[0]), [int(x) for x in tot[1:]]
     parts = []
-    for t in Q_BM25:
-        tft = tf.filter(F.col("term") == t).select("doc_id", F.col("tf").alias(f"tf_{t}"))
-        cand = cand.join(tft, "doc_id", "left")
-        pqc = (ctf.get(t, 0) if ctf.get(t, 0) != 0 else 0.5) / float(sum_len)
-        tcol = F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("double")
+    for i in range(len(Q_BM25)):
+        pqc = (ctfs[i] if ctfs[i] != 0 else 0.5) / sum_len
+        tcol = F.col(f"tf_{i}").cast("double")
         parts.append(
             F.lit(1.0 - INDRI_LAM) * (tcol + F.lit(INDRI_MU * pqc)) / (F.col("len") + F.lit(INDRI_MU))
             + F.lit(INDRI_LAM * pqc)
         )
+    matched = reduce(lambda a, b: a | b,
+                     [F.col(f"tf_{i}") > 0 for i in range(len(Q_BM25))])
     score = F.round(reduce(lambda a, b: a + b, parts), ROUND_DP).alias("score")
-    return cand.select("doc_id", score).orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return (pdq.filter(matched).select("doc_id", score)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
 
 
 def q_and_ranked(spark, sf_dir):
