@@ -280,6 +280,40 @@ reach(doc, label) AS (
 )"""
 
 
+_HOST_EDGES = f"""links AS (
+  SELECT source AS src,
+         unnest([(doc_id * 7 + n_chars) % {A.PR_DST_MOD},
+                 (doc_id * 13 + 3 * n_chars + 1) % {A.PR_DST_MOD}]) AS d
+  FROM documents),
+edges AS (
+  SELECT src, 'src' || CAST(d AS VARCHAR) AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM links GROUP BY 1, 2)"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled PR_ITERS-step power iteration mirroring analytic.pagerank:
+    weighted contributions, damping, dangling-mass redistribution."""
+    d, nq = A.PR_DAMP, "(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)"
+    ctes = [f"""nodes AS (SELECT DISTINCT src AS node FROM edges
+         UNION SELECT DISTINCT dst FROM edges),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / {nq} AS pr FROM nodes)"""]
+    for i in range(1, A.PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         (1.0 - {d}) / {nq} + {d} * (
+           COALESCE(c.contrib, 0.0)
+           + (SELECT COALESCE(SUM(r.pr), 0.0) FROM r{i-1} r
+              LEFT JOIN outw o ON o.src = r.node WHERE o.src IS NULL) / {nq}
+         ) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr * e.w / o.ow) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.node JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = n.node)""")
+    return (f"WITH {_HOST_EDGES},\n" + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{A.PR_ITERS}")
+
+
 _COS_NRM = """
 qx AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
        FROM embeddings WHERE vec_id = 0),
@@ -360,6 +394,9 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": A.q_binary_meta,
         "eval_per_query": A.q_eval_per_query,
         "eval_summary": A.q_eval_summary,
+        "host_links": A.q_host_links,
+        "pagerank": A.q_pagerank,
+        "domain_cap": A.q_domain_cap,
     }
 
 
@@ -760,4 +797,15 @@ SELECT CAST(COUNT(*) AS BIGINT) AS num_q,
        ROUND(AVG(rr), 6) AS mrr,
        ROUND(AVG(ndcg_at_10), 6) AS ndcg_at_10
 FROM pq""",
+        "host_links": f"""
+WITH {_HOST_EDGES}
+SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges""",
+        "pagerank": _pagerank_sql(),
+        "domain_cap": f"""
+SELECT source, doc_id, n_chars, rnk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= {A.DCAP_N}""",
     }

@@ -1335,6 +1335,112 @@ def q_dedup_keep(spark, sf_dir):
     )
 
 
+# --- host graph: link extraction, PageRank, per-host caps ------------------
+# The web-graph layer of a crawl pipeline: derive a host->host link graph,
+# rank hosts (PageRank is the canonical crawl-frontier / quality prior),
+# and cap per-host document counts (RefinedWeb/C4-style anti-SEO-farm rule).
+
+PR_DAMP = 0.85
+PR_ITERS = 5
+PR_DST_MOD = 20  # derived-graph fanout modulus (src0..src19 host space)
+DCAP_N = 20      # per-host document cap
+
+
+def _host_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic host->host edge list derived from documents by pure
+    integer arithmetic (no engine-specific hash): each doc contributes two
+    outlinks source_host -> src{(doc_id*7 + n_chars) % 20} and
+    -> src{(doc_id*13 + 3*n_chars + 1) % 20} (n_chars mixes in per-doc
+    entropy — doc_id alone is congruent to the source assignment and
+    collapses the graph to a permutation); edges collapse to
+    (src, dst, w=count). Stands in for real <a href> host extraction —
+    with a crawl table the same op is one generated-column explode over
+    parsed hrefs; everything downstream (collapse, out-weight, rank
+    iteration) is identical. One groupBy; at crawl scale the collapse is
+    the big win (10^11 raw links -> 10^8 host pairs before any iteration)."""
+    d1 = (F.col("doc_id") * 7 + F.col("n_chars")) % PR_DST_MOD
+    d2 = (F.col("doc_id") * 13 + F.col("n_chars") * 3 + 1) % PR_DST_MOD
+    links = docs.select(
+        F.col("source").alias("src"),
+        F.explode(F.array(d1, d2)).alias("d"))
+    return (links.select("src", F.concat(F.lit("src"),
+                                         F.col("d").cast("string")).alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("double").alias("w")))
+
+
+def q_host_links(spark, sf_dir):
+    """The collapsed host->host link graph (see _host_edges)."""
+    e = _host_edges(load(spark, sf_dir, "documents"))
+    return e.select("src", "dst", F.col("w").cast("long").alias("w"))
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS,
+             damp: float = PR_DAMP) -> DataFrame:
+    """Weighted PageRank with damping and dangling-mass redistribution,
+    fixed `iters` power iterations (deterministic — no convergence test, so
+    the DuckDB oracle can unroll the same recurrence). Per iteration: one
+    join (ranks x edges on src) + one groupBy (sum contributions by dst) —
+    the standard distributed shape; ranks and edge partitioning are stable
+    across iterations so at scale you pre-partition edges by src once and
+    every iteration reuses it (no re-shuffle of the big side). Each
+    round's ranks are cached via _fill, else iteration i recomputes the
+    whole chain (O(iters^2) lineage, same discipline as dup_clusters).
+    Dangling nodes (in-links but no out-links) donate their mass uniformly,
+    the textbook correction; computed as a 1-row agg cross-joined back in
+    (never a driver collect)."""
+    edges = _track(edges)
+    nodes = _track(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    outw = _track(edges.groupBy("src").agg(F.sum("w").alias("ow")))
+    ranks = _fill(nodes.withColumn("pr", F.lit(1.0 / n)))
+    for _ in range(iters):
+        dang = (ranks.join(outw, ranks.node == outw.src, "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")))
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("contrib")))
+        new_ranks = _fill(
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                (F.lit((1.0 - damp) / n)
+                 + F.lit(damp) * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                  + F.col("dang") / F.lit(float(n)))).alias("pr")))
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the derived host graph, PR_ITERS power iterations."""
+    e = _host_edges(load(spark, sf_dir, "documents"))
+    return pagerank(e).select("node", F.round("pr", ROUND_DP).alias("pr"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-host document cap: keep the DCAP_N largest docs per source
+    (n_chars desc, doc_id asc tie-break) — the RefinedWeb/C4-style rule
+    that stops SEO farms and mirror hosts from dominating a training mix.
+    One windowed row_number partitioned by host: parallelism = #hosts
+    (10^7+ at crawl scale), per-partition work bounded by per-host crawl
+    budget; for a pathological mega-host, pre-cap within each input split
+    first (rank <= N per (host, split) keeps <= N x splits candidates)
+    then re-rank — same operator, one extra narrow pass."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= DCAP_N)
+            .select("source", "doc_id", "n_chars", "rnk"))
+
+
 # --- retrieval evaluation (trec_eval-style metrics, eval.py) ---------------
 
 def _eval_run_qrels(spark, sf_dir):

@@ -252,3 +252,55 @@ def test_substring_dedup_self_repeat_not_dup(spark):
     out = {r.doc_id: r for r in A._substring_dedup(df, n=4).collect()}
     assert out[1].dup_tokens == 0
     assert out[2].dup_tokens == 0
+
+
+def test_pagerank_hand_computed_and_stochastic(spark):
+    """PageRank on a hand-solvable 3-node graph: A->B, B->C, C->A (uniform
+    cycle => uniform ranks = 1/3 at every iteration), then a weighted
+    asymmetric graph checked against a 5-step numpy power iteration; ranks
+    always sum to 1 (dangling mass redistributed, nothing leaks)."""
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"])
+    out = {r.node: r.pr for r in A.pagerank(cyc).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+    # weighted + a dangling node d (in-links only)
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("a", "d", 1.0), ("b", "d", 3.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: r.pr for r in A.pagerank(df).collect()}
+
+    import numpy as np
+    nodes = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    n, d = len(nodes), A.PR_DAMP
+    M = np.zeros((n, n))
+    outw = {}
+    for s, t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, t, w in edges:
+        M[idx[t], idx[s]] += w / outw[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(A.PR_ITERS):
+        dang = sum(r[idx[u]] for u in nodes if u not in outw)
+        r = (1 - d) / n + d * (M @ r + dang / n)
+    for u in nodes:
+        assert got[u] == pytest.approx(round(r[idx[u]], 6), abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_domain_cap_invariants(spark, docs):
+    """<= DCAP_N rows per source; every kept doc is at least as large as
+    every dropped doc of the same source (modulo the doc_id tie-break)."""
+    out = A.q_domain_cap(spark, SF_DIR)
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= A.DCAP_N for v in per.values())
+    kept_min = {r.source: r.m for r in
+                out.groupBy("source").agg(F.min("n_chars").alias("m")).collect()}
+    dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    for r in dropped.groupBy("source").agg(F.max("n_chars").alias("mx")).collect():
+        # a dropped doc may tie kept_min on n_chars (doc_id breaks the tie)
+        assert r.mx <= kept_min[r.source]
