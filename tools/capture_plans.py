@@ -197,6 +197,28 @@ def main() -> None:
         "final `TakeOrderedAndProject`.",
         fmt(indri)))
 
+    pr = A.q_pagerank(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "PageRank over the host graph (one power-iteration step shown)",
+        "What to look for: the edge list and the previous iteration's ranks "
+        "are `InMemoryTableScan`s (edges cached ONCE, ranks cached per "
+        "round — iteration i never recomputes iteration i-1's lineage); "
+        "each step is exactly one rank x edges join plus one "
+        "`HashAggregate` on dst with a map-side partial sum; the dangling "
+        "mass is a 1-row aggregate cross-joined back (`BroadcastNestedLoop"
+        "Join` of a single row), never a driver collect.",
+        fmt(pr)))
+
+    dcap = A.q_domain_cap(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Per-host document cap (domain_cap)",
+        "What to look for: `WindowGroupLimit` BELOW the exchange — Spark "
+        "4's rank-limit pushdown keeps only the per-host top-N on the map "
+        "side, so the shuffle moves <= N rows per (host, input split), not "
+        "the corpus; then one partial sort per host and the rnk <= N "
+        "filter. Parallelism = #hosts.",
+        fmt(dcap)))
+
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("# PLANS — captured physical plans for the headline paths\n\n"
