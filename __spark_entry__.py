@@ -397,6 +397,12 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_links": A.q_host_links,
         "pagerank": A.q_pagerank,
         "domain_cap": A.q_domain_cap,
+        "bpe_pairs": A.q_bpe_pairs,
+        # iterative argmax (tokenizer training): deliberately NOT in
+        # oracle_sql — the driver records the weaker rows-only check; the
+        # value-level gate is the sequential-replica identity in
+        # tests/test_bpe.py
+        "bpe_merges": A.q_bpe_merges,
     }
 
 
@@ -801,6 +807,18 @@ FROM pq""",
 WITH {_HOST_EDGES}
 SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges""",
         "pagerank": _pagerank_sql(),
+        "bpe_pairs": f"""
+WITH wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+sym AS (SELECT string_split(word, '') AS syms, cnt FROM wf),
+pairs AS (
+  SELECT syms[i] AS "left", syms[i+1] AS "right", cnt
+  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM sym))
+SELECT "left", "right", CAST(SUM(cnt) AS BIGINT) AS freq
+FROM pairs GROUP BY 1, 2
+ORDER BY freq DESC, "left" ASC, "right" ASC LIMIT {A.BPE_PAIRS_K}""",
         "domain_cap": f"""
 SELECT source, doc_id, n_chars, rnk FROM (
   SELECT source, doc_id, n_chars,

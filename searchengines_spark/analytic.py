@@ -1441,6 +1441,33 @@ def q_domain_cap(spark, sf_dir):
             .select("source", "doc_id", "n_chars", "rnk"))
 
 
+# --- BPE tokenizer training (bpe.py) ----------------------------------------
+
+BPE_PAIRS_K = 20
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Step-0 BPE pair statistics: top-K adjacent character pairs over the
+    word-frequency table (the argmax input of the first merge). The
+    SQL-expressible half of tokenizer training — hash-gated; the iterative
+    merge loop is q_bpe_merges (rows-only + pytest replica gate)."""
+    from . import bpe
+
+    wf = bpe.word_freq(load(spark, sf_dir, "documents"))
+    return (bpe._pair_counts(bpe._init_vocab(wf))
+            .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+            .limit(BPE_PAIRS_K))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The learned BPE merge table (N_MERGES greedy merges) — iterative
+    argmax, non-SQL-expressible; gated by the sequential-replica identity
+    test (test_bpe.py) plus the driver's rows-only check."""
+    from . import bpe
+
+    return bpe.train_bpe(load(spark, sf_dir, "documents"))
+
+
 # --- retrieval evaluation (trec_eval-style metrics, eval.py) ---------------
 
 def _eval_run_qrels(spark, sf_dir):
