@@ -430,11 +430,15 @@ def band_hash_arr(col: str = "mh"):
 
 
 def _lsh64_sh_cand(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    return _lsh64_sh_cand_df(load(spark, sf_dir, "documents"))
+
+
+def _lsh64_sh_cand_df(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared scale-path LSH stage: (cached shingles, candidate pairs from
     the 16x4 band-bucket join). ``sh`` is cached and ``long`` cache-filled
     (one count) because the downstream plan references sh from 3 legs and
     long from 2 — see _fill."""
-    sh = _track(_shingles(load(spark, sf_dir, "documents")))
+    sh = _track(_shingles(docs))
     band_arr = band_hash_arr()
     long = _fill(
         _minhash64_arr(sh).select(
@@ -554,6 +558,13 @@ def q_dup_clusters(spark, sf_dir):
     fully distributed (the 100 TB shape; large-star/small-star is the same
     idea with better worst-case bounds)."""
     pairs = q_lsh_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    return cluster_pairs(pairs)
+
+
+def cluster_pairs(pairs: DataFrame) -> DataFrame:
+    """Connected components over (a_id, b_id) dup pairs -> (doc_id, canon),
+    canon = min doc_id of the component. See q_dup_clusters for the
+    algorithmic rationale."""
     edges = _track(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
