@@ -144,3 +144,31 @@ def test_wet_and_warc_records_disjoint(spark, tmp_path):
     write_wet(src, wet_dir)
     assert read_wet(spark, warc_dir).count() == 0
     assert read_warc(spark, wet_dir).count() == 0
+
+
+def test_unicode_and_invalid_bytes_round_trip():
+    """Real crawls are not ASCII: multi-byte urls/content must survive the
+    byte-oriented WARC framing (Content-Length is BYTES, not chars), and
+    invalid UTF-8 in html must degrade deterministically, never raise."""
+    from datetime import datetime, timezone
+
+    from searchengines_spark.sources import warc
+    from searchengines_spark.tokenizer import extract_text
+
+    ts = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    html = "<html><body>héllo wörld 東京 &amp; ☃</body></html>".encode()
+    url = "https://ex.com/ü?q=Ω"
+    rec = warc.encode_response_record(url, ts, html, "en")
+    (got_url, _, got_html, got_text, _), = warc.parse_warc_shard(rec, is_gzip=False)
+    assert (got_url, got_html) == (url, html)
+    assert got_text == "héllo wörld 東京 & ☃"
+
+    txt = "héllo wörld 東京 ☃"
+    wet = warc.encode_conversion_record("https://ex.com/ü", ts, txt, "en")
+    assert warc.parse_wet_shard(wet, is_gzip=False)[0][2] == txt
+
+    # invalid UTF-8: replacement char, same output on every call (the
+    # byte-identical-text-per-url invariant still holds)
+    bad = b"<p>ok \xff\xfe broken</p>"
+    assert extract_text(bad) == extract_text(bad)
+    assert "ok" in extract_text(bad) and "broken" in extract_text(bad)
