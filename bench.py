@@ -44,7 +44,8 @@ ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
             "simhash_dup_pairs", "cosine_topk", "pq_topk", "embed_dup_pairs",
             "substring_dedup", "near_pairs", "quality",
-            "events_window", "events_sessions"]
+            "events_window", "events_sessions",
+            "pagerank", "domain_cap", "bpe_pairs", "eval_summary"]
 # csv subset override (the scaled-input scaling study excludes the
 # explicitly-labeled exact all-pairs baselines, which are O(n^2) by design)
 if os.environ.get("BENCH_ANALYTIC_QUERIES"):
