@@ -569,27 +569,29 @@ def cluster_pairs(pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
     )
-    labels = _track(edges.select(F.col("src").alias("doc_id")).distinct()
-                    .withColumn("canon", F.col("doc_id")))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("canon", F.col("doc_id"))
+              .localCheckpoint(eager=True))
     for _ in range(12):  # >= diameter of any plausible dup cluster
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("canon").alias("nbr_canon"))
         )
-        # cache each round: iterative algorithms otherwise recompute the
-        # whole lineage chain every iteration (O(rounds^2) work)
-        new_labels = _track(
+        # checkpoint each round: iterative drivers otherwise both
+        # recompute the whole chain (O(rounds^2) work) AND pay Catalyst
+        # analysis over an ever-deeper logical plan (see pagerank)
+        new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("canon"), F.coalesce(F.col("nbr_canon"), F.col("canon")))
                     .alias("canon"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("canon", "old"), "doc_id")
             .filter(F.col("canon") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
