@@ -82,9 +82,21 @@ def _zipf_cdf() -> np.ndarray:
     return np.cumsum(w / w.sum())
 
 
-def make_page(doc_i: int, seed: int = 42) -> tuple[str, int, bytes, str, str]:
+def page_url(doc_i: int) -> str:
+    """Deterministic url of page doc_i (link targets are computable)."""
+    return (f"https://www{doc_i % 7}.example.org/"
+            f"{VOCAB[doc_i % VOCAB_SIZE]}/p{doc_i:010d}.html")
+
+
+def make_page(doc_i: int, seed: int = 42, link_fanout: int = 0,
+              n_docs: int = 0) -> tuple[str, int, bytes, str, str]:
     """Build one page deterministically from (doc_i, seed).
-    Returns (url, warc_ts_epoch_us, html, text, lang)."""
+    Returns (url, warc_ts_epoch_us, html, text, lang).
+
+    link_fanout > 0 appends that many ``<a href>`` anchors to the body,
+    pointing at other pages of the same corpus (targets skewed toward low
+    docids so popular pages exist, mirroring web in-degree skew). Default 0
+    keeps the corpus byte-identical to every frozen golden/bench."""
     rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(doc_i))
     cdf = _ZIPF_CDF
     def sample(n: int) -> list[str]:
@@ -101,7 +113,23 @@ def make_page(doc_i: int, seed: int = 42) -> tuple[str, int, bytes, str, str]:
     body = " ".join(body_tokens)
     keywords = " ".join(sample(5))
     inlink = " ".join(sample(int(rng.integers(2, 6))))
-    url = f"https://www{doc_i % 7}.example.org/{VOCAB[doc_i % VOCAB_SIZE]}/p{doc_i:010d}.html"
+    url = page_url(doc_i)
+    anchors_html = ""
+    if link_fanout and n_docs > 1:
+        parts = []
+        for _ in range(link_fanout):
+            # Zipf-skewed target: low docids are celebrity pages
+            tgt = int((n_docs - 1) * (rng.random() ** 3))
+            if tgt >= doc_i:
+                tgt += 1
+            if tgt >= n_docs:
+                continue
+            rel = rng.random() < 0.5  # exercise relative-url resolution
+            href = (f"/{VOCAB[tgt % VOCAB_SIZE]}/p{tgt:010d}.html"
+                    if rel and tgt % 7 == doc_i % 7 else page_url(tgt))
+            anchor = " ".join(sample(2))
+            parts.append(f'<a href="{href}">{anchor}</a>')
+        anchors_html = "<p>" + " ".join(parts) + "</p>"
     lang = "en" if rng.random() < 0.95 else ["fr", "de", "es"][int(rng.integers(0, 3))]
     html = (
         "<html><head>"
@@ -111,6 +139,7 @@ def make_page(doc_i: int, seed: int = 42) -> tuple[str, int, bytes, str, str]:
         "<style>body{margin:0}</style>"
         "</head><body>"
         f"<p>{body}</p>"
+        f"{anchors_html}"
         "<script>var x=1;</script>"
         "</body></html>"
     ).encode("utf-8")
@@ -122,8 +151,10 @@ _ZIPF_CDF = _zipf_cdf()
 
 
 def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
-                   partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic pages corpus."""
+                   partitions: int | None = None,
+                   link_fanout: int = 0) -> DataFrame:
+    """Distributed deterministic pages corpus. link_fanout > 0 embeds real
+    ``<a href>`` anchors (see make_page) for the link/anchor-text layer."""
     import pandas as pd
 
     if partitions is None:
@@ -131,7 +162,8 @@ def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            rows = [make_page(int(i), seed, link_fanout, n_docs)
+                    for i in pdf["id"]]
             out = pd.DataFrame(rows, columns=["url", "warc_us", "html", "text", "lang"])
             out["warc_ts"] = pd.to_datetime(out.pop("warc_us"), unit="us")
             yield out[["url", "warc_ts", "html", "text", "lang"]]
@@ -245,13 +277,19 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
             urls = rb.column(ix["url"]).to_pylist()
             htmls = rb.column(ix["html"]).to_pylist()
             docids = rb.column(ix["docid"]).to_pylist()
+            # anchor-text inlink field (links.anchor_texts, joined on url by
+            # build_index): overrides any in-page stand-in when present
+            inls = (rb.column(ix["inlink_override"]).to_pylist()
+                    if "inlink_override" in ix else None)
 
             texts: list[str] = []
             seg_docid = np.empty(len(urls) * len(FIELDS), dtype=np.int64)
             seg_field: list[str] = []
             k = 0
-            for url, html, docid in zip(urls, htmls, docids):
+            for row_i, (url, html, docid) in enumerate(zip(urls, htmls, docids)):
                 fields = extract_fields(url, bytes(html))
+                if inls is not None:
+                    fields["inlink"] = inls[row_i] or ""
                 for f in FIELDS:
                     texts.append(fields[f])
                     seg_docid[k] = int(docid)
@@ -335,7 +373,10 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
                 names=["docid", "field", "term", "tf", "positions_z", "doclen"],
             )
 
-    return pages_with_docid.select("url", "html", "docid").mapInArrow(
+    cols = ["url", "html", "docid"]
+    if "inlink_override" in pages_with_docid.columns:
+        cols.append("inlink_override")
+    return pages_with_docid.select(*cols).mapInArrow(
         explode, TOKENIZED_SCHEMA
     )
 

@@ -366,13 +366,20 @@ def build_index(
     salt_min_df: int = SALT_MIN_DF,
     payload_codec: str = "pfor",
     store_positions: bool = True,
+    anchors: DataFrame | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
     payload_codec: block payload compression for docids/tfs/doclens —
     "pfor" (patched frame-of-reference, default: ~24%% smaller blocks than
     varint at equal build/serve speed) or "varint" (LEB128); positions are
     always varint (pre-encoded per posting by the tokenize kernel).
-    Pre-existing indexes keep the codec recorded in their manifest."""
+    Pre-existing indexes keep the codec recorded in their manifest.
+    anchors: optional (url, inlink) frame (links.anchor_texts output) — the
+    aggregated inbound anchor text becomes the page's ``inlink`` field
+    (ClueWeb semantics) in place of any in-page stand-in; pages with no
+    inbound anchors index an empty inlink field. Joined on url under the
+    same broadcast byte-gate as the docid join (co-partitioned storage on
+    url at cluster scale); html bytes never move."""
     if payload_codec not in codec.PAYLOAD_CODECS:
         raise ValueError(f"unknown payload_codec {payload_codec!r}")
     os.makedirs(index_dir, exist_ok=True)
@@ -442,6 +449,13 @@ def build_index(
         bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
         ids = F.broadcast(docids) if n_docs * 100 <= bcast_cap else docids
         with_ids = en_pages.join(ids, "url")
+        if anchors is not None:
+            anc = anchors.select(
+                "url", F.col("inlink").alias("inlink_override"))
+            # rough 200B/row estimate; same gate + fallback story as docids
+            anc = F.broadcast(anc) if n_docs * 200 <= bcast_cap else anc
+            with_ids = with_ids.join(anc, "url", "left")
+            metrics["anchor_inlinks"] = True
         if en_pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
             # tiny test corpora scan into a couple of input splits, which
             # would serialize the tokenize kernel. Only then is the

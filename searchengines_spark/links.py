@@ -1,0 +1,160 @@
+"""Anchor-text / link-graph layer over the pages corpus.
+
+The reference's ``inlink`` field is ClueWeb's anchor-text field: the text of
+inbound links, indexed as if it were document content
+(/root/reference/QryEval/QryParser.java:159-163 lists the field;
+InspectIndex.java:286-333 prints its per-field stats like any other field).
+ClueWeb ships the field pre-computed; at crawl scale *we* are the ones who
+must compute it, which is a classic web-scale propagation job:
+
+    parse <a href> doc-locally  ->  resolve to target url  ->  aggregate
+    anchor text per TARGET      ->  index it as the target's inlink field.
+
+Scale shape (10^12 pages, 10^13 raw links):
+
+- ``extract_links`` is one stateless ``mapInPandas`` pass over the html —
+  no shuffle, html bytes never move. Output rows are narrow (three short
+  strings), ~100x smaller than the pages.
+- ``anchor_texts`` is where skew lives: a celebrity page has 10^8 inbound
+  links, a mirror farm repeats one anchor from one host 10^6 times. The
+  discipline here mirrors web-search practice (anchor votes are counted
+  per linking HOST, not per link):
+    1. dedup (dst, src_host, anchor)            — one distinct, map-side
+    2. cap anchors per (dst, src_host)          — kills single-host spam
+    3. weight = #distinct hosts per (dst, anchor)
+    4. two-level top-N per dst (hash-bucketed pre-cap, then global) —
+       the window input for a mega-dst is bounded by buckets x N, never
+       by its raw in-degree.
+  Every step is a narrow groupBy/window with map-side combine; nothing is
+  ever O(in-degree) in one task.
+- ``host_graph`` collapses the same links to the (src_host, dst_host, w)
+  edge list that feeds ``analytic.pagerank`` — 10^13 raw links shrink to
+  ~10^8 host pairs in one groupBy before any iteration.
+
+``index.build.build_index(..., anchors=...)`` joins the aggregated anchor
+text onto the pages by url (broadcast under the same byte-gate as the docid
+join; co-partitioned storage on url at cluster scale) and the tokenize
+kernel indexes it as the ``inlink`` field in place of any in-page stand-in.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from urllib.parse import urljoin, urldefrag
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tokenizer import _WS_RE
+
+_A_RE = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</a\s*>", re.S | re.I)
+_MARKUP_RE = re.compile(r"<[^>]*>")
+
+LINKS_SCHEMA = T.StructType([
+    T.StructField("src", T.StringType(), False),
+    T.StructField("dst", T.StringType(), False),
+    T.StructField("anchor", T.StringType(), False),
+])
+
+
+def _clean_anchor(raw: bytes) -> str:
+    s = _MARKUP_RE.sub(" ", raw.decode("utf-8", errors="replace"))
+    s = _htmllib.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src, dst, anchor): one stateless pass,
+    doc-local href parse + relative-url resolution. Drops self-links,
+    fragment-only links, non-http(s) schemes and empty anchors."""
+
+    def parse(batches):
+        for pdf in batches:
+            out_src, out_dst, out_anchor = [], [], []
+            for src, html in zip(pdf["src"], pdf["html"]):
+                hb = bytes(html) if html is not None else b""
+                for m in _A_RE.finditer(hb):
+                    href = m.group(1).decode("utf-8", errors="replace").strip()
+                    if not href:
+                        continue
+                    dst = urldefrag(urljoin(src, href))[0]
+                    if not dst.startswith(("http://", "https://")) or dst == src:
+                        continue
+                    anchor = _clean_anchor(m.group(2))
+                    if not anchor:
+                        continue
+                    out_src.append(src)
+                    out_dst.append(dst)
+                    out_anchor.append(anchor)
+            yield pd.DataFrame({"src": out_src, "dst": out_dst,
+                                "anchor": out_anchor})
+
+    return pages.select(F.col("url").alias("src"), "html") \
+        .mapInPandas(parse, LINKS_SCHEMA)
+
+
+def anchor_texts(links: DataFrame, max_anchors: int = 32,
+                 per_host_cap: int = 4, buckets: int = 64) -> DataFrame:
+    """(src, dst, anchor) -> (url, inlink): the aggregated anchor-text field
+    per target page, host-vote weighted, spam/skew capped (see module doc).
+    Deterministic: anchors ordered by (#hosts desc, anchor asc), joined by
+    single spaces."""
+    hosted = links.select(
+        F.col("dst"),
+        F.parse_url(F.col("src"), F.lit("HOST")).alias("src_host"),
+        F.col("anchor"),
+    ).filter(F.col("src_host").isNotNull())
+
+    # 1. one vote per (dst, host, anchor)
+    votes = hosted.distinct()
+
+    # 2. at most per_host_cap distinct anchors counted from any one host
+    w_host = Window.partitionBy("dst", "src_host").orderBy(F.asc("anchor"))
+    capped = (votes.withColumn("hr", F.row_number().over(w_host))
+              .filter(F.col("hr") <= per_host_cap).drop("hr"))
+
+    # 3. anchor weight = number of distinct linking hosts
+    weighted = capped.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"))
+
+    # 4. two-level top-N: pre-cap within hash buckets of the anchor space so
+    # the final per-dst window never sees more than buckets * max_anchors
+    # rows even for a 10^8-in-degree dst
+    order = [F.desc("n_hosts"), F.asc("anchor")]
+    w_pre = Window.partitionBy(
+        "dst", F.pmod(F.xxhash64("anchor"), F.lit(buckets))).orderBy(*order)
+    pre = (weighted.withColumn("pr", F.row_number().over(w_pre))
+           .filter(F.col("pr") <= max_anchors).drop("pr"))
+    w_dst = Window.partitionBy("dst").orderBy(*order)
+    top = (pre.withColumn("r", F.row_number().over(w_dst))
+           .filter(F.col("r") <= max_anchors))
+
+    # deterministic concat in (n_hosts desc, anchor asc) order
+    return (top.groupBy("dst")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        (-F.col("n_hosts")).alias("neg_w"),
+                        F.col("anchor").alias("anchor")))),
+                    lambda s: s.getField("anchor")),
+                " ").alias("inlink"))
+            .withColumnRenamed("dst", "url"))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src, dst, anchor) -> (src, dst, w) collapsed host->host edge list
+    (cross-host edges only) — the input shape of ``analytic.pagerank``.
+    One groupBy with map-side combine: 10^13 raw links -> ~10^8 host pairs
+    before any rank iteration touches them."""
+    hosts = links.select(
+        F.parse_url(F.col("src"), F.lit("HOST")).alias("src"),
+        F.parse_url(F.col("dst"), F.lit("HOST")).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+             & (F.col("src") != F.col("dst")))
+    return hosts.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w"))

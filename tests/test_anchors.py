@@ -1,0 +1,207 @@
+"""Anchor-text / link-graph layer: href extraction vs an independent
+HTMLParser-based oracle, anchor aggregation (host votes, spam caps,
+determinism) vs a pure-Python replica, the anchor-built ``inlink`` field
+serving rank-identical to the oracle index, and the real-href host graph
+feeding pagerank.
+
+Reference parity: the ``inlink`` field is ClueWeb's anchor-text field
+(/root/reference/QryEval/QryParser.java:159-163); the reference consumes it
+pre-computed, our engine computes it from the crawl (links.py module doc).
+"""
+
+import math
+from collections import defaultdict
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse
+
+import pytest
+
+from searchengines_spark.corpus import (FIELDS, extract_fields, generate_pages,
+                                        make_page)
+from searchengines_spark.engine import Engine
+from searchengines_spark.links import anchor_texts, extract_links, host_graph
+from searchengines_spark.oracle import OracleIndex, search as oracle_search
+from searchengines_spark.tokenizer import tokenize_full
+
+N_DOCS = 240
+FANOUT = 3
+K = 20
+
+
+class _LinkParser(HTMLParser):
+    """Independent link extractor (stdlib HTMLParser, not the regex)."""
+
+    def __init__(self, src):
+        super().__init__()
+        self.src = src
+        self.out = []
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._href = dict(attrs).get("href")
+            self._buf = []
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._href is not None:
+            dst = urljoin(self.src, self._href).split("#")[0]
+            anchor = " ".join(" ".join(self._buf).split())
+            if (dst.startswith(("http://", "https://")) and dst != self.src
+                    and anchor):
+                self.out.append((self.src, dst, anchor))
+            self._href = None
+
+
+def _py_links():
+    out = []
+    for i in range(N_DOCS):
+        url, _, html, _, _ = make_page(i, seed=42, link_fanout=FANOUT,
+                                       n_docs=N_DOCS)
+        p = _LinkParser(url)
+        p.feed(html.decode("utf-8"))
+        out.extend(p.out)
+    return out
+
+
+def _py_anchor_texts(links, max_anchors=32, per_host_cap=4):
+    """Pure-Python replica of links.anchor_texts."""
+    votes = sorted({(d, urlparse(s).hostname, a) for s, d, a in links})
+    per_host = defaultdict(list)
+    for d, h, a in votes:
+        per_host[(d, h)].append(a)
+    weights = defaultdict(int)
+    for (d, h), anchors in per_host.items():
+        for a in sorted(anchors)[:per_host_cap]:
+            weights[(d, a)] += 1
+    by_dst = defaultdict(list)
+    for (d, a), w in weights.items():
+        by_dst[d].append((-w, a))
+    return {d: " ".join(a for _, a in sorted(rows)[:max_anchors])
+            for d, rows in by_dst.items()}
+
+
+@pytest.fixture(scope="module")
+def linked_pages(spark):
+    return generate_pages(spark, N_DOCS, seed=42, partitions=4,
+                          link_fanout=FANOUT)
+
+
+@pytest.fixture(scope="module")
+def spark_links(linked_pages):
+    return extract_links(linked_pages)
+
+
+def test_extract_links_matches_independent_parser(spark_links):
+    got = sorted((r["src"], r["dst"], r["anchor"])
+                 for r in spark_links.collect())
+    want = sorted(_py_links())
+    assert got == want
+    assert len(got) > N_DOCS  # fanout actually produced links
+    # relative hrefs resolved to absolute page urls
+    assert all(d.startswith("https://www") and "/p" in d for _, d, _ in got)
+
+
+def test_anchor_texts_matches_replica(spark_links):
+    got = {r["url"]: r["inlink"] for r in anchor_texts(spark_links).collect()}
+    want = _py_anchor_texts(_py_links())
+    assert got == want
+
+
+def test_anchor_caps(spark):
+    # one spam host repeating 10 distinct anchors at dst, one honest host
+    # 3x-duplicating anchor "good": spam capped at per_host_cap alphabetical,
+    # dup votes collapse to one per host, ties break anchor-ascending
+    rows = ([("http://spam.example/a%d" % i, "http://t.example/x",
+              "z%02d spammy" % i) for i in range(10)]
+            + [("http://honest.example/p%d" % i, "http://t.example/x", "good")
+               for i in range(3)])
+    links = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+    out = anchor_texts(links, max_anchors=3, per_host_cap=4).collect()
+    assert len(out) == 1
+    # weights: good=3 hosts? no — 3 links from ONE host dedup to 1 vote;
+    # spam anchors each 1 vote. good ties at w=1, anchor asc wins
+    assert out[0]["inlink"] == "good z00 spammy z01 spammy"
+
+
+@pytest.fixture(scope="module")
+def anchor_reader(spark, linked_pages, spark_links, tmp_path_factory):
+    from searchengines_spark.index import IndexReader, build_index
+
+    d = str(tmp_path_factory.mktemp("anchor_idx"))
+    m = build_index(spark, linked_pages, d, n_salts=4,
+                    anchors=anchor_texts(spark_links))
+    assert m.get("anchor_inlinks") is True
+    return IndexReader(spark, d)
+
+
+@pytest.fixture(scope="module")
+def anchor_oracle():
+    anc = _py_anchor_texts(_py_links())
+    docs = []
+    for i in range(N_DOCS):
+        url, _, html, _, lang = make_page(i, seed=42, link_fanout=FANOUT,
+                                          n_docs=N_DOCS)
+        if lang != "en":
+            continue
+        f = extract_fields(url, html)
+        f["inlink"] = anc.get(url, "")
+        docs.append((url, {k: tokenize_full(f[k]) for k in FIELDS}))
+    return OracleIndex.from_docs(docs)
+
+
+def _pick_inlink_terms(oracle_idx):
+    """Deterministic query terms actually present in the anchor field."""
+    cands = sorted(t for (f, t), pl in oracle_idx.postings.items()
+                   if f == "inlink" and 3 <= len(pl) <= 120)
+    assert len(cands) >= 2, "anchor corpus produced too few usable terms"
+    return cands[0], cands[len(cands) // 2]
+
+
+@pytest.mark.parametrize("model,kw", [("bm25", {}),
+                                      ("indri", {"mu": 1500.0, "lam": 0.4})])
+def test_inlink_rank_identity(anchor_reader, anchor_oracle, model, kw):
+    t1, t2 = _pick_inlink_terms(anchor_oracle)
+    eng = Engine(anchor_reader)
+    for q in (f"{t1}.inlink",
+              f"#AND( {t1}.inlink cebaba1 )",
+              f"#OR( {t1}.inlink {t2}.inlink )"):
+        got = [(r["url"], r["score"]) for r in
+               eng.search(q, model, K, **kw).collect()]
+        want = oracle_search(anchor_oracle, q, model, K, **kw)
+        assert [u for u, _ in got] == [u for u, _ in want], (model, q)
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (
+                model, q, gu, gs, ws)
+
+
+def test_inlink_field_stats_match_oracle(anchor_reader, anchor_oracle):
+    t1, _ = _pick_inlink_terms(anchor_oracle)
+    stats = anchor_reader.term_stats([("inlink", t1)])
+    df, ctf = stats[("inlink", t1)]
+    assert df == anchor_oracle.df("inlink", t1)
+    assert ctf == anchor_oracle.ctf("inlink", t1)
+    assert (anchor_reader.avg_doclen("inlink")
+            == pytest.approx(anchor_oracle.avg_len("inlink"), rel=1e-9))
+
+
+def test_host_graph_feeds_pagerank(spark_links):
+    from searchengines_spark.analytic import pagerank
+
+    hg = host_graph(spark_links)
+    edges = hg.collect()
+    hosts = {e["src"] for e in edges} | {e["dst"] for e in edges}
+    assert hosts == {f"www{i}.example.org" for i in range(7)}
+    # weights replicate the independent parse (cross-host edges only)
+    want = defaultdict(int)
+    for s, d, _ in _py_links():
+        hs, hd = urlparse(s).hostname, urlparse(d).hostname
+        if hs != hd:
+            want[(hs, hd)] += 1
+    assert {(e["src"], e["dst"]): int(e["w"]) for e in edges} == dict(want)
+    pr = pagerank(hg, iters=3).collect()
+    assert sum(r["pr"] for r in pr) == pytest.approx(1.0, abs=1e-9)
