@@ -351,6 +351,7 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_ranked": A.q_or_ranked,
         "syn_tf": A.q_syn_tf,
         "near_pairs": A.q_near_pairs,
+        "snippet": A.q_snippet,
         "window_pairs": A.q_window_pairs,
         "dedup_exact": A.q_dedup_exact,
         "minhash": A.q_minhash,
@@ -455,6 +456,26 @@ FROM (SELECT doc_id, pos FROM tok WHERE term = 'spark') a
 JOIN (SELECT doc_id, pos FROM tok WHERE term = 'query') b USING(doc_id)
 WHERE b.pos > a.pos AND b.pos - a.pos <= 3
 GROUP BY a.doc_id""",
+        "snippet": f"""
+WITH {_TOK},
+m AS (SELECT doc_id, pos, term FROM tok
+      WHERE term IN ({", ".join(f"'{t}'" for t in A.SNIP_TERMS)})),
+cand AS (
+  SELECT a.doc_id, a.pos AS start,
+         CAST(COUNT(DISTINCT b.term) AS BIGINT) AS n_terms
+  FROM m a JOIN m b ON a.doc_id = b.doc_id
+   AND b.pos >= a.pos AND b.pos <= a.pos + {A.SNIP_W - 1}
+  GROUP BY a.doc_id, a.pos),
+best AS (
+  SELECT doc_id, start, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_terms DESC, start ASC) AS rn
+  FROM cand)
+SELECT d.doc_id, CAST(best.start AS BIGINT) AS start, best.n_terms,
+       array_to_string(list_slice(string_split(d.text, ' '),
+                                  best.start, best.start + {A.SNIP_W - 1}), ' ') AS snippet
+FROM best JOIN documents d ON d.doc_id = best.doc_id
+WHERE rn = 1""",
         "window_pairs": f"""
 WITH {_TOK}
 SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs

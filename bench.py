@@ -43,7 +43,7 @@ SERVE_QUERIES = {
 ANALYTIC = ["bm25_topk", "indri_topk", "minhash", "jaccard_topk",
             "jaccard_topk_scaled", "lsh_dup_pairs_scaled", "simhash",
             "simhash_dup_pairs", "cosine_topk", "pq_topk", "embed_dup_pairs",
-            "substring_dedup", "near_pairs", "quality",
+            "substring_dedup", "near_pairs", "snippet", "quality",
             "events_window", "events_sessions",
             "pagerank", "domain_cap", "bpe_pairs", "eval_summary"]
 # csv subset override (the scaled-input scaling study excludes the

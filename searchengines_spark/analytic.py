@@ -288,6 +288,46 @@ def q_window_pairs(spark, sf_dir):
     )
 
 
+SNIP_TERMS = ("spark", "query", "hash")
+SNIP_W = 12
+
+
+def q_snippet(spark, sf_dir):
+    """Best-window snippet extraction (search-result passage selection):
+    for each doc containing any query term, the SNIP_W-token window that
+    covers the most DISTINCT query terms; tie -> leftmost. Canonical
+    windows start at a query-term occurrence, so the candidate starts are
+    the match positions themselves — per-doc work is O(matches^2) and
+    doc-local, never O(doclen). Shape: one self-equi-join of the
+    query-term-filtered token stream on doc_id (tiny after the filter),
+    one windowed argmax per doc, one join back to the text for the slice.
+    A serving deployment runs this over the k-bounded result set per
+    query (top-k urls broadcast against the forward text); the gate
+    version runs corpus-wide so the output is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs).filter(F.col("term").isin(*SNIP_TERMS))
+    a = tok.select("doc_id", F.col("pos").alias("start"))
+    b = tok.select("doc_id", F.col("pos").alias("mpos"), "term")
+    from pyspark.sql import Window
+
+    cand = (
+        a.join(b, "doc_id")
+        .filter((F.col("mpos") >= F.col("start"))
+                & (F.col("mpos") <= F.col("start") + (SNIP_W - 1)))
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("term").cast("long").alias("n_terms")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_terms"), F.asc("start"))
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    return (
+        best.join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.col("start").cast("long").alias("start"),
+                "n_terms",
+                F.array_join(
+                    F.slice(F.split("text", " "), F.col("start"),
+                            F.lit(SNIP_W)), " ").alias("snippet")))
+
+
 # ----------------------------------------------------------- dedup / simhash
 def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct 3-word shingles per doc, built doc-locally from the token

@@ -253,6 +253,92 @@ class Engine:
             out[r["qid"]].append((r["url"], r["score"]))
         return out
 
+    def snippets(self, results: DataFrame, pages: DataFrame, query: str,
+                 width: int = 30, field: str = "body") -> DataFrame:
+        """Highlighted best-window snippets for a (url, score) result frame
+        — the user-facing passage under each hit. Window rule (shared with
+        analytic.q_snippet and its DuckDB oracle): the `width`-token window
+        covering the most DISTINCT query terms, tie -> leftmost, candidate
+        starts = match positions; no match -> the leading passage. Matching
+        runs on the frozen tokenizer (stem/stop identical to the index), so
+        what highlights is exactly what scored; the snippet text itself is
+        the ORIGINAL field text with matched tokens wrapped in **..**.
+
+        Scale shape: `results` is k-bounded -> broadcast to the pages scan
+        (the classic doc-store point fetch; with the pages table bucketed
+        by url the scan prunes to k buckets), and the window walk is one
+        stateless mapInPandas over k rows. Nothing corpus-sized shuffles.
+        Returns (url, score, start, n_terms, snippet)."""
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        from .corpus import extract_fields
+        from .query import ast as _ast
+        from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
+
+        root = QueryParser().parse(query)
+        qterms: set[str] = set()
+
+        def leaves(n):
+            if isinstance(n, _ast.Term):
+                if n.field == field:
+                    qterms.add(n.term)
+            else:
+                for a in getattr(n, "args", []) or []:
+                    leaves(a)
+                if hasattr(n, "arg"):
+                    leaves(n.arg)
+
+        leaves(root)
+        terms = frozenset(qterms)
+        w = int(width)
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for url, html, score in zip(pdf["url"], pdf["html"],
+                                            pdf["score"]):
+                    text = extract_fields(url, bytes(html))[field]
+                    spans = list(_TOKEN_RE.finditer(text.lower()))
+                    stems = [None if m.group() in STOPWORDS
+                             else s_stem(m.group()) for m in spans]
+                    matches = [i for i, s in enumerate(stems) if s in terms]
+                    mset = set(matches)
+                    best_s, best_n = 0, 0
+                    for p in matches:
+                        n = len({stems[i] for i in matches
+                                 if p <= i < p + w})
+                        if n > best_n:  # ties keep the leftmost (first) p
+                            best_s, best_n = p, n
+                    lo, hi = best_s, min(best_s + w, len(spans)) - 1
+                    if hi < lo:
+                        rows.append((url, float(score), 0, 0, ""))
+                        continue
+                    out, cur = [], spans[lo].start()
+                    for i in range(lo, hi + 1):
+                        m = spans[i]
+                        out.append(text[cur:m.start()])
+                        tok = text[m.start():m.end()]
+                        out.append(f"**{tok}**" if i in mset else tok)
+                        cur = m.end()
+                    rows.append((url, float(score), lo + 1, best_n,
+                                 "".join(out)))
+                yield pd.DataFrame(rows, columns=["url", "score", "start",
+                                                  "n_terms", "snippet"])
+
+        schema = T.StructType([
+            T.StructField("url", T.StringType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("n_terms", T.IntegerType(), False),
+            T.StructField("snippet", T.StringType(), False),
+        ])
+        hits = F.broadcast(results.select("url", "score"))
+        return (pages.select("url", "html").join(hits, "url")
+                .mapInPandas(kernel, schema)
+                .orderBy(F.desc("score"), F.asc("url")))
+
     @staticmethod
     def trec_lines(qid: str, ranking: list[tuple[str, float]], run_id: str = "run") -> list[str]:
         """TREC output: 'qid Q0 extid rank score runid'; dummy row when empty
