@@ -352,6 +352,7 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syn_tf": A.q_syn_tf,
         "near_pairs": A.q_near_pairs,
         "snippet": A.q_snippet,
+        "spell": A.q_spell,
         "window_pairs": A.q_window_pairs,
         "dedup_exact": A.q_dedup_exact,
         "minhash": A.q_minhash,
@@ -476,6 +477,22 @@ SELECT d.doc_id, CAST(best.start AS BIGINT) AS start, best.n_terms,
                                   best.start, best.start + {A.SNIP_W - 1}), ' ') AS snippet
 FROM best JOIN documents d ON d.doc_id = best.doc_id
 WHERE rn = 1""",
+        "spell": f"""
+WITH {_TOK},
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
+q(q) AS (VALUES {", ".join(f"('{x}')" for x in A.SPELL_QUERIES)}),
+cand AS (
+  SELECT q.q, v.term, v.ctf,
+         CAST(levenshtein(q.q, v.term) AS BIGINT) AS dist
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(q.q, v.term) <= {A.SPELL_MAX_D}),
+best AS (
+  SELECT q, term, ctf, dist,
+         ROW_NUMBER() OVER (PARTITION BY q
+                            ORDER BY dist ASC, ctf DESC, term ASC) AS rn
+  FROM cand)
+SELECT q, term AS suggestion, dist, ctf, CAST(rn AS BIGINT) AS rnk
+FROM best WHERE rn <= {A.SPELL_TOP}""",
         "window_pairs": f"""
 WITH {_TOK}
 SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs

@@ -328,6 +328,66 @@ def q_snippet(spark, sf_dir):
                             F.lit(SNIP_W)), " ").alias("snippet")))
 
 
+SPELL_QUERIES = ("sprak", "qury", "tabel")  # misspelled corpus terms
+SPELL_MAX_D = 2
+SPELL_TOP = 3
+
+
+def _delete_keys(col: str):
+    """array<string> of the term plus every 1- and 2-char-deletion variant
+    (the SymSpell delete neighborhood, depth 2) — pure Catalyst, no UDF."""
+    d1 = (f"transform(sequence(1, length({col})), "
+          f"i -> concat(substring({col}, 1, i-1), substring({col}, i+1)))")
+    d2 = (f"flatten(transform({d1}, s -> transform(sequence(1, length(s)), "
+          f"j -> concat(substring(s, 1, j-1), substring(s, j+1)))))")
+    return F.expr(f"array_distinct(concat(array({col}), {d1}, {d2}))")
+
+
+def spell_suggest(vocab: DataFrame, queries: list[str],
+                  max_d: int = SPELL_MAX_D, top: int = SPELL_TOP) -> DataFrame:
+    """Spell correction against a (term, ctf) vocabulary, SymSpell shape:
+    candidate generation is an EQUI-JOIN on shared delete-neighborhood keys
+    (every term within edit distance d shares >= 1 depth-d delete with the
+    query — the SymSpell property), then an exact levenshtein verify on the
+    candidate-sized set, then top-`top` per query by (distance asc,
+    frequency desc, term asc). The scale win vs a brute force: no
+    query-x-vocab cross join — the delete table is vocab-bounded (~16
+    keys/term), built once and reusable across query batches; candidates
+    per query are the handful sharing a key. Hot short keys are
+    vocab-bounded, never corpus-bounded (standard SymSpell prefix
+    truncation applies at a 10^9 vocab; documented, not needed here).
+    Returns (q, suggestion, dist, ctf, rnk)."""
+    spark = vocab.sparkSession
+    vkeys = vocab.select(
+        "term", "ctf", F.explode(_delete_keys("term")).alias("k"))
+    qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
+    qkeys = qdf.select("q", F.explode(_delete_keys("q")).alias("k"))
+    # broadcast the QUERY-side keys (bounded by the query batch, ~16
+    # keys/term), never the vocab delete table (10^9-vocab x 16 at scale)
+    cand = (F.broadcast(qkeys).join(vkeys, "k")
+            .select("q", "term", "ctf").distinct()
+            .withColumn("dist", F.levenshtein("q", "term").cast("long"))
+            .filter(F.col("dist") <= max_d))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(
+        F.asc("dist"), F.desc("ctf"), F.asc("term"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top)
+            .select("q", F.col("term").alias("suggestion"), "dist", "ctf",
+                    F.col("rn").cast("long").alias("rnk")))
+
+
+def q_spell(spark, sf_dir):
+    """Query spell correction over the documents-table vocabulary (see
+    spell_suggest; the DuckDB oracle brute-forces levenshtein over the
+    whole vocab — candidate-set equivalence IS the gate)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = tokens(docs).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("ctf"))
+    return spell_suggest(vocab, list(SPELL_QUERIES))
+
+
 # ----------------------------------------------------------- dedup / simhash
 def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct 3-word shingles per doc, built doc-locally from the token

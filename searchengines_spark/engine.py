@@ -253,6 +253,52 @@ class Engine:
             out[r["qid"]].append((r["url"], r["score"]))
         return out
 
+    @staticmethod
+    def compile_sdm(text: str, w_t: float = 0.8, w_o: float = 0.1,
+                    w_u: float = 0.1, near: int = 1, window: int = 8) -> str:
+        """Compile free text into a sequential-dependence-model structured
+        query (Metzler & Croft 2005): unigram bag + ordered adjacent
+        bigrams (#NEAR/1) + unordered bigram windows (#WINDOW/8), combined
+        with #WSUM. Pure query rewriting — the result serves through the
+        existing planner/positional operators, nothing new executes.
+        Stopwords survive here (the parser drops them and prunes emptied
+        operators, same as typed queries)."""
+        toks = [t for t in text.split() if t]
+        if len(toks) < 2:
+            return " ".join(toks)
+        uni = " ".join(toks)
+        pairs = list(zip(toks, toks[1:]))
+        ordered = " ".join(f"#NEAR/{near}( {a} {b} )" for a, b in pairs)
+        unordered = " ".join(f"#WINDOW/{window}( {a} {b} )" for a, b in pairs)
+        return (f"#WSUM( {w_t} #SUM( {uni} ) "
+                f"{w_o} #SUM( {ordered} ) "
+                f"{w_u} #SUM( {unordered} ) )")
+
+    def search_sdm(self, text: str, model: str = "bm25", k: int = 100,
+                   **kw) -> DataFrame:
+        """Serve free text through the sequential dependence model (see
+        compile_sdm). The proximity-aware ranking web engines actually run
+        for multi-word queries — term matches plus ordered/unordered
+        phrase evidence."""
+        return self.search(self.compile_sdm(text), model, k, **kw)
+
+    def suggest(self, terms: list[str], field: str = "body",
+                max_d: int = 2, top: int = 3) -> DataFrame:
+        """Did-you-mean suggestions against the INDEX vocabulary (the term
+        stats table — vocab-sized, one narrow scan), ranked by (edit
+        distance, collection frequency, term). SymSpell delete-key join +
+        exact levenshtein verify — see analytic.spell_suggest. Raw input
+        terms are matched as typed (no stemming: a misspelling's stem is
+        meaningless); suggestions come back as indexed (stemmed) terms,
+        directly usable in a follow-up query."""
+        from .analytic import spell_suggest
+
+        vocab = (self.reader.term_stats_df()
+                 .filter(F.col("field") == field)
+                 .select("term", F.col("ctf").cast("long").alias("ctf")))
+        return spell_suggest(vocab, [t.lower() for t in terms],
+                             max_d=max_d, top=top)
+
     def snippets(self, results: DataFrame, pages: DataFrame, query: str,
                  width: int = 30, field: str = "body") -> DataFrame:
         """Highlighted best-window snippets for a (url, score) result frame

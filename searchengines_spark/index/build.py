@@ -693,6 +693,12 @@ class IndexReader:
     def doc_count(self, field: str) -> int:
         return self.field_stats[field][0]
 
+    def term_stats_df(self) -> DataFrame:
+        """The full (field, term, df, ctf, bucket) stats table — the index
+        vocabulary (one row per term per field, vocab-sized not
+        corpus-sized). Consumers: spell suggestion, inspection dumps."""
+        return self._term_stats
+
     def term_stats(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
         """(field, term) -> (df, ctf); missing terms absent. Memoized, so a
         query whose terms were all seen before costs zero Spark jobs here."""

@@ -1,0 +1,52 @@
+"""Sequential dependence model (Metzler & Croft 2005): compile_sdm query
+rewriting + rank identity of the served SDM ranking vs the pure-Python
+oracle evaluating the same structured query. Also pins the compiled shape
+(weights, #NEAR/1 ordered pairs, #WINDOW/8 unordered pairs) and the
+degenerate one-term / stopword cases."""
+
+import math
+
+import pytest
+
+from searchengines_spark.corpus import FIELDS, extract_fields, make_page
+from searchengines_spark.engine import Engine
+from searchengines_spark.oracle import OracleIndex, search as oracle_search
+from searchengines_spark.tokenizer import tokenize_full
+
+
+def test_compile_shape():
+    q = Engine.compile_sdm("a b c")
+    assert q == ("#WSUM( 0.8 #SUM( a b c ) "
+                 "0.1 #SUM( #NEAR/1( a b ) #NEAR/1( b c ) ) "
+                 "0.1 #SUM( #WINDOW/8( a b ) #WINDOW/8( b c ) ) )")
+    assert Engine.compile_sdm("solo") == "solo"
+    assert Engine.compile_sdm("  x   y ") == Engine.compile_sdm("x y")
+
+
+@pytest.fixture(scope="module")
+def oracle_idx():
+    docs = []
+    for i in range(300):
+        url, _, html, _, lang = make_page(i, seed=42)
+        if lang != "en":
+            continue
+        f = extract_fields(url, html)
+        docs.append((url, {k: tokenize_full(f[k]) for k in FIELDS}))
+    return OracleIndex.from_docs(docs)
+
+
+@pytest.mark.parametrize("model,kw", [("bm25", {}),
+                                      ("indri", {"mu": 1500.0, "lam": 0.4})])
+def test_sdm_rank_identity(tiny_index, oracle_idx, model, kw):
+    eng = Engine(tiny_index)
+    text = "cebaba1 dibaba2 fobaba3"
+    got = [(r["url"], r["score"]) for r in
+           eng.search_sdm(text, model, 25, **kw).collect()]
+    want = oracle_search(oracle_idx, Engine.compile_sdm(text), model, 25, **kw)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (gu, gs, ws)
+    # proximity evidence actually contributes: SDM != plain bag-of-words
+    plain = [(r["url"], r["score"]) for r in
+             eng.search(text, model, 25, **kw).collect()]
+    assert got != plain

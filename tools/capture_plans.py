@@ -219,6 +219,46 @@ def main() -> None:
         "filter. Parallelism = #hosts.",
         fmt(dcap)))
 
+    from searchengines_spark import links as L
+
+    linked = generate_pages(spark, 300, seed=42, partitions=4, link_fanout=3)
+    anc = L.anchor_texts(L.extract_links(linked))
+    sections.append((
+        "Anchor-text aggregation (inlink field build)",
+        "What to look for: the href parse is one stateless `MapInPandas` "
+        "over the pages scan (html bytes never shuffle; output rows are "
+        "three short strings); the per-host vote dedup and the per-(dst, "
+        "src_host) spam cap are `WindowGroupLimit`-pushed rank filters; the "
+        "host-vote weight is one `HashAggregate` with map-side partial "
+        "count; and the per-dst top-N runs TWICE — first partitioned by "
+        "(dst, anchor-hash-bucket) then by dst — so a 10^8-in-degree "
+        "celebrity page never funnels its raw anchor set into one task.",
+        fmt(anc)))
+
+    snip = A.q_snippet(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Snippet best-window selection (batch twin)",
+        "What to look for: the token stream is filtered to the query terms "
+        "BEFORE the self-join (`PushedFilters`/codegen filter under the "
+        "posexplode), so the join input is match-sized, never corpus-sized; "
+        "the per-(doc, start) distinct-term count is one `HashAggregate`; "
+        "the per-doc argmax is a `WindowGroupLimit`-pushed rank; the text "
+        "slice joins back only the winning row per doc.",
+        fmt(snip)))
+
+    spell = A.q_spell(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Spell correction (SymSpell delete-key join)",
+        "What to look for: candidate generation is an EQUI-join on the "
+        "delete key k with the QUERY-side keys explicitly broadcast "
+        "(`BroadcastHashJoin ... BuildLeft` — bounded by the query batch; "
+        "the vocab delete table, ~16 keys per vocab term built by "
+        "`transform`/`flatten` inside WholeStageCodegen with no UDF, "
+        "streams and never broadcasts); `levenshtein` verify runs only on "
+        "the candidate-sized join output. NO query x vocab cross join "
+        "anywhere in the plan.",
+        fmt(spell)))
+
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("# PLANS — captured physical plans for the headline paths\n\n"
