@@ -54,9 +54,15 @@ def _invalidate_path_caches(spark: SparkSession, index_dir: str) -> None:
 
 def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                  n_salts_hint: int | None = None,
-                 bm25_k1: float = 1.2, bm25_b: float = 0.75) -> dict:
+                 bm25_k1: float = 1.2, bm25_b: float = 0.75,
+                 anchors: DataFrame | None = None) -> dict:
     """Append a batch of pages to an existing index. Returns metrics
-    (incl. per-stage seconds, like build_index's stage_secs)."""
+    (incl. per-stage seconds, like build_index's stage_secs).
+    anchors: optional (url, inlink) frame for the NEW pages (same contract
+    as build_index) so an anchor-built index stays consistent across
+    appends. Inbound-anchor updates to ALREADY-indexed targets are a
+    re-index of those docs (upsert_pages), not an append — web engines
+    batch those into periodic anchor refreshes."""
     t0 = time.time()
     stage_secs: dict[str, float] = {}
     _last = [t0]
@@ -123,7 +129,13 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     # evaluating empty. new_ids (docid > max_docid) already names exactly the
     # genuinely-new urls, so join the raw pages straight to it.
     new_en = new_pages.filter(F.col("lang") == "en").select("url", "html")
-    tokenized = pages_to_tokenized(new_en.join(new_ids, "url")).cache()
+    with_ids = new_en.join(new_ids, "url")
+    if anchors is not None:
+        with_ids = with_ids.join(
+            F.broadcast(anchors.select(
+                "url", F.col("inlink").alias("inlink_override"))),
+            "url", "left")
+    tokenized = pages_to_tokenized(with_ids).cache()
     tokenized.filter(F.col("term") == "").select(
         "docid", "field", F.col("doclen").cast("int").alias("len")
     ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))

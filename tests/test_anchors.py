@@ -189,6 +189,41 @@ def test_inlink_field_stats_match_oracle(anchor_reader, anchor_oracle):
             == pytest.approx(anchor_oracle.avg_len("inlink"), rel=1e-9))
 
 
+def test_append_with_anchors_matches_full_build(spark, linked_pages,
+                                                spark_links, anchor_oracle,
+                                                tmp_path_factory):
+    """An anchor-built index stays consistent across appends: build on the
+    first 200 pages + append the rest (same global anchor state both
+    times) must serve inlink-field queries identically to a fresh build of
+    the whole corpus — and identically to the oracle."""
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import append_pages
+
+    anc = anchor_texts(spark_links)
+    idx_col = F.regexp_extract("url", r"p(\d{10})\.html", 1).cast("int")
+    first = linked_pages.filter(idx_col < 200)
+    rest = linked_pages.filter(idx_col >= 200)
+
+    d1 = str(tmp_path_factory.mktemp("anchor_append"))
+    build_index(spark, first, d1, n_salts=4, anchors=anc)
+    append_pages(spark, d1, rest, anchors=anc)
+    r1 = IndexReader(spark, d1)
+
+    t1, t2 = _pick_inlink_terms(anchor_oracle)
+    assert (r1.term_stats([("inlink", t1)])[("inlink", t1)]
+            == (anchor_oracle.df("inlink", t1), anchor_oracle.ctf("inlink", t1)))
+    got = [(r["url"], r["score"]) for r in
+           Engine(r1).search(f"#OR( {t1}.inlink {t2}.inlink )",
+                             "bm25", K).collect()]
+    want = oracle_search(anchor_oracle, f"#OR( {t1}.inlink {t2}.inlink )",
+                         "bm25", K)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_host_graph_feeds_pagerank(spark_links):
     from searchengines_spark.analytic import pagerank
 
