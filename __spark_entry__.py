@@ -479,7 +479,8 @@ FROM best JOIN documents d ON d.doc_id = best.doc_id
 WHERE rn = 1""",
         "spell": f"""
 WITH {_TOK},
-vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok
+          WHERE length(term) <= {A.SPELL_MAX_LEN} GROUP BY term),
 q(q) AS (VALUES {", ".join(f"('{x}')" for x in A.SPELL_QUERIES)}),
 cand AS (
   SELECT q.q, v.term, v.ctf,

@@ -331,6 +331,10 @@ def q_snippet(spark, sf_dir):
 SPELL_QUERIES = ("sprak", "qury", "tabel")  # misspelled corpus terms
 SPELL_MAX_D = 2
 SPELL_TOP = 3
+# delete-neighborhood size is quadratic in token length; web crawls carry
+# 100+-char junk tokens (base64, urls) nobody spell-corrects. Cap the
+# suggestion vocabulary (mirrored in the DuckDB oracle).
+SPELL_MAX_LEN = 24
 
 
 def _delete_keys(col: str):
@@ -358,7 +362,7 @@ def spell_suggest(vocab: DataFrame, queries: list[str],
     truncation applies at a 10^9 vocab; documented, not needed here).
     Returns (q, suggestion, dist, ctf, rnk)."""
     spark = vocab.sparkSession
-    vkeys = vocab.select(
+    vkeys = vocab.filter(F.length("term") <= SPELL_MAX_LEN).select(
         "term", "ctf", F.explode(_delete_keys("term")).alias("k"))
     qdf = spark.createDataFrame([(q,) for q in queries], ["q"])
     qkeys = qdf.select("q", F.explode(_delete_keys("q")).alias("k"))

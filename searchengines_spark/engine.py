@@ -282,6 +282,39 @@ class Engine:
         phrase evidence."""
         return self.search(self.compile_sdm(text), model, k, **kw)
 
+    def more_like_this(self, url: str, field: str = "body",
+                       top_terms: int = 10, model: str = "bm25",
+                       k: int = 100, **kw) -> DataFrame:
+        """Related-pages query-by-document (the Lucene MoreLikeThis shape):
+        read the doc's (term, tf) vector from the forward table, rank its
+        terms by tf x BM25-idf (ln((N-df+.5)/(df+.5)), floored at 0; tie ->
+        term asc), and serve the top `top_terms` as a bag-of-words query
+        through the normal path (WAND-eligible). Driver-side state is one
+        doc vector (doclen-bounded) + its term stats — never corpus-sized.
+        At 10^12 docs the forward table is bucketed by docid so the vector
+        fetch is a pruned point read; here it is a filtered scan."""
+        import math as _m
+
+        row = (self.reader.docid_url_map().filter(F.col("url") == url)
+               .select("docid").limit(1).collect())
+        if not row:
+            raise KeyError(f"url not indexed: {url}")
+        docid = row[0]["docid"]
+        vec = (self.reader.doc_terms()
+               .filter((F.col("docid") == docid) & (F.col("field") == field))
+               .select("term", "tf").collect())
+        stats = self.reader.term_stats([(field, r["term"]) for r in vec])
+        n = self.reader.doc_count(field)
+        scored = sorted(
+            ((-r["tf"] * max(0.0, _m.log((n - stats[(field, r["term"])][0] + 0.5)
+                                         / (stats[(field, r["term"])][0] + 0.5))),
+              r["term"]) for r in vec if (field, r["term"]) in stats),
+        )
+        terms = [t for s, t in scored[:top_terms] if s < 0.0]
+        if not terms:
+            raise ValueError(f"doc has no discriminative terms: {url}")
+        return self.search(" ".join(terms), model, k, **kw)
+
     def suggest(self, terms: list[str], field: str = "body",
                 max_d: int = 2, top: int = 3) -> DataFrame:
         """Did-you-mean suggestions against the INDEX vocabulary (the term

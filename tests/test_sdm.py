@@ -35,6 +35,29 @@ def oracle_idx():
     return OracleIndex.from_docs(docs)
 
 
+def test_more_like_this_rank_identity(tiny_index, oracle_idx):
+    eng = Engine(tiny_index)
+    url = sorted(oracle_idx.ext_ids.values())[7]
+    # pure-Python replica of the MLT term selection (tf x idf, tie term asc)
+    d = {u: i for i, u in oracle_idx.ext_ids.items()}[url]
+    n = oracle_idx.field_stats["body"][0]
+    scored = sorted(
+        (-len(ps[d]) * max(0.0, math.log((n - len(ps) + 0.5) / (len(ps) + 0.5))), t)
+        for (f, t), ps in oracle_idx.postings.items()
+        if f == "body" and d in ps)
+    terms = [t for s, t in scored[:10] if s < 0.0]
+    assert len(terms) >= 5  # a typical doc has discriminative terms
+    got = [(r["url"], r["score"]) for r in
+           eng.more_like_this(url, top_terms=10, k=15).collect()]
+    want = oracle_search(oracle_idx, " ".join(terms), "bm25", 15)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
+    assert url in [u for u, _ in got]  # the source doc matches itself
+    with pytest.raises(KeyError):
+        eng.more_like_this("https://nope.example.org/x.html")
+
+
 @pytest.mark.parametrize("model,kw", [("bm25", {}),
                                       ("indri", {"mu": 1500.0, "lam": 0.4})])
 def test_sdm_rank_identity(tiny_index, oracle_idx, model, kw):
