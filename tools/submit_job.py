@@ -5,7 +5,10 @@ On a cluster, add ``--master yarn``/``--master k8s://...`` and executor conf;
 the job code is identical — the engine only ever talks to a SparkSession.
 
 Commands:
+  anchors --pages PATH --out DIR           href parse -> aggregated (url,
+                                           inlink) anchor-text table
   build  --pages PATH --index-dir DIR [--n-salts N] [--resume]
+         [--anchors DIR]                   index anchor table as inlink field
   query  --index-dir DIR --query STR [--model M] [--k K] [--run-id ID]
   bench  (delegates to bench.py phases via env)
 
@@ -33,6 +36,15 @@ def main() -> None:
     b.add_argument("--no-positions", action="store_true",
                    help="DOCS_AND_FREQS index: no position payloads "
                         "(positional operators unavailable)")
+    b.add_argument("--anchors", default=None,
+                   help="(url, inlink) parquet from the `anchors` command; "
+                        "indexed as each target's inlink field")
+
+    a = sub.add_parser("anchors")
+    a.add_argument("--pages", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--max-anchors", type=int, default=32)
+    a.add_argument("--per-host-cap", type=int, default=4)
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
@@ -48,14 +60,25 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(f"searchengines-{args.cmd}").getOrCreate()
 
-    if args.cmd == "build":
+    if args.cmd == "anchors":
+        from searchengines_spark.links import anchor_texts, extract_links
+
+        pages = spark.read.parquet(args.pages)
+        anchor_texts(extract_links(pages),
+                     max_anchors=args.max_anchors,
+                     per_host_cap=args.per_host_cap
+                     ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"anchors": args.out}))
+    elif args.cmd == "build":
         from searchengines_spark.index import build_index
 
         pages = spark.read.parquet(args.pages)
+        anchors = spark.read.parquet(args.anchors) if args.anchors else None
         m = build_index(spark, pages, args.index_dir,
                         n_salts=args.n_salts, resume=args.resume,
                         payload_codec=args.payload_codec,
-                        store_positions=not args.no_positions)
+                        store_positions=not args.no_positions,
+                        anchors=anchors)
         print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
     elif args.cmd == "query":
         from searchengines_spark.engine import Engine
