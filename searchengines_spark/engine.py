@@ -282,6 +282,32 @@ class Engine:
         phrase evidence."""
         return self.search(self.compile_sdm(text), model, k, **kw)
 
+    @staticmethod
+    def compile_fielded(text: str, weights: dict[str, float] | None = None
+                        ) -> str:
+        """Compile free text into a field-weighted query — the classic web
+        ranking mix of content and link evidence: body carries the topic,
+        title/url concentrate it, inlink is what OTHER pages call this page
+        (anchor text, see links.py). Default weights echo the reference
+        coursework's field mixes (HW3 #WSUM examples). Pure rewriting over
+        existing operators."""
+        ws = weights or {"body": 0.6, "title": 0.15, "inlink": 0.2,
+                         "url": 0.05}
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return ""
+        legs = " ".join(
+            f"{w} #SUM( {' '.join(f'{t}.{f}' for t in toks)} )"
+            for f, w in ws.items())
+        return f"#WSUM( {legs} )"
+
+    def search_web(self, text: str, model: str = "bm25", k: int = 100,
+                   weights: dict[str, float] | None = None,
+                   **kw) -> DataFrame:
+        """Serve free text with the field-weighted web mix (compile_fielded):
+        anchor-text and title evidence folded into the body ranking."""
+        return self.search(self.compile_fielded(text, weights), model, k, **kw)
+
     def more_like_this(self, url: str, field: str = "body",
                        top_terms: int = 10, model: str = "bm25",
                        k: int = 100, **kw) -> DataFrame:

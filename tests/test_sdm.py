@@ -35,6 +35,24 @@ def oracle_idx():
     return OracleIndex.from_docs(docs)
 
 
+def test_fielded_compile_and_rank_identity(tiny_index, oracle_idx):
+    q = Engine.compile_fielded("a b", {"body": 0.7, "inlink": 0.3})
+    assert q == "#WSUM( 0.7 #SUM( a.body b.body ) 0.3 #SUM( a.inlink b.inlink ) )"
+    assert Engine.compile_fielded("") == ""
+    eng = Engine(tiny_index)
+    text = "cebaba1 dibaba2"
+    got = [(r["url"], r["score"]) for r in
+           eng.search_web(text, "bm25", 25).collect()]
+    want = oracle_search(oracle_idx, Engine.compile_fielded(text), "bm25", 25)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
+    # field evidence actually moves the ranking vs plain body bag-of-words
+    plain = [(r["url"], r["score"]) for r in
+             eng.search(text, "bm25", 25).collect()]
+    assert got != plain
+
+
 def test_more_like_this_rank_identity(tiny_index, oracle_idx):
     eng = Engine(tiny_index)
     url = sorted(oracle_idx.ext_ids.values())[7]
