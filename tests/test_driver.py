@@ -294,7 +294,11 @@ def test_prf_batch_is_bounded_actions(spark, tiny_index):
     run_batch(tiny_index, params, qs)
     n2 = jobs_during(lambda: run_batch(tiny_index, params, two))
     n6 = jobs_during(lambda: run_batch(tiny_index, params, qs))
-    assert n6 <= n2, (n6, n2)
+    # +2 slack: AQE occasionally inserts an extra runtime-reoptimization job
+    # depending on session state (observed once in 295-test full-suite runs;
+    # deterministic in isolation). A per-query PRF regression would cost
+    # >= 3 jobs PER extra query (~12 here), far outside the slack.
+    assert n6 <= n2 + 2, (n6, n2)
 
 
 def test_driver_paths_never_collect_corpus(spark, tiny_index, tmp_path, monkeypatch):
