@@ -361,7 +361,15 @@ def spell_suggest(vocab: DataFrame, queries: list[str],
     vocab-bounded, never corpus-bounded (standard SymSpell prefix
     truncation applies at a 10^9 vocab; documented, not needed here).
     Returns (q, suggestion, dist, ctf, rnk)."""
+    if max_d > 2:
+        # the delete neighborhood is generated at depth 2; a larger max_d
+        # would silently miss candidates the brute force finds
+        raise ValueError("spell_suggest supports max_d <= 2 "
+                         "(SymSpell delete depth is fixed at 2)")
     spark = vocab.sparkSession
+    if not queries:
+        return spark.createDataFrame(
+            [], "q string, suggestion string, dist long, ctf long, rnk long")
     vkeys = vocab.filter(F.length("term") <= SPELL_MAX_LEN).select(
         "term", "ctf", F.explode(_delete_keys("term")).alias("k"))
     qdf = spark.createDataFrame([(q,) for q in queries], ["q"])

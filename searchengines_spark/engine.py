@@ -405,7 +405,15 @@ class Engine:
                 for url, html, score in zip(pdf["url"], pdf["html"],
                                             pdf["score"]):
                     text = extract_fields(url, bytes(html))[field]
-                    spans = list(_TOKEN_RE.finditer(text.lower()))
+                    low = text.lower()
+                    # token spans come from the LOWERED text (that is where
+                    # the index's positions live — tokenize_full lowercases
+                    # first). Display slices the ORIGINAL text only when
+                    # lower() was length-preserving (the overwhelming case;
+                    # e.g. Turkish U+0130 expands under lower() and would
+                    # shift every later offset), else the lowered text.
+                    disp = text if len(low) == len(text) else low
+                    spans = list(_TOKEN_RE.finditer(low))
                     stems = [None if m.group() in STOPWORDS
                              else s_stem(m.group()) for m in spans]
                     matches = [i for i, s in enumerate(stems) if s in terms]
@@ -423,8 +431,8 @@ class Engine:
                     out, cur = [], spans[lo].start()
                     for i in range(lo, hi + 1):
                         m = spans[i]
-                        out.append(text[cur:m.start()])
-                        tok = text[m.start():m.end()]
+                        out.append(disp[cur:m.start()])
+                        tok = disp[m.start():m.end()]
                         out.append(f"**{tok}**" if i in mset else tok)
                         cur = m.end()
                     rows.append((url, float(score), lo + 1, best_n,

@@ -450,10 +450,16 @@ def build_index(
         ids = F.broadcast(docids) if n_docs * 100 <= bcast_cap else docids
         with_ids = en_pages.join(ids, "url")
         if anchors is not None:
+            # semi-join to the indexed urls FIRST: anchor targets include
+            # off-corpus urls (external links), so the raw table can exceed
+            # n_docs many-fold; after the semi-join rows <= n_docs and the
+            # broadcast gate's n_docs proxy is sound. ~1KB/row (up to 32
+            # concatenated anchors); above the cap, plain shuffle join
+            # (co-partitioned storage on url at cluster scale).
             anc = anchors.select(
-                "url", F.col("inlink").alias("inlink_override"))
-            # rough 200B/row estimate; same gate + fallback story as docids
-            anc = F.broadcast(anc) if n_docs * 200 <= bcast_cap else anc
+                "url", F.col("inlink").alias("inlink_override")
+            ).join(docids.select("url"), "url", "left_semi")
+            anc = F.broadcast(anc) if n_docs * 1024 <= bcast_cap else anc
             with_ids = with_ids.join(anc, "url", "left")
             metrics["anchor_inlinks"] = True
         if en_pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:

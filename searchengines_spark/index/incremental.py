@@ -131,10 +131,15 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     new_en = new_pages.filter(F.col("lang") == "en").select("url", "html")
     with_ids = new_en.join(new_ids, "url")
     if anchors is not None:
-        with_ids = with_ids.join(
-            F.broadcast(anchors.select(
-                "url", F.col("inlink").alias("inlink_override"))),
-            "url", "left")
+        # same discipline as build_index: restrict to THIS batch's urls
+        # before the broadcast gate (the global anchor table can be
+        # corpus-sized; the batch slice is n_new-bounded)
+        bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
+        anc = anchors.select(
+            "url", F.col("inlink").alias("inlink_override")
+        ).join(new_ids.select("url"), "url", "left_semi")
+        anc = F.broadcast(anc) if n_new * 1024 <= bcast_cap else anc
+        with_ids = with_ids.join(anc, "url", "left")
     tokenized = pages_to_tokenized(with_ids).cache()
     tokenized.filter(F.col("term") == "").select(
         "docid", "field", F.col("doclen").cast("int").alias("len")
@@ -281,7 +286,7 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
 
 
 def upsert_pages(spark: SparkSession, index_dir: str,
-                 pages: DataFrame) -> dict:
+                 pages: DataFrame, anchors: DataFrame | None = None) -> dict:
     """Re-crawl upsert: REPLACE any already-indexed url's content with the
     incoming page and add genuinely-new urls — tombstone the live docid of
     every incoming url (merge-on-read, like delete_pages), then append the
@@ -289,11 +294,15 @@ def upsert_pages(spark: SparkSession, index_dir: str,
     re-crawled pages index under fresh docids. Serving reflects the new
     content immediately; the old versions leave physically at the next
     compact(). Completes the index CRUD lifecycle:
-    build / append / upsert / delete / compact, each snapshot-committed."""
+    build / append / upsert / delete / compact, each snapshot-committed.
+    anchors: (url, inlink) contract as in build_index — pass the CURRENT
+    aggregated anchor state so re-indexed pages keep anchor-built inlink
+    fields (this is the periodic-anchor-refresh path for anchor-built
+    indexes)."""
     t0 = time.time()
     urls_in = pages.filter(F.col("lang") == "en").select("url").distinct()
     d = delete_pages(spark, index_dir, urls_in)
-    a = append_pages(spark, index_dir, pages)
+    a = append_pages(spark, index_dir, pages, anchors=anchors)
     return {"replaced_tombstones": d["n_deleted_total"],
             "appended": a.get("appended", 0),
             "secs": time.time() - t0,

@@ -51,8 +51,13 @@ from pyspark.sql import types as T
 
 from .tokenizer import _WS_RE
 
+# href must follow whitespace (lookbehind) so data-href/xhref never match;
+# value may be double-quoted, single-quoted, or bare (all occur in real
+# crawl html)
 _A_RE = re.compile(
-    rb"<a\s[^>]*?href\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</a\s*>", re.S | re.I)
+    rb"<a\s[^>]*?(?<=\s)href\s*=\s*"
+    rb"(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+    rb"[^>]*>(.*?)</a\s*>", re.S | re.I)
 _MARKUP_RE = re.compile(r"<[^>]*>")
 
 LINKS_SCHEMA = T.StructType([
@@ -79,13 +84,14 @@ def extract_links(pages: DataFrame) -> DataFrame:
             for src, html in zip(pdf["src"], pdf["html"]):
                 hb = bytes(html) if html is not None else b""
                 for m in _A_RE.finditer(hb):
-                    href = m.group(1).decode("utf-8", errors="replace").strip()
+                    hraw = m.group(1) or m.group(2) or m.group(3) or b""
+                    href = hraw.decode("utf-8", errors="replace").strip()
                     if not href:
                         continue
                     dst = urldefrag(urljoin(src, href))[0]
                     if not dst.startswith(("http://", "https://")) or dst == src:
                         continue
-                    anchor = _clean_anchor(m.group(2))
+                    anchor = _clean_anchor(m.group(4))
                     if not anchor:
                         continue
                     out_src.append(src)

@@ -106,6 +106,60 @@ def test_extract_links_matches_independent_parser(spark_links):
     assert all(d.startswith("https://www") and "/p" in d for _, d, _ in got)
 
 
+def test_extract_links_quote_forms(spark):
+    """Real crawl html: single-quoted and bare hrefs must parse; data-href
+    must not (the href token requires a preceding whitespace)."""
+    html = (b"<html><body>"
+            b'<a href="https://a.example/x">dq</a>'
+            b"<a href='https://a.example/y'>sq</a>"
+            b"<a href=https://a.example/z class=c>bare</a>"
+            b'<a data-href="https://a.example/no">notlink</a>'
+            b'<a class="k" href="/rel">rel</a>'
+            b"</body></html>")
+    pages = spark.createDataFrame(
+        [("https://src.example/p", bytearray(html))], ["url", "html"])
+    got = {(r["dst"], r["anchor"]) for r in extract_links(pages).collect()}
+    assert got == {("https://a.example/x", "dq"),
+                   ("https://a.example/y", "sq"),
+                   ("https://a.example/z", "bare"),
+                   ("https://src.example/rel", "rel")}
+
+
+def test_upsert_refreshes_anchor_inlink(spark, linked_pages, spark_links,
+                                        tmp_path_factory):
+    """Re-crawling a page in an anchor-built index must keep its inlink
+    field anchor-built (the periodic-anchor-refresh path), not revert to
+    the in-page stand-in."""
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import upsert_pages
+    from searchengines_spark.tokenizer import tokenize_full
+
+    anc_map = _py_anchor_texts(_py_links())
+    # an en page with inbound anchors
+    target = None
+    for i in range(N_DOCS):
+        url, _, _, _, lang = make_page(i, seed=42, link_fanout=FANOUT,
+                                       n_docs=N_DOCS)
+        if lang == "en" and anc_map.get(url):
+            toks = [t for t in tokenize_full(anc_map[url]) if t]
+            if toks:
+                target, term, ti = url, toks[0], i
+                break
+    assert target is not None
+
+    anc = anchor_texts(spark_links)
+    idx_col = F.regexp_extract("url", r"p(\d{10})\.html", 1).cast("int")
+    subset = linked_pages.filter((idx_col < 120) | (idx_col == ti))
+    d = str(tmp_path_factory.mktemp("anchor_upsert"))
+    build_index(spark, subset, d, n_salts=4, anchors=anc)
+    upsert_pages(spark, d, linked_pages.filter(idx_col == ti), anchors=anc)
+    got = [r["url"] for r in Engine(IndexReader(spark, d))
+           .search(f"{term}.inlink", "bm25", 50).collect()]
+    assert target in got
+
+
 def test_anchor_texts_matches_replica(spark_links):
     got = {r["url"]: r["inlink"] for r in anchor_texts(spark_links).collect()}
     want = _py_anchor_texts(_py_links())

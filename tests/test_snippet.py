@@ -80,6 +80,22 @@ def test_highlights_and_width(snips):
         assert stems[r["start"] - 1] in QTERMS
 
 
+def test_non_ascii_body_offsets(tiny_index, spark):
+    """Length-changing lowercasing (Turkish U+0130 expands under .lower())
+    must not shift highlight offsets: the kernel slices the lowered text in
+    that case, so marks still wrap exactly the matched tokens."""
+    eng = Engine(tiny_index)
+    html = ("<html><body><p>İİİ spark gather query İstanbul spark</p>"
+            "</body></html>").encode("utf-8")
+    url = "https://u.example/p1.html"
+    pages = spark.createDataFrame([(url, bytearray(html))], ["url", "html"])
+    hits = spark.createDataFrame([(url, 1.0)], ["url", "score"])
+    r = eng.snippets(hits, pages, "spark query", width=6).collect()[0]
+    marked = re.findall(r"\*\*([^*]+)\*\*", r["snippet"])
+    assert marked and all(m in ("spark", "query") for m in marked)
+    assert r["n_terms"] == 2
+
+
 def test_no_match_leading_passage(tiny_index, pages, spark):
     eng = Engine(tiny_index)
     # a hit frame pointing at a doc that cannot contain the query term

@@ -41,6 +41,13 @@ def test_delete_keys_replica(spark, word):
     assert row["ks"][0] == word  # the term itself is always a key
 
 
+def test_spell_guards(tiny_index):
+    eng = Engine(tiny_index)
+    assert eng.suggest([]).count() == 0  # empty batch -> empty frame
+    with pytest.raises(ValueError):  # delete depth is fixed at 2
+        eng.suggest(["abc"], max_d=3)
+
+
 def test_engine_suggest_matches_bruteforce(tiny_index):
     eng = Engine(tiny_index)
     queries = ["cebbaa1", "dibaba", "hnaeba2", "zzzzzzzz"]
