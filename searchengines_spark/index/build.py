@@ -459,6 +459,15 @@ def build_index(
             anc = anchors.select(
                 "url", F.col("inlink").alias("inlink_override")
             ).join(docids.select("url"), "url", "left_semi")
+            # persist the per-docid anchor state actually indexed: the
+            # incremental anchor refresh (incremental.refresh_anchors)
+            # diffs a future anchor table against this to re-index ONLY
+            # changed targets. Keyed by docid (docids are minted once) so
+            # live-filtering survives upserts/tombstones.
+            anc.join(docids, "url").select(
+                "docid", "url", F.col("inlink_override").alias("inlink")
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "anchor_state"))
             anc = F.broadcast(anc) if n_docs * 1024 <= bcast_cap else anc
             with_ids = with_ids.join(anc, "url", "left")
             metrics["anchor_inlinks"] = True

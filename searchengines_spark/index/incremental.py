@@ -138,6 +138,13 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         anc = anchors.select(
             "url", F.col("inlink").alias("inlink_override")
         ).join(new_ids.select("url"), "url", "left_semi")
+        # extend the per-docid anchor state for refresh diffs (build.py
+        # writes the base; appended docids are fresh, so append-mode rows
+        # never collide — live-filtering on docid resolves upserted urls)
+        anc.join(new_ids, "url").select(
+            "docid", "url", F.col("inlink_override").alias("inlink")
+        ).write.mode("append").parquet(
+            os.path.join(index_dir, "anchor_state"))
         anc = F.broadcast(anc) if n_new * 1024 <= bcast_cap else anc
         with_ids = with_ids.join(anc, "url", "left")
     tokenized = pages_to_tokenized(with_ids).cache()
@@ -307,6 +314,49 @@ def upsert_pages(spark: SparkSession, index_dir: str,
             "appended": a.get("appended", 0),
             "secs": time.time() - t0,
             "snapshot": a.get("snapshot", d.get("snapshot"))}
+
+
+def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
+                    anchors: DataFrame) -> dict:
+    """Periodic anchor refresh for an anchor-built index: diff the CURRENT
+    aggregated anchor table against the per-docid anchor state the index
+    actually carries (written by build/append/upsert when anchors are
+    given) and re-index ONLY the pages whose inlink text changed — the
+    web-scale answer to 'a new link appeared' (re-crawling nothing, and
+    never re-tokenizing the unchanged 99.9% of the corpus; real engines
+    run exactly this delta pass per crawl cycle).
+
+    pages: the page source (html) for the re-indexed targets; only the
+    changed urls' rows are read. Changed = live url whose new aggregate
+    differs from the indexed one (missing-on-either-side counts as
+    changed, '' == absent). Executes as one join-diff (anchor-table-sized,
+    narrow) + an upsert of the changed slice. Returns counts."""
+    state_path = os.path.join(index_dir, "anchor_state")
+    if not os.path.exists(state_path):
+        raise ValueError("index has no anchor_state — build it with "
+                         "build_index(anchors=...) first")
+    t0 = time.time()
+    reader = IndexReader(spark, index_dir)
+    live = reader.docid_url_map()
+    dels = reader.deletes_df()
+    if dels is not None:
+        live = live.join(F.broadcast(dels), "docid", "left_anti")
+    state = (spark.read.parquet(state_path)
+             .join(live.select("docid"), "docid", "left_semi")
+             .select("url", F.col("inlink").alias("old_inlink")))
+    new = (anchors.select("url", F.col("inlink").alias("new_inlink"))
+           .join(live.select("url"), "url", "left_semi"))
+    changed = (state.join(new, "url", "full_outer")
+               .filter(F.coalesce(F.col("old_inlink"), F.lit(""))
+                       != F.coalesce(F.col("new_inlink"), F.lit("")))
+               .select("url"))
+    n_changed = changed.count()
+    if n_changed == 0:
+        return {"refreshed": 0, "secs": round(time.time() - t0, 3)}
+    todo = pages.join(changed, "url", "left_semi")
+    u = upsert_pages(spark, index_dir, todo, anchors=anchors)
+    return {"refreshed": n_changed, "secs": round(time.time() - t0, 3),
+            "snapshot": u.get("snapshot")}
 
 
 def delete_pages(spark: SparkSession, index_dir: str, urls: DataFrame) -> dict:

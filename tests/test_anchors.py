@@ -278,6 +278,40 @@ def test_append_with_anchors_matches_full_build(spark, linked_pages,
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)
 
 
+def test_refresh_anchors_delta(spark, linked_pages, spark_links,
+                               tmp_path_factory):
+    """A new inbound link appears -> refresh_anchors re-indexes ONLY the
+    affected target (delta pass, no full rebuild), the new anchor term
+    serves from its inlink field, and a second refresh is a no-op."""
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import refresh_anchors
+
+    anc_map = _py_anchor_texts(_py_links())
+    tgt = next(u for i in range(N_DOCS)
+               for u, _, _, _, lang in [make_page(i, seed=42,
+                                                  link_fanout=FANOUT,
+                                                  n_docs=N_DOCS)]
+               if lang == "en" and anc_map.get(u))
+
+    d = str(tmp_path_factory.mktemp("anchor_refresh"))
+    build_index(spark, linked_pages, d, n_salts=4,
+                anchors=anchor_texts(spark_links))
+
+    extra = spark.createDataFrame(
+        [(f"https://ext{i}.example/p", tgt, "zzznewa zzznewa")
+         for i in range(5)], ["src", "dst", "anchor"])
+    anc2 = anchor_texts(spark_links.unionByName(extra))
+    m = refresh_anchors(spark, d, linked_pages, anc2)
+    assert m["refreshed"] == 1
+
+    got = [r["url"] for r in Engine(IndexReader(spark, d))
+           .search("zzznewa.inlink", "bm25", 10).collect()]
+    assert got == [tgt]
+    assert refresh_anchors(spark, d, linked_pages, anc2)["refreshed"] == 0
+
+
 def test_host_graph_feeds_pagerank(spark_links):
     from searchengines_spark.analytic import pagerank
 
