@@ -317,7 +317,7 @@ def upsert_pages(spark: SparkSession, index_dir: str,
 
 
 def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
-                    anchors: DataFrame) -> dict:
+                    anchors: DataFrame, delta: bool = False) -> dict:
     """Periodic anchor refresh for an anchor-built index: diff the CURRENT
     aggregated anchor table against the per-docid anchor state the index
     actually carries (written by build/append/upsert when anchors are
@@ -330,7 +330,12 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
     changed urls' rows are read. Changed = live url whose new aggregate
     differs from the indexed one (missing-on-either-side counts as
     changed, '' == absent). Executes as one join-diff (anchor-table-sized,
-    narrow) + an upsert of the changed slice. Returns counts."""
+    narrow) + an upsert of the changed slice. Returns counts.
+
+    delta=True: `anchors` is a PARTIAL table carrying only urls whose
+    aggregate may have changed (one row per url, latest value — the
+    per-epoch output of streaming.stream_anchor_votes); urls absent from
+    it are untouched rather than treated as changed-to-empty."""
     state_path = os.path.join(index_dir, "anchor_state")
     if not os.path.exists(state_path):
         raise ValueError("index has no anchor_state — build it with "
@@ -346,10 +351,12 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
              .select("url", F.col("inlink").alias("old_inlink")))
     new = (anchors.select("url", F.col("inlink").alias("new_inlink"))
            .join(live.select("url"), "url", "left_semi"))
-    changed = (state.join(new, "url", "full_outer")
-               .filter(F.coalesce(F.col("old_inlink"), F.lit(""))
-                       != F.coalesce(F.col("new_inlink"), F.lit("")))
-               .select("url"))
+    diff = F.coalesce(F.col("old_inlink"), F.lit("")) != F.coalesce(
+        F.col("new_inlink"), F.lit(""))
+    if delta:  # urls absent from the partial table are untouched
+        changed = new.join(state, "url", "left").filter(diff).select("url")
+    else:
+        changed = state.join(new, "url", "full_outer").filter(diff).select("url")
     n_changed = changed.count()
     if n_changed == 0:
         return {"refreshed": 0, "secs": round(time.time() - t0, 3)}

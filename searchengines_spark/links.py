@@ -104,21 +104,22 @@ def extract_links(pages: DataFrame) -> DataFrame:
         .mapInPandas(parse, LINKS_SCHEMA)
 
 
-def anchor_texts(links: DataFrame, max_anchors: int = 32,
-                 per_host_cap: int = 4, buckets: int = 64) -> DataFrame:
-    """(src, dst, anchor) -> (url, inlink): the aggregated anchor-text field
-    per target page, host-vote weighted, spam/skew capped (see module doc).
-    Deterministic: anchors ordered by (#hosts desc, anchor asc), joined by
-    single spaces."""
-    hosted = links.select(
+def link_votes(links: DataFrame) -> DataFrame:
+    """(src, dst, anchor) -> distinct (dst, src_host, anchor) votes — one
+    vote per linking HOST per anchor string (web-search anchor counting)."""
+    return links.select(
         F.col("dst"),
         F.parse_url(F.col("src"), F.lit("HOST")).alias("src_host"),
         F.col("anchor"),
-    ).filter(F.col("src_host").isNotNull())
+    ).filter(F.col("src_host").isNotNull()).distinct()
 
-    # 1. one vote per (dst, host, anchor)
-    votes = hosted.distinct()
 
+def aggregate_votes(votes: DataFrame, max_anchors: int = 32,
+                    per_host_cap: int = 4, buckets: int = 64) -> DataFrame:
+    """Distinct (dst, src_host, anchor) votes -> (url, inlink). The
+    aggregation core shared by the batch path (anchor_texts) and the
+    streaming maintainer (streaming.stream_anchor_votes), so both produce
+    byte-identical inlink text for the same vote set."""
     # 2. at most per_host_cap distinct anchors counted from any one host
     w_host = Window.partitionBy("dst", "src_host").orderBy(F.asc("anchor"))
     capped = (votes.withColumn("hr", F.row_number().over(w_host))
@@ -150,6 +151,16 @@ def anchor_texts(links: DataFrame, max_anchors: int = 32,
                     lambda s: s.getField("anchor")),
                 " ").alias("inlink"))
             .withColumnRenamed("dst", "url"))
+
+
+def anchor_texts(links: DataFrame, max_anchors: int = 32,
+                 per_host_cap: int = 4, buckets: int = 64) -> DataFrame:
+    """(src, dst, anchor) -> (url, inlink): the aggregated anchor-text field
+    per target page, host-vote weighted, spam/skew capped (see module doc).
+    Deterministic: anchors ordered by (#hosts desc, anchor asc), joined by
+    single spaces."""
+    return aggregate_votes(link_votes(links), max_anchors=max_anchors,
+                           per_host_cap=per_host_cap, buckets=buckets)
 
 
 def host_graph(links: DataFrame) -> DataFrame:
