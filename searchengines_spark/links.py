@@ -53,11 +53,27 @@ from .tokenizer import _WS_RE
 
 # href must follow whitespace (lookbehind) so data-href/xhref never match;
 # value may be double-quoted, single-quoted, or bare (all occur in real
-# crawl html)
+# crawl html). The full tag (group 0 up to '>') is re-scanned for
+# rel=nofollow — a nofollow link passes NO anchor vote (Google's original
+# anchor-spam countermeasure; dropping them here is the crawl-correct
+# default for both anchor_texts and host_graph/pagerank).
 _A_RE = re.compile(
-    rb"<a\s[^>]*?(?<=\s)href\s*=\s*"
+    rb"<a\s([^>]*?(?<=\s)href\s*=\s*"
     rb"(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
-    rb"[^>]*>(.*?)</a\s*>", re.S | re.I)
+    rb"[^>]*)>(.*?)</a\s*>", re.S | re.I)
+_NOFOLLOW_RE = re.compile(
+    rb"(?<=\s)rel\s*=\s*[\"']?[^\"'>]*\bnofollow\b", re.I)
+# <meta name="robots" content="... nofollow ..."> suppresses every
+# outlink vote of the page
+_META_NOFOLLOW_RE = re.compile(
+    rb"<meta\s[^>]*name\s*=\s*[\"']robots[\"'][^>]*"
+    rb"content\s*=\s*[\"'][^\"']*\bnofollow\b", re.I)
+# <link rel="canonical" href="..."> — the url this page says it IS;
+# anchor votes and graph edges pointing at a known alias are redirected
+# to its canonical (see canonical_map / the resolve step in anchor_texts)
+_CANONICAL_RE = re.compile(
+    rb"<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+    rb"(?<=\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))", re.I)
 _MARKUP_RE = re.compile(r"<[^>]*>")
 
 LINKS_SCHEMA = T.StructType([
@@ -83,15 +99,21 @@ def extract_links(pages: DataFrame) -> DataFrame:
             out_src, out_dst, out_anchor = [], [], []
             for src, html in zip(pdf["src"], pdf["html"]):
                 hb = bytes(html) if html is not None else b""
+                if _META_NOFOLLOW_RE.search(hb):
+                    continue  # page-level robots nofollow: no votes at all
                 for m in _A_RE.finditer(hb):
-                    hraw = m.group(1) or m.group(2) or m.group(3) or b""
+                    # prepend the "<a " separator the group boundary ate, so
+                    # a leading rel= attribute still satisfies the lookbehind
+                    if _NOFOLLOW_RE.search(b" " + m.group(1)):
+                        continue  # rel=nofollow link: passes no vote
+                    hraw = m.group(2) or m.group(3) or m.group(4) or b""
                     href = hraw.decode("utf-8", errors="replace").strip()
                     if not href:
                         continue
                     dst = urldefrag(urljoin(src, href))[0]
                     if not dst.startswith(("http://", "https://")) or dst == src:
                         continue
-                    anchor = _clean_anchor(m.group(4))
+                    anchor = _clean_anchor(m.group(5))
                     if not anchor:
                         continue
                     out_src.append(src)
@@ -102,6 +124,51 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
     return pages.select(F.col("url").alias("src"), "html") \
         .mapInPandas(parse, LINKS_SCHEMA)
+
+
+def canonical_map(pages: DataFrame) -> DataFrame:
+    """pages -> (alias, canonical) from <link rel="canonical"> declarations
+    (self-canonical pages emit no row). One stateless pass, like
+    extract_links."""
+
+    def parse(batches):
+        for pdf in batches:
+            al, cn = [], []
+            for url, html in zip(pdf["alias"], pdf["html"]):
+                hb = bytes(html) if html is not None else b""
+                m = _CANONICAL_RE.search(hb)
+                if not m:
+                    continue
+                raw = m.group(1) or m.group(2) or m.group(3) or b""
+                href = raw.decode("utf-8", errors="replace").strip()
+                if not href:
+                    continue
+                canon = urldefrag(urljoin(url, href))[0]
+                if canon.startswith(("http://", "https://")) and canon != url:
+                    al.append(url)
+                    cn.append(canon)
+            yield pd.DataFrame({"alias": al, "canonical": cn})
+
+    schema = T.StructType([T.StructField("alias", T.StringType(), False),
+                           T.StructField("canonical", T.StringType(), False)])
+    return pages.select(F.col("url").alias("alias"), "html") \
+        .mapInPandas(parse, schema)
+
+
+def resolve_canonical(links: DataFrame, canon: DataFrame) -> DataFrame:
+    """Redirect link targets through the canonical map: a vote for a known
+    alias counts for its canonical url (mirror/tracking-param variants stop
+    splitting a page's anchor profile and PageRank mass). One equi-join on
+    dst of two narrow tables (links are 3 short strings, the map is one row
+    per declared alias — both co-partitionable on url at crawl scale);
+    unmapped dsts pass through. Single-hop by design: canonical chains are
+    a crawl-quality defect real pipelines clamp to one hop too."""
+    c = canon.select(F.col("alias").alias("dst"), "canonical")
+    return (links.join(c, "dst", "left")
+            .select("src",
+                    F.coalesce("canonical", F.col("dst")).alias("dst"),
+                    "anchor")
+            .filter(F.col("src") != F.col("dst")))
 
 
 def link_votes(links: DataFrame) -> DataFrame:

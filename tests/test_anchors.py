@@ -160,6 +160,43 @@ def test_upsert_refreshes_anchor_inlink(spark, linked_pages, spark_links,
     assert target in got
 
 
+def test_nofollow_and_canonical(spark):
+    """Crawl semantics: rel=nofollow links (leading or trailing attr) pass
+    no vote; a meta-robots-nofollow page passes none at all; canonical
+    declarations redirect votes to the canonical url."""
+    from searchengines_spark.links import canonical_map, resolve_canonical
+
+    h1 = (b'<html><body>'
+          b'<a rel="nofollow" href="https://a.example/x">no1</a>'
+          b'<a href="https://a.example/x" rel="ugc nofollow">no2</a>'
+          b'<a href="https://a.example/y">yes</a>'
+          b'<a href="https://m.example/alias">als</a>'
+          b'</body></html>')
+    h2 = (b'<html><head><meta name="robots" content="noindex, nofollow">'
+          b'</head><body><a href="https://a.example/z">blocked</a>'
+          b'</body></html>')
+    h3 = (b'<html><head>'
+          b'<link rel="canonical" href="https://a.example/y">'
+          b'</head><body>ok</body></html>')
+    pages = spark.createDataFrame(
+        [("https://s1.example/p", bytearray(h1)),
+         ("https://s2.example/p", bytearray(h2)),
+         ("https://m.example/alias", bytearray(h3))], ["url", "html"])
+    links = extract_links(pages)
+    got = {(r["src"], r["dst"], r["anchor"]) for r in links.collect()}
+    assert got == {("https://s1.example/p", "https://a.example/y", "yes"),
+                   ("https://s1.example/p", "https://m.example/alias", "als")}
+
+    cmap = canonical_map(pages)
+    assert [(r["alias"], r["canonical"]) for r in cmap.collect()] == [
+        ("https://m.example/alias", "https://a.example/y")]
+    resolved = {(r["src"], r["dst"], r["anchor"])
+                for r in resolve_canonical(links, cmap).collect()}
+    assert resolved == {
+        ("https://s1.example/p", "https://a.example/y", "yes"),
+        ("https://s1.example/p", "https://a.example/y", "als")}
+
+
 def test_anchor_texts_matches_replica(spark_links):
     got = {r["url"]: r["inlink"] for r in anchor_texts(spark_links).collect()}
     want = _py_anchor_texts(_py_links())
