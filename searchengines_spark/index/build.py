@@ -456,21 +456,29 @@ def build_index(
             # broadcast gate's n_docs proxy is sound. ~1KB/row (up to 32
             # concatenated anchors); above the cap, plain shuffle join
             # (co-partitioned storage on url at cluster scale).
-            anc = anchors.select(
-                "url", F.col("inlink").alias("inlink_override")
-            ).join(docids.select("url"), "url", "left_semi")
-            # persist the per-docid anchor state actually indexed: the
-            # incremental anchor refresh (incremental.refresh_anchors)
-            # diffs a future anchor table against this to re-index ONLY
-            # changed targets. Keyed by docid (docids are minted once) so
-            # live-filtering survives upserts/tombstones.
-            anc.join(docids, "url").select(
-                "docid", "url", F.col("inlink_override").alias("inlink")
-            ).write.mode("overwrite").parquet(
-                os.path.join(index_dir, "anchor_state"))
+            # persist the per-docid anchor state actually indexed, then
+            # read it BACK as the join source — one evaluation of the
+            # (expensive) anchor aggregation lineage instead of two, and
+            # the incremental refresh (incremental.refresh_anchors) diffs
+            # future anchor tables against exactly these rows. Keyed by
+            # docid (minted once) so live-filtering survives upserts.
+            state_path = os.path.join(index_dir, "anchor_state")
+            anchors.select("url", "inlink").join(docids, "url").select(
+                "docid", "url", "inlink"
+            ).write.mode("overwrite").parquet(state_path)
+            anc = spark.read.parquet(state_path).select(
+                "url", F.col("inlink").alias("inlink_override"))
             anc = F.broadcast(anc) if n_docs * 1024 <= bcast_cap else anc
             with_ids = with_ids.join(anc, "url", "left")
             metrics["anchor_inlinks"] = True
+        else:
+            # a fresh un-anchored build into a previously anchored dir must
+            # not leave state describing an index that no longer exists
+            # (docid collisions would mis-drive every future refresh diff)
+            import shutil
+
+            shutil.rmtree(os.path.join(index_dir, "anchor_state"),
+                          ignore_errors=True)
         if en_pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
             # tiny test corpora scan into a couple of input splits, which
             # would serialize the tokenize kernel. Only then is the

@@ -135,16 +135,18 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         # before the broadcast gate (the global anchor table can be
         # corpus-sized; the batch slice is n_new-bounded)
         bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
-        anc = anchors.select(
-            "url", F.col("inlink").alias("inlink_override")
-        ).join(new_ids.select("url"), "url", "left_semi")
-        # extend the per-docid anchor state for refresh diffs (build.py
-        # writes the base; appended docids are fresh, so append-mode rows
-        # never collide — live-filtering on docid resolves upserted urls)
-        anc.join(new_ids, "url").select(
-            "docid", "url", F.col("inlink_override").alias("inlink")
-        ).write.mode("append").parquet(
-            os.path.join(index_dir, "anchor_state"))
+        # extend the per-docid anchor state for refresh diffs, then read
+        # the new slice back as the join source (one evaluation of the
+        # anchor lineage; build.py does the same). Appended docids are
+        # fresh, so append-mode rows never collide — live-filtering on
+        # docid resolves upserted urls.
+        state_path = os.path.join(index_dir, "anchor_state")
+        anchors.select("url", "inlink").join(new_ids, "url").select(
+            "docid", "url", "inlink"
+        ).write.mode("append").parquet(state_path)
+        anc = (spark.read.parquet(state_path)
+               .filter(F.col("docid") > max_docid)
+               .select("url", F.col("inlink").alias("inlink_override")))
         anc = F.broadcast(anc) if n_new * 1024 <= bcast_cap else anc
         with_ids = with_ids.join(anc, "url", "left")
     tokenized = pages_to_tokenized(with_ids).cache()
@@ -357,6 +359,11 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
         changed = new.join(state, "url", "left").filter(diff).select("url")
     else:
         changed = state.join(new, "url", "full_outer").filter(diff).select("url")
+    # materialize NOW: the upsert below tombstones these very urls, and a
+    # lazy `changed` would re-evaluate against the post-delete live set
+    # (re-listed deletes/) inside append_pages — evaluating EMPTY, deleting
+    # the pages without re-indexing them
+    changed = changed.localCheckpoint(eager=True)
     n_changed = changed.count()
     if n_changed == 0:
         return {"refreshed": 0, "secs": round(time.time() - t0, 3)}
@@ -460,7 +467,10 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             .parquet(tok_path + "_new")
         )
         _swap(index_dir, "tokenized")
-        for tbl in ("doc_lens", "doc_lens_wide", "docids", "attrs"):
+        # anchor_state rides the same purge: superseded upsert rows are
+        # live-filtered at read time, but only compaction reclaims them
+        for tbl in ("doc_lens", "doc_lens_wide", "docids", "attrs",
+                    "anchor_state"):
             p = os.path.join(index_dir, tbl)
             if not os.path.exists(p):
                 continue

@@ -52,29 +52,46 @@ from pyspark.sql import types as T
 from .tokenizer import _WS_RE
 
 # href must follow whitespace (lookbehind) so data-href/xhref never match;
-# value may be double-quoted, single-quoted, or bare (all occur in real
-# crawl html). The full tag (group 0 up to '>') is re-scanned for
-# rel=nofollow — a nofollow link passes NO anchor vote (Google's original
-# anchor-spam countermeasure; dropping them here is the crawl-correct
-# default for both anchor_texts and host_graph/pagerank).
-_A_RE = re.compile(
-    rb"<a\s([^>]*?(?<=\s)href\s*=\s*"
-    rb"(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
-    rb"[^>]*)>(.*?)</a\s*>", re.S | re.I)
-_NOFOLLOW_RE = re.compile(
-    rb"(?<=\s)rel\s*=\s*[\"']?[^\"'>]*\bnofollow\b", re.I)
-# <meta name="robots" content="... nofollow ..."> suppresses every
-# outlink vote of the page
-_META_NOFOLLOW_RE = re.compile(
-    rb"<meta\s[^>]*name\s*=\s*[\"']robots[\"'][^>]*"
-    rb"content\s*=\s*[\"'][^\"']*\bnofollow\b", re.I)
-# <link rel="canonical" href="..."> — the url this page says it IS;
-# anchor votes and graph edges pointing at a known alias are redirected
-# to its canonical (see canonical_map / the resolve step in anchor_texts)
-_CANONICAL_RE = re.compile(
-    rb"<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
-    rb"(?<=\s)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))", re.I)
+# Tag scanners + an order-insensitive attribute parser: real crawl html
+# puts attributes in any order (content-before-name metas, href-before-rel
+# links), quotes them with ", ', or nothing, and nests things like
+# 'rel=nofollow' INSIDE other attributes' quoted values. _attrs consumes
+# attributes left-to-right non-overlapping, so a quoted value is swallowed
+# whole and its contents can never masquerade as a separate attribute.
+_A_RE = re.compile(rb"<a\s([^>]*)>(.*?)</a\s*>", re.S | re.I)
+_META_TAG_RE = re.compile(rb"<meta\s[^>]*>", re.I)
+_LINK_TAG_RE = re.compile(rb"<link\s[^>]*>", re.I)
+_ATTR_RE = re.compile(
+    rb"(?<=\s)([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*)")
 _MARKUP_RE = re.compile(r"<[^>]*>")
+
+
+def _attrs(blob: bytes) -> dict[bytes, bytes]:
+    """Attribute blob -> {name(lower): value(unquoted)}; first wins."""
+    out: dict[bytes, bytes] = {}
+    for m in _ATTR_RE.finditer(b" " + blob):
+        v = m.group(2)
+        if v[:1] in (b'"', b"'"):
+            v = v[1:-1]
+        out.setdefault(m.group(1).lower(), v)
+    return out
+
+
+def _rel_tokens(attrs: dict[bytes, bytes], key: bytes = b"rel") -> set[bytes]:
+    return set(re.split(rb"[\s,]+", attrs.get(key, b"").lower())) - {b""}
+
+
+def _page_nofollow(hb: bytes) -> bool:
+    """<meta name="robots" content="... nofollow ..."> in either attribute
+    order suppresses every outlink vote of the page (Google's original
+    anchor-spam countermeasure; honoring it is the crawl-correct default
+    for anchor_texts and host_graph/pagerank alike)."""
+    for t in _META_TAG_RE.finditer(hb):
+        a = _attrs(t.group(0)[5:])
+        if (a.get(b"name", b"").lower() == b"robots"
+                and b"nofollow" in _rel_tokens(a, b"content")):
+            return True
+    return False
 
 LINKS_SCHEMA = T.StructType([
     T.StructField("src", T.StringType(), False),
@@ -99,21 +116,20 @@ def extract_links(pages: DataFrame) -> DataFrame:
             out_src, out_dst, out_anchor = [], [], []
             for src, html in zip(pdf["src"], pdf["html"]):
                 hb = bytes(html) if html is not None else b""
-                if _META_NOFOLLOW_RE.search(hb):
+                if _page_nofollow(hb):
                     continue  # page-level robots nofollow: no votes at all
                 for m in _A_RE.finditer(hb):
-                    # prepend the "<a " separator the group boundary ate, so
-                    # a leading rel= attribute still satisfies the lookbehind
-                    if _NOFOLLOW_RE.search(b" " + m.group(1)):
+                    a = _attrs(m.group(1))
+                    if b"nofollow" in _rel_tokens(a):
                         continue  # rel=nofollow link: passes no vote
-                    hraw = m.group(2) or m.group(3) or m.group(4) or b""
-                    href = hraw.decode("utf-8", errors="replace").strip()
+                    href = a.get(b"href", b"").decode(
+                        "utf-8", errors="replace").strip()
                     if not href:
                         continue
                     dst = urldefrag(urljoin(src, href))[0]
                     if not dst.startswith(("http://", "https://")) or dst == src:
                         continue
-                    anchor = _clean_anchor(m.group(5))
+                    anchor = _clean_anchor(m.group(2))
                     if not anchor:
                         continue
                     out_src.append(src)
@@ -136,17 +152,20 @@ def canonical_map(pages: DataFrame) -> DataFrame:
             al, cn = [], []
             for url, html in zip(pdf["alias"], pdf["html"]):
                 hb = bytes(html) if html is not None else b""
-                m = _CANONICAL_RE.search(hb)
-                if not m:
-                    continue
-                raw = m.group(1) or m.group(2) or m.group(3) or b""
-                href = raw.decode("utf-8", errors="replace").strip()
-                if not href:
-                    continue
-                canon = urldefrag(urljoin(url, href))[0]
-                if canon.startswith(("http://", "https://")) and canon != url:
-                    al.append(url)
-                    cn.append(canon)
+                for t in _LINK_TAG_RE.finditer(hb):
+                    a = _attrs(t.group(0)[5:])
+                    if b"canonical" not in _rel_tokens(a):
+                        continue
+                    href = a.get(b"href", b"").decode(
+                        "utf-8", errors="replace").strip()
+                    if not href:
+                        continue
+                    canon = urldefrag(urljoin(url, href))[0]
+                    if (canon.startswith(("http://", "https://"))
+                            and canon != url):
+                        al.append(url)
+                        cn.append(canon)
+                    break  # first canonical declaration wins
             yield pd.DataFrame({"alias": al, "canonical": cn})
 
     schema = T.StructType([T.StructField("alias", T.StringType(), False),
@@ -228,6 +247,16 @@ def anchor_texts(links: DataFrame, max_anchors: int = 32,
     single spaces."""
     return aggregate_votes(link_votes(links), max_anchors=max_anchors,
                            per_host_cap=per_host_cap, buckets=buckets)
+
+
+def anchor_texts_from_pages(pages: DataFrame, **kw) -> DataFrame:
+    """The full crawl-correct anchor pipeline in one call: extract links
+    (nofollow-honoring) -> redirect votes through the canonical map ->
+    aggregate. This is what the deployment drivers run; compose the pieces
+    yourself when links/canonical state comes from elsewhere (e.g. the
+    streaming vote store)."""
+    return anchor_texts(
+        resolve_canonical(extract_links(pages), canonical_map(pages)), **kw)
 
 
 def host_graph(links: DataFrame) -> DataFrame:

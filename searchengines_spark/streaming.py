@@ -460,7 +460,7 @@ def stream_anchor_votes(spark: SparkSession, src_dir: str, out_dir: str,
         if batch_df.isEmpty():
             return
         bs = batch_df.sparkSession
-        bv = link_votes(batch_df).cache()
+        bv = link_votes(batch_df)
         if os.path.exists(votes_dir):
             store = (bs.read.parquet(votes_dir)
                      .filter(F.col("epoch") != int(epoch_id))
@@ -487,7 +487,6 @@ def stream_anchor_votes(spark: SparkSession, src_dir: str, out_dir: str,
         finally:
             bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         novel.unpersist()
-        bv.unpersist()
 
     writer = links.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir)

@@ -348,6 +348,20 @@ def test_refresh_anchors_delta(spark, linked_pages, spark_links,
     assert got == [tgt]
     assert refresh_anchors(spark, d, linked_pages, anc2)["refreshed"] == 0
 
+    # cycle 2 on an index that now HAS tombstones (cycle 1's upsert): the
+    # same target changes again — it must re-index, not just tombstone
+    # (regression: a lazy `changed` re-evaluated empty inside append after
+    # delete_pages re-listed the tombstones)
+    extra2 = spark.createDataFrame(
+        [(f"https://ext{i}.example/q", tgt, "zzznewb zzznewb")
+         for i in range(5)], ["src", "dst", "anchor"])
+    anc3 = anchor_texts(spark_links.unionByName(extra).unionByName(extra2))
+    assert refresh_anchors(spark, d, linked_pages, anc3)["refreshed"] == 1
+    got = [r["url"] for r in Engine(IndexReader(spark, d))
+           .search("#OR( zzznewa.inlink zzznewb.inlink )", "bm25", 10)
+           .collect()]
+    assert got == [tgt]  # serves ONCE, with both anchors, under the new docid
+
 
 def test_host_graph_feeds_pagerank(spark_links):
     from searchengines_spark.analytic import pagerank

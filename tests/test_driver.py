@@ -275,9 +275,12 @@ def test_prf_batch_is_bounded_actions(spark, tiny_index):
     tracker = sc.statusTracker
 
     def jobs_during(fn):
-        before = len(tracker().getJobIdsForGroup(None) or [])
+        # count via MAX job id (monotonic), not len(): the status tracker
+        # evicts old job ids past its retention window, so len() deltas go
+        # negative late in a long-session suite run
+        before = max(tracker().getJobIdsForGroup(None) or [0])
         fn()
-        return len(tracker().getJobIdsForGroup(None) or []) - before
+        return max(tracker().getJobIdsForGroup(None) or [0]) - before
 
     params = {"retrievalAlgorithm": "Indri", "Indri:mu": 1000,
               "Indri:lambda": 0.4, "prf": "Indri", "prf:numDocs": 3,

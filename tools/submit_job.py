@@ -61,13 +61,13 @@ def main() -> None:
     spark = SparkSession.builder.appName(f"searchengines-{args.cmd}").getOrCreate()
 
     if args.cmd == "anchors":
-        from searchengines_spark.links import anchor_texts, extract_links
+        from searchengines_spark.links import anchor_texts_from_pages
 
         pages = spark.read.parquet(args.pages)
-        anchor_texts(extract_links(pages),
-                     max_anchors=args.max_anchors,
-                     per_host_cap=args.per_host_cap
-                     ).write.mode("overwrite").parquet(args.out)
+        anchor_texts_from_pages(pages,
+                                max_anchors=args.max_anchors,
+                                per_host_cap=args.per_host_cap
+                                ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"anchors": args.out}))
     elif args.cmd == "build":
         from searchengines_spark.index import build_index
