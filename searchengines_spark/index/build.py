@@ -367,6 +367,7 @@ def build_index(
     payload_codec: str = "pfor",
     store_positions: bool = True,
     anchors: DataFrame | None = None,
+    page_ranks: DataFrame | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
     payload_codec: block payload compression for docids/tfs/doclens —
@@ -374,6 +375,11 @@ def build_index(
     varint at equal build/serve speed) or "varint" (LEB128); positions are
     always varint (pre-encoded per posting by the tokenize kernel).
     Pre-existing indexes keep the codec recorded in their manifest.
+    page_ranks: optional (url, page_rank) frame — a real crawl-graph prior
+    (e.g. links.url_priors: pagerank over the real-href host graph, mapped
+    to each page) stored as the per-doc PageRank attribute the reference
+    reads via Idx.getAttribute (LTR feature f4); urls absent from the
+    frame keep the deterministic stand-in.
     anchors: optional (url, inlink) frame (links.anchor_texts output) — the
     aggregated inbound anchor text becomes the page's ``inlink`` field
     (ClueWeb semantics) in place of any in-page stand-in; pages with no
@@ -401,13 +407,24 @@ def build_index(
     # crawl-time metadata, so spam/pagerank are deterministic md5 stand-ins.
     docids_path = os.path.join(index_dir, "docids")
     if not (resume and _stage_done(index_dir, "docids")):
-        assign_docids(pages.filter(F.col("lang") == "en")).select(
+        base = assign_docids(pages.filter(F.col("lang") == "en")).select(
             "url", "docid",
             (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
             .cast("double").alias("spam_score"),
             ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
             .alias("page_rank"),
-        ).write.mode("overwrite").parquet(docids_path)
+        )
+        if page_ranks is not None:
+            # real crawl-graph prior (e.g. links.pagerank over the host
+            # graph, mapped to urls) replaces the stand-in; urls missing
+            # from the frame keep it. Narrow (url, double) join — same
+            # cluster answer as every url-keyed join here.
+            pr = page_ranks.select("url", F.col("page_rank").alias("pr_in"))
+            base = (base.join(pr, "url", "left")
+                    .select("url", "docid", "spam_score",
+                            F.coalesce("pr_in", "page_rank")
+                            .alias("page_rank")))
+        base.write.mode("overwrite").parquet(docids_path)
         _mark_stage(index_dir, "docids")
         _lap("docids")
     docids = spark.read.parquet(docids_path).select("url", "docid")

@@ -249,6 +249,27 @@ def anchor_texts(links: DataFrame, max_anchors: int = 32,
                            per_host_cap=per_host_cap, buckets=buckets)
 
 
+def url_priors(pages: DataFrame, links: DataFrame,
+               iters: int = 5, damp: float = 0.85) -> DataFrame:
+    """(url, page_rank) per page: weighted PageRank over the real-href
+    host graph, mapped to each page by its host — the crawl-graph prior
+    the reference stores as the per-doc PageRank attribute
+    (Idx.getAttribute, LTR feature f4). Host-level rank is the standard
+    crawl-scale choice (10^12 urls collapse to ~10^8 hosts BEFORE any
+    iteration; per-url PageRank is the same pagerank() call on the
+    un-collapsed graph when a workload pays for it). Scaled x1000 so the
+    values live in the reference attribute's typical magnitude."""
+    from .analytic import pagerank
+
+    pr = pagerank(host_graph(links), iters=iters, damp=damp)
+    return (pages.select(
+        "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("node"))
+        .join(pr, "node", "left")
+        .select("url",
+                (F.coalesce(F.col("pr"), F.lit(0.0)) * 1000.0)
+                .alias("page_rank")))
+
+
 def anchor_texts_from_pages(pages: DataFrame, **kw) -> DataFrame:
     """The full crawl-correct anchor pipeline in one call: extract links
     (nofollow-honoring) -> redirect votes through the canonical map ->

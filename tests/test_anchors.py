@@ -363,6 +363,44 @@ def test_refresh_anchors_delta(spark, linked_pages, spark_links,
     assert got == [tgt]  # serves ONCE, with both anchors, under the new docid
 
 
+def test_url_priors_into_index_attrs(spark, linked_pages, spark_links,
+                                     tmp_path_factory):
+    """Real crawl-graph PageRank flows into the per-doc attribute table
+    (the reference's Idx.getAttribute / LTR f4 source): urls covered by
+    the priors frame carry host-PageRank x1000, the rest keep the
+    deterministic stand-in."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.links import url_priors
+
+    pri = url_priors(linked_pages, spark_links)
+    idx_col = F.regexp_extract("url", r"p(\d{10})\.html", 1).cast("int")
+    pri_half = pri.join(linked_pages.filter(idx_col < 120).select("url"),
+                        "url")
+    d = str(tmp_path_factory.mktemp("prior_idx"))
+    build_index(spark, linked_pages, d, n_salts=4, page_ranks=pri_half)
+
+    got = {r["raw_url"]: r["page_rank"]
+           for r in IndexReader(spark, d).attrs().collect()}
+    want = {r["url"]: r["page_rank"] for r in pri.collect()}
+    n_prior = 0
+    for url, pr in got.items():
+        i = int(url.rsplit("p", 1)[1].split(".")[0])
+        if i < 120:
+            assert pr == pytest.approx(want[url], rel=1e-12), url
+            n_prior += 1
+        else:  # stand-in preserved for uncovered urls
+            standin = int(hashlib.md5(url.encode()).hexdigest()[4:8],
+                          16) % 10000 / 100.0
+            assert pr == pytest.approx(standin, rel=1e-12), url
+    assert n_prior > 50
+    # host rank mass: sum over the 7 hosts' per-url priors is consistent
+    assert all(v >= 0 for v in want.values())
+
+
 def test_host_graph_feeds_pagerank(spark_links):
     from searchengines_spark.analytic import pagerank
 

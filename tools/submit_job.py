@@ -7,8 +7,11 @@ the job code is identical — the engine only ever talks to a SparkSession.
 Commands:
   anchors --pages PATH --out DIR           href parse -> aggregated (url,
                                            inlink) anchor-text table
+  graph  --pages PATH --out DIR [--iters N]  host-graph PageRank ->
+                                           (url, page_rank) prior table
   build  --pages PATH --index-dir DIR [--n-salts N] [--resume]
          [--anchors DIR]                   index anchor table as inlink field
+         [--page-ranks DIR]                store graph priors as doc attrs
   query  --index-dir DIR --query STR [--model M] [--k K] [--run-id ID]
   bench  (delegates to bench.py phases via env)
 
@@ -40,11 +43,20 @@ def main() -> None:
                    help="(url, inlink) parquet from the `anchors` command; "
                         "indexed as each target's inlink field")
 
+    b.add_argument("--page-ranks", default=None,
+                   help="(url, page_rank) parquet from the `graph` command; "
+                        "stored as the per-doc PageRank attribute (LTR f4)")
+
     a = sub.add_parser("anchors")
     a.add_argument("--pages", required=True)
     a.add_argument("--out", required=True)
     a.add_argument("--max-anchors", type=int, default=32)
     a.add_argument("--per-host-cap", type=int, default=4)
+
+    g = sub.add_parser("graph")
+    g.add_argument("--pages", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--iters", type=int, default=5)
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
@@ -69,16 +81,27 @@ def main() -> None:
                                 per_host_cap=args.per_host_cap
                                 ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"anchors": args.out}))
+    elif args.cmd == "graph":
+        from searchengines_spark.links import (canonical_map, extract_links,
+                                               resolve_canonical, url_priors)
+
+        pages = spark.read.parquet(args.pages)
+        links = resolve_canonical(extract_links(pages), canonical_map(pages))
+        url_priors(pages, links, iters=args.iters
+                   ).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"page_ranks": args.out}))
     elif args.cmd == "build":
         from searchengines_spark.index import build_index
 
         pages = spark.read.parquet(args.pages)
         anchors = spark.read.parquet(args.anchors) if args.anchors else None
+        ranks = (spark.read.parquet(args.page_ranks)
+                 if args.page_ranks else None)
         m = build_index(spark, pages, args.index_dir,
                         n_salts=args.n_salts, resume=args.resume,
                         payload_codec=args.payload_codec,
                         store_positions=not args.no_positions,
-                        anchors=anchors)
+                        anchors=anchors, page_ranks=ranks)
         print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
     elif args.cmd == "query":
         from searchengines_spark.engine import Engine
