@@ -427,6 +427,11 @@ def build_index(
         base.write.mode("overwrite").parquet(docids_path)
         _mark_stage(index_dir, "docids")
         _lap("docids")
+    elif page_ranks is not None:
+        # the docids stage (where attrs live) was resumed as-is; a newly
+        # supplied priors frame cannot take effect without a rebuild —
+        # surface that instead of silently ignoring it
+        metrics["page_ranks_ignored_on_resume"] = True
     docids = spark.read.parquet(docids_path).select("url", "docid")
 
     n_docs = n_docs_hint or docids.count()

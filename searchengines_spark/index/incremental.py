@@ -55,14 +55,18 @@ def _invalidate_path_caches(spark: SparkSession, index_dir: str) -> None:
 def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                  n_salts_hint: int | None = None,
                  bm25_k1: float = 1.2, bm25_b: float = 0.75,
-                 anchors: DataFrame | None = None) -> dict:
+                 anchors: DataFrame | None = None,
+                 page_ranks: DataFrame | None = None) -> dict:
     """Append a batch of pages to an existing index. Returns metrics
     (incl. per-stage seconds, like build_index's stage_secs).
     anchors: optional (url, inlink) frame for the NEW pages (same contract
     as build_index) so an anchor-built index stays consistent across
     appends. Inbound-anchor updates to ALREADY-indexed targets are a
     re-index of those docs (upsert_pages), not an append — web engines
-    batch those into periodic anchor refreshes."""
+    batch those into periodic anchor refreshes.
+    page_ranks: optional (url, page_rank) graph-prior frame (same contract
+    as build_index) — pass the current priors on every incremental op of a
+    prior-built index or the new docids revert to the stand-in attribute."""
     t0 = time.time()
     stage_secs: dict[str, float] = {}
     _last = [t0]
@@ -99,13 +103,23 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         "docid", F.col("docid") + F.lit(int(max_docid) + 1)
     )
     # match the fused docids+attrs layout (build.py stage 1)
-    new_ids.select(
+    base_rows = new_ids.select(
         "url", "docid",
         (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 100)
         .cast("double").alias("spam_score"),
         ((F.conv(F.substring(F.md5("url"), 5, 4), 16, 10).cast("long") % 10000) / 100.0)
         .alias("page_rank"),
-    ).write.mode("append").parquet(os.path.join(index_dir, "docids"))
+    )
+    if page_ranks is not None:
+        # same graph-prior override as build.py stage 1 — without it every
+        # append/upsert would silently revert a page's PageRank attribute
+        # (LTR f4) to the stand-in
+        pr = page_ranks.select("url", F.col("page_rank").alias("pr_in"))
+        base_rows = (base_rows.join(pr, "url", "left")
+                     .select("url", "docid", "spam_score",
+                             F.coalesce("pr_in", "page_rank")
+                             .alias("page_rank")))
+    base_rows.write.mode("append").parquet(os.path.join(index_dir, "docids"))
     new_ids = spark.read.parquet(os.path.join(index_dir, "docids")).select("url", "docid").filter(
         F.col("docid") > max_docid
     )
@@ -295,7 +309,8 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
 
 
 def upsert_pages(spark: SparkSession, index_dir: str,
-                 pages: DataFrame, anchors: DataFrame | None = None) -> dict:
+                 pages: DataFrame, anchors: DataFrame | None = None,
+                 page_ranks: DataFrame | None = None) -> dict:
     """Re-crawl upsert: REPLACE any already-indexed url's content with the
     incoming page and add genuinely-new urls — tombstone the live docid of
     every incoming url (merge-on-read, like delete_pages), then append the
@@ -311,7 +326,8 @@ def upsert_pages(spark: SparkSession, index_dir: str,
     t0 = time.time()
     urls_in = pages.filter(F.col("lang") == "en").select("url").distinct()
     d = delete_pages(spark, index_dir, urls_in)
-    a = append_pages(spark, index_dir, pages, anchors=anchors)
+    a = append_pages(spark, index_dir, pages, anchors=anchors,
+                     page_ranks=page_ranks)
     return {"replaced_tombstones": d["n_deleted_total"],
             "appended": a.get("appended", 0),
             "secs": time.time() - t0,
@@ -319,7 +335,8 @@ def upsert_pages(spark: SparkSession, index_dir: str,
 
 
 def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
-                    anchors: DataFrame, delta: bool = False) -> dict:
+                    anchors: DataFrame, delta: bool = False,
+                    page_ranks: DataFrame | None = None) -> dict:
     """Periodic anchor refresh for an anchor-built index: diff the CURRENT
     aggregated anchor table against the per-docid anchor state the index
     actually carries (written by build/append/upsert when anchors are
@@ -368,7 +385,8 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
     if n_changed == 0:
         return {"refreshed": 0, "secs": round(time.time() - t0, 3)}
     todo = pages.join(changed, "url", "left_semi")
-    u = upsert_pages(spark, index_dir, todo, anchors=anchors)
+    u = upsert_pages(spark, index_dir, todo, anchors=anchors,
+                     page_ranks=page_ranks)
     return {"refreshed": n_changed, "secs": round(time.time() - t0, 3),
             "snapshot": u.get("snapshot")}
 

@@ -257,17 +257,35 @@ def url_priors(pages: DataFrame, links: DataFrame,
     (Idx.getAttribute, LTR feature f4). Host-level rank is the standard
     crawl-scale choice (10^12 urls collapse to ~10^8 hosts BEFORE any
     iteration; per-url PageRank is the same pagerank() call on the
-    un-collapsed graph when a workload pays for it). Scaled x1000 so the
-    values live in the reference attribute's typical magnitude."""
+    un-collapsed graph when a workload pays for it).
+
+    TOTAL over the pages frame (every parseable-host page gets a row):
+    hosts outside the link graph (isolated / only-internal-linking) get
+    the teleport floor (1-damp)/n — the rank a no-inlink node would earn
+    — never 0 and never the stand-in fallback, so one index never mixes
+    graph ranks with stand-in noise. Scaled x1000 into the reference
+    attribute's typical magnitude."""
     from .analytic import pagerank
 
     pr = pagerank(host_graph(links), iters=iters, damp=damp)
+    n = max(1, pr.count())  # 1-row-per-host frame; the count is host-cheap
+    floor = (1.0 - damp) / n
     return (pages.select(
         "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("node"))
+        .filter(F.col("node").isNotNull())
         .join(pr, "node", "left")
         .select("url",
-                (F.coalesce(F.col("pr"), F.lit(0.0)) * 1000.0)
+                (F.coalesce(F.col("pr"), F.lit(floor)) * 1000.0)
                 .alias("page_rank")))
+
+
+def links_from_pages(pages: DataFrame) -> DataFrame:
+    """The crawl-correct link derivation: extract (nofollow-honoring) ->
+    redirect through the canonical map. Shared by anchor aggregation and
+    the graph/priors path; materialize the result once when running both
+    over the same corpus (both deployment commands accept raw pages and
+    parse independently — at crawl scale write this table and reuse it)."""
+    return resolve_canonical(extract_links(pages), canonical_map(pages))
 
 
 def anchor_texts_from_pages(pages: DataFrame, **kw) -> DataFrame:
@@ -276,8 +294,7 @@ def anchor_texts_from_pages(pages: DataFrame, **kw) -> DataFrame:
     aggregate. This is what the deployment drivers run; compose the pieces
     yourself when links/canonical state comes from elsewhere (e.g. the
     streaming vote store)."""
-    return anchor_texts(
-        resolve_canonical(extract_links(pages), canonical_map(pages)), **kw)
+    return anchor_texts(links_from_pages(pages), **kw)
 
 
 def host_graph(links: DataFrame) -> DataFrame:

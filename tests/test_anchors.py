@@ -397,8 +397,10 @@ def test_url_priors_into_index_attrs(spark, linked_pages, spark_links,
                           16) % 10000 / 100.0
             assert pr == pytest.approx(standin, rel=1e-12), url
     assert n_prior > 50
-    # host rank mass: sum over the 7 hosts' per-url priors is consistent
-    assert all(v >= 0 for v in want.values())
+    # mass conservation: the 7 hosts' per-host priors (x1000-scaled
+    # PageRank) sum back to 1000 — a pagerank mass-loss regression fails here
+    per_host = {u.split("/")[2]: v for u, v in want.items()}
+    assert sum(per_host.values()) == pytest.approx(1000.0, abs=1e-6)
 
 
 def test_host_graph_feeds_pagerank(spark_links):

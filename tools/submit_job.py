@@ -82,12 +82,10 @@ def main() -> None:
                                 ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"anchors": args.out}))
     elif args.cmd == "graph":
-        from searchengines_spark.links import (canonical_map, extract_links,
-                                               resolve_canonical, url_priors)
+        from searchengines_spark.links import links_from_pages, url_priors
 
         pages = spark.read.parquet(args.pages)
-        links = resolve_canonical(extract_links(pages), canonical_map(pages))
-        url_priors(pages, links, iters=args.iters
+        url_priors(pages, links_from_pages(pages), iters=args.iters
                    ).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"page_ranks": args.out}))
     elif args.cmd == "build":
