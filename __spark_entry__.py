@@ -290,7 +290,16 @@ edges AS (
   FROM links GROUP BY 1, 2)"""
 
 
-def _pagerank_sql() -> str:
+_URL_EDGES = f"""links AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         unnest(['u' || CAST((doc_id * 7 + n_chars) % {A.PR_URL_MOD} AS VARCHAR),
+                 'x' || CAST((doc_id * 13 + 3 * n_chars + 1) % {A.PR_URL_MOD} AS VARCHAR)]) AS dst
+  FROM documents),
+edges AS (
+  SELECT src, dst, 1.0 AS w FROM links WHERE src <> dst GROUP BY src, dst)"""
+
+
+def _pagerank_sql(edges_cte: str = _HOST_EDGES) -> str:
     """Unrolled PR_ITERS-step power iteration mirroring analytic.pagerank:
     weighted contributions, damping, dangling-mass redistribution."""
     d, nq = A.PR_DAMP, "(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)"
@@ -310,7 +319,7 @@ r0 AS (SELECT node, 1.0 / {nq} AS pr FROM nodes)"""]
     SELECT e.dst AS node, SUM(r.pr * e.w / o.ow) AS contrib
     FROM r{i-1} r JOIN edges e ON e.src = r.node JOIN outw o ON o.src = e.src
     GROUP BY e.dst) c ON c.node = n.node)""")
-    return (f"WITH {_HOST_EDGES},\n" + ",\n".join(ctes)
+    return (f"WITH {edges_cte},\n" + ",\n".join(ctes)
             + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{A.PR_ITERS}")
 
 
@@ -341,9 +350,32 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production registry, NEWEST-FIRST and capped at 50 entries.
+
+    The driver's correctness gate checks at most the first 50 keys, so the
+    least re-verified code must come first and the registry must never
+    exceed 50 — redundant exact/baseline variants of ops whose scaled or
+    production twin is registered live in _BASELINE_QUERIES below, where
+    tools/check_oracle.py still hash-gates them locally every run.
+    """
     return {
+        # --- round 4 ---
+        "pagerank_url": A.q_pagerank_url,
+        # --- round 3, newest first (no driver row before r04) ---
+        "fingerprint": A.q_fingerprint,
+        "binary_meta": A.q_binary_meta,
+        "eval_per_query": A.q_eval_per_query,
+        "eval_summary": A.q_eval_summary,
+        "host_links": A.q_host_links,
+        "pagerank": A.q_pagerank,
+        "domain_cap": A.q_domain_cap,
+        "bpe_pairs": A.q_bpe_pairs,
+        "snippet": A.q_snippet,
+        "spell": A.q_spell,
+        "pq_topk": A.q_pq_topk,
+        "substring_dedup": A.q_substring_dedup,
+        # --- rounds 1-2 ---
         "term_stats": A.q_term_stats,
-        "doc_lens": A.q_doc_lens,
         "corpus_stats": A.q_corpus_stats,
         "bm25_topk": A.q_bm25_topk,
         "indri_topk": A.q_indri_topk,
@@ -351,21 +383,14 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_ranked": A.q_or_ranked,
         "syn_tf": A.q_syn_tf,
         "near_pairs": A.q_near_pairs,
-        "snippet": A.q_snippet,
-        "spell": A.q_spell,
         "window_pairs": A.q_window_pairs,
         "dedup_exact": A.q_dedup_exact,
-        "minhash": A.q_minhash,
-        "lsh_dup_pairs": A.q_lsh_dup_pairs,
         "minhash64": A.q_minhash64,
         "lsh_dup_pairs_scaled": A.q_lsh_dup_pairs_scaled,
         "dup_clusters": A.q_dup_clusters,
-        "jaccard_topk": A.q_jaccard_topk,
         "jaccard_topk_scaled": A.q_jaccard_topk_scaled,
-        "simhash": A.q_simhash,
         "simhash_dup_pairs": A.q_simhash_dup_pairs,
         "cosine_topk": A.q_cosine_topk,
-        "pq_topk": A.q_pq_topk,
         "ann_ivf_topk": A.q_ann_ivf_topk,
         "embed_dup_pairs": A.q_embed_dup_pairs,
         "events_window": A.q_events_window,
@@ -380,7 +405,6 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": A.q_lm_score,
         "tfidf_topterms": A.q_tfidf_topterms,
         "contamination": A.q_contamination,
-        "substring_dedup": A.q_substring_dedup,
         "doc_entropy": A.q_doc_entropy,
         "ngram_topk": A.q_ngram_topk,
         "length_quantiles": A.q_length_quantiles,
@@ -388,28 +412,41 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weights": A.q_sample_weights,
         "vocab_oov": A.q_vocab_oov,
         "prefix_dup": A.q_prefix_dup,
-        "dedup_keep": A.q_dedup_keep,
-        "lang_id": A.q_lang_id,
-        "quality": A.q_quality,
-        "token_stats": A.q_token_stats,
-        "fingerprint": A.q_fingerprint,
-        "binary_meta": A.q_binary_meta,
-        "eval_per_query": A.q_eval_per_query,
-        "eval_summary": A.q_eval_summary,
-        "host_links": A.q_host_links,
-        "pagerank": A.q_pagerank,
-        "domain_cap": A.q_domain_cap,
-        "bpe_pairs": A.q_bpe_pairs,
+    }
+
+
+def _baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exact/baseline twins of registered production ops, demoted from the
+    driver registry to keep it <=50 so every production entry gets a driver
+    correctness row each round. Each stays hash-gated (or rows-gated where
+    noted) by tools/check_oracle.py via queries_all(), plus its pytest
+    coverage; the registered twin that supersedes it is noted inline."""
+    return {
+        "minhash": A.q_minhash,                # superseded by minhash64
+        "lsh_dup_pairs": A.q_lsh_dup_pairs,    # by lsh_dup_pairs_scaled
+        "jaccard_topk": A.q_jaccard_topk,      # by jaccard_topk_scaled
+        "simhash": A.q_simhash,                # input of simhash_dup_pairs
+        "lang_id": A.q_lang_id,                # aggregated by lang_mix
+        "quality": A.q_quality,                # input of quality_filter
+        "doc_lens": A.q_doc_lens,              # rolled up by corpus_stats
+        "token_stats": A.q_token_stats,        # by token_bpe (BPE regex)
+        "dedup_keep": A.q_dedup_keep,          # derived from dup_clusters
         # iterative argmax (tokenizer training): deliberately NOT in
-        # oracle_sql — the driver records the weaker rows-only check; the
-        # value-level gate is the sequential-replica identity in
-        # tests/test_bpe.py
+        # oracle_sql — rows-only here; the value-level gate is the
+        # sequential-replica identity in tests/test_bpe.py. bpe_pairs (the
+        # hash-gated pair-count core) is registered above.
         "bpe_merges": A.q_bpe_merges,
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _released(fn) for name, fn in _queries_impl().items()}
+
+
+def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production registry + demoted baselines — the local gate surface."""
+    merged = {**_queries_impl(), **_baseline_queries()}
+    return {name: _released(fn) for name, fn in merged.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -846,6 +883,7 @@ FROM pq""",
 WITH {_HOST_EDGES}
 SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges""",
         "pagerank": _pagerank_sql(),
+        "pagerank_url": _pagerank_sql(_URL_EDGES),
         "bpe_pairs": f"""
 WITH wf AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt

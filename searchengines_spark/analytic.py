@@ -1558,6 +1558,40 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e).select("node", F.round("pr", ROUND_DP).alias("pr"))
 
 
+PR_URL_MOD = 257  # per-url derived-graph target modulus (prime, > host fanout)
+
+
+def _url_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic UN-collapsed url->url edge list: each doc is a url node
+    'u{doc_id}' with two outlinks — one intra-corpus ('u' target, usually an
+    existing doc) and one to an external sink ('x' target, a node with NO
+    outlinks) so the dangling-mass redistribution branch of pagerank() is
+    exercised by the gate, not just the host graph's fully-connected case.
+    Mirrors links.url_graph semantics (distinct pairs, w=1): per-url rank
+    is the same pagerank() call on the un-collapsed graph — only the edge
+    derivation differs (links.url_graph parses real <a href>; this gate
+    derives edges by integer arithmetic so DuckDB can replay them)."""
+    d1 = (F.col("doc_id") * 7 + F.col("n_chars")) % PR_URL_MOD
+    d2 = (F.col("doc_id") * 13 + F.col("n_chars") * 3 + 1) % PR_URL_MOD
+    src = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    pairs = docs.select(
+        src.alias("src"),
+        F.explode(F.array(
+            F.concat(F.lit("u"), d1.cast("string")),
+            F.concat(F.lit("x"), d2.cast("string")))).alias("dst"))
+    return (pairs.filter(F.col("src") != F.col("dst"))
+            .distinct().withColumn("w", F.lit(1.0)))
+
+
+def q_pagerank_url(spark, sf_dir):
+    """Per-url (per-document) PageRank: the un-collapsed-graph twin of
+    q_pagerank, exercising the dangling-mass branch (x-sinks have no
+    outlinks). This is the granularity url_priors(granularity='url')
+    feeds to LTR f4."""
+    e = _url_edges(load(spark, sf_dir, "documents"))
+    return pagerank(e).select("node", F.round("pr", ROUND_DP).alias("pr"))
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-host document cap: keep the DCAP_N largest docs per source
     (n_chars desc, doc_id asc tie-break) — the RefinedWeb/C4-style rule

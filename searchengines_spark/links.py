@@ -250,33 +250,49 @@ def anchor_texts(links: DataFrame, max_anchors: int = 32,
 
 
 def url_priors(pages: DataFrame, links: DataFrame,
-               iters: int = 5, damp: float = 0.85) -> DataFrame:
+               iters: int = 5, damp: float = 0.85,
+               granularity: str = "host") -> DataFrame:
     """(url, page_rank) per page: weighted PageRank over the real-href
-    host graph, mapped to each page by its host — the crawl-graph prior
-    the reference stores as the per-doc PageRank attribute
-    (Idx.getAttribute, LTR feature f4). Host-level rank is the standard
-    crawl-scale choice (10^12 urls collapse to ~10^8 hosts BEFORE any
-    iteration; per-url PageRank is the same pagerank() call on the
-    un-collapsed graph when a workload pays for it).
+    link graph, the crawl-graph prior the reference stores as the per-doc
+    PageRank attribute (Idx.getAttribute, LTR feature f4).
 
-    TOTAL over the pages frame (every parseable-host page gets a row):
-    hosts outside the link graph (isolated / only-internal-linking) get
-    the teleport floor (1-damp)/n — the rank a no-inlink node would earn
-    — never 0 and never the stand-in fallback, so one index never mixes
-    graph ranks with stand-in noise. Scaled x1000 into the reference
-    attribute's typical magnitude."""
+    granularity="host" (default): rank the collapsed host graph and map
+    each page to its host's rank — the standard crawl-scale choice
+    (10^12 urls collapse to ~10^8 hosts BEFORE any iteration; every page
+    of a host shares the prior). granularity="url": the same pagerank()
+    call on the un-collapsed url->url graph (url_graph below) joined back
+    per page — per-document ranks like the reference's attribute, at the
+    cost of iterating over the full url node set. Cost crossover: host
+    iterations touch O(#hosts) nodes / O(#host-pairs) edges, url
+    iterations O(#urls) / O(#distinct url links) — roughly four orders of
+    magnitude more at crawl scale — so pay for url granularity only when
+    the ranking workload actually consumes per-document priors (e.g. LTR
+    f4 on a fine-grained crawl slice).
+
+    TOTAL over the pages frame (every page with a parseable node key gets
+    a row): nodes outside the link graph (isolated / only-internal-linking
+    hosts, never-linked urls) get the teleport floor (1-damp)/n — the rank
+    a no-inlink node would earn — never 0 and never the stand-in fallback,
+    so one index never mixes graph ranks with stand-in noise. Scaled x1000
+    into the reference attribute's typical magnitude."""
     from .analytic import pagerank
 
-    pr = pagerank(host_graph(links), iters=iters, damp=damp)
-    n = max(1, pr.count())  # 1-row-per-host frame; the count is host-cheap
+    if granularity == "url":
+        pr = pagerank(url_graph(links), iters=iters, damp=damp)
+        keyed = pages.select("url", F.col("url").alias("node"))
+    elif granularity == "host":
+        pr = pagerank(host_graph(links), iters=iters, damp=damp)
+        keyed = (pages.select(
+            "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("node"))
+            .filter(F.col("node").isNotNull()))
+    else:
+        raise ValueError(f"granularity must be 'host' or 'url', got {granularity!r}")
+    n = max(1, pr.count())  # 1-row-per-node frame; host- or url-sized
     floor = (1.0 - damp) / n
-    return (pages.select(
-        "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .join(pr, "node", "left")
-        .select("url",
-                (F.coalesce(F.col("pr"), F.lit(floor)) * 1000.0)
-                .alias("page_rank")))
+    return (keyed.join(pr, "node", "left")
+            .select("url",
+                    (F.coalesce(F.col("pr"), F.lit(floor)) * 1000.0)
+                    .alias("page_rank")))
 
 
 def links_from_pages(pages: DataFrame) -> DataFrame:
@@ -295,6 +311,18 @@ def anchor_texts_from_pages(pages: DataFrame, **kw) -> DataFrame:
     yourself when links/canonical state comes from elsewhere (e.g. the
     streaming vote store)."""
     return anchor_texts(links_from_pages(pages), **kw)
+
+
+def url_graph(links: DataFrame) -> DataFrame:
+    """(src, dst, anchor) -> (src, dst, w) UN-collapsed url->url edge list,
+    w = 1 per distinct (src, dst) pair (anchor multiplicity is an anchor
+    signal, not a rank signal — one page voting for another counts once,
+    matching how host_graph counts distinct link events after its own
+    collapse). One distinct with map-side combine; node space is the url
+    space, so feed this to pagerank only when the workload pays for
+    per-document granularity (see url_priors)."""
+    return (links.select("src", "dst").filter(F.col("src") != F.col("dst"))
+            .distinct().withColumn("w", F.lit(1.0)))
 
 
 def host_graph(links: DataFrame) -> DataFrame:

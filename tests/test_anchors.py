@@ -403,6 +403,73 @@ def test_url_priors_into_index_attrs(spark, linked_pages, spark_links,
     assert sum(per_host.values()) == pytest.approx(1000.0, abs=1e-6)
 
 
+def test_url_priors_url_granularity_hand_solved(spark):
+    """Per-url PageRank (url_priors granularity='url'): hand-solved one
+    power iteration on a 3-node url graph with a dangling node, duplicate
+    (src, dst) links collapsing to w=1, TOTAL coverage (a page outside the
+    graph gets the teleport floor), and mass conservation."""
+    from searchengines_spark.analytic import pagerank
+    from searchengines_spark.links import url_graph, url_priors
+
+    a, b, c = ("http://h1.org/a", "http://h1.org/b", "http://h2.org/c")
+    links = spark.createDataFrame(
+        [(a, b, "x"), (a, b, "y"),   # duplicate pair: one vote after distinct
+         (b, a, "x"), (b, c, "x")],
+        "src string, dst string, anchor string")
+    # edges w=1: a->b, b->a, b->c; c dangling. n=3, init 1/3, damp=.85:
+    #   a: .05 + .85*(1/6 + 1/9) = 0.28611...; b: .05 + .85*(1/3 + 1/9)
+    #   = 0.42777...; c: like a. Sum = 1.
+    got = {r["node"]: r["pr"]
+           for r in pagerank(url_graph(links), iters=1).collect()}
+    assert got[a] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 9), abs=1e-12)
+    assert got[b] == pytest.approx(0.05 + 0.85 * (1 / 3 + 1 / 9), abs=1e-12)
+    assert got[c] == pytest.approx(got[a], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+    pages = spark.createDataFrame(
+        [(u,) for u in (a, b, c, "http://h3.org/outside")], "url string")
+    pri = {r["url"]: r["page_rank"]
+           for r in url_priors(pages, links, iters=1,
+                               granularity="url").collect()}
+    assert pri[a] == pytest.approx(got[a] * 1000.0, abs=1e-9)
+    assert pri[b] == pytest.approx(got[b] * 1000.0, abs=1e-9)
+    # TOTAL: never-linked page gets the teleport floor (1-damp)/n, x1000
+    assert pri["http://h3.org/outside"] == pytest.approx(50.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        url_priors(pages, links, granularity="page")
+
+
+def test_url_priors_url_granularity_real_corpus(linked_pages, spark_links):
+    """granularity='url' on the real crawl corpus matches a pure-Python
+    per-url PageRank replica over the independently parsed links; graph
+    mass conserved."""
+    from searchengines_spark.links import url_priors
+
+    edges = sorted({(s, d) for s, d, _ in _py_links() if s != d})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n, damp = len(nodes), 0.85
+    ow = defaultdict(float)
+    for s, _ in edges:
+        ow[s] += 1.0
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        dang = sum(p for v, p in pr.items() if v not in ow)
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += pr[s] / ow[s]
+        pr = {v: (1 - damp) / n + damp * (contrib.get(v, 0.0) + dang / n)
+              for v in nodes}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+    got = {r["url"]: r["page_rank"]
+           for r in url_priors(linked_pages, spark_links, iters=3,
+                               granularity="url").collect()}
+    assert len(got) == N_DOCS  # TOTAL over pages
+    floor = (1 - damp) / n
+    for url, v in got.items():
+        assert v == pytest.approx(pr.get(url, floor) * 1000.0, rel=1e-9), url
+
+
 def test_host_graph_feeds_pagerank(spark_links):
     from searchengines_spark.analytic import pagerank
 

@@ -46,7 +46,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, osql = E.queries(), E.oracle_sql()
+    # queries_all = driver registry (<=50, newest-first) + demoted baseline
+    # twins — the local gate checks the full surface every run
+    qs = E.queries_all() if hasattr(E, "queries_all") else E.queries()
+    osql = E.oracle_sql()
+    assert len(E.queries()) <= 50, "driver registry must stay <=50 entries"
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
