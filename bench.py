@@ -30,7 +30,7 @@ SF = SF_DIR.rstrip("/").split("sf")[-1]
 # 1M pages/sf-unit: at sf0.1 the 100k-page build runs ~30s at local[32] and
 # is compute-dominated (10k pages measured session overhead, not the engine)
 N_PAGES = int(os.environ.get("BENCH_N_PAGES", "0")) or max(2000, int(float(SF) * 1_000_000))
-PHASES = os.environ.get("BENCH_PHASES", "build,serve,analytic").split(",")
+PHASES = os.environ.get("BENCH_PHASES", "build,serve,anchors,analytic").split(",")
 
 SERVE_QUERIES = {
     "bm25_bow": ("cebaba1 dibaba2 fobaba3 gubaba4", "bm25"),
@@ -174,10 +174,65 @@ def main():
             queries["serve_batch12"] = round(dt, 3)
             extra["serve_batch_qps"] = round(len([q for q in out if out[q]]) / dt, 2)
 
+        if "anchors" in PHASES:
+            # anchor-text lifecycle: aggregate real <a href> votes over a
+            # link_fanout corpus, build with anchors= (inlink field), serve
+            # one t.inlink query, then a delta refresh_anchors — the full
+            # crawl-cycle path (BENCH/LIFECYCLE.md shape)
+            from pyspark.sql import functions as F_
+
+            from searchengines_spark.corpus import generate_pages
+            from searchengines_spark.engine import Engine
+            from searchengines_spark.index import IndexReader, build_index
+            from searchengines_spark.index.incremental import refresh_anchors
+            from searchengines_spark.links import anchor_texts_from_pages
+
+            n_anchor = int(os.environ.get("BENCH_ANCHOR_PAGES", "0")) or min(
+                N_PAGES, 20_000)
+            ap_path = os.path.join(idx_dir, "anchor_pages")
+            generate_pages(spark, n_anchor, seed=42,
+                           partitions=max(CPUS, n_anchor // 5000),
+                           link_fanout=3).write.parquet(ap_path)
+            apages = spark.read.parquet(ap_path)
+            t0 = time.time()
+            anc_path = os.path.join(idx_dir, "anchors_tbl")
+            anchor_texts_from_pages(apages).write.parquet(anc_path)
+            queries["anchor_aggregate"] = round(time.time() - t0, 3)
+            anc = spark.read.parquet(anc_path)
+
+            d_anchor = os.path.join(idx_dir, "idx_anchor")
+            t0 = time.time()
+            build_index(spark, apages, d_anchor, n_salts=32, anchors=anc)
+            queries["anchor_build"] = round(time.time() - t0, 3)
+
+            eng_a = Engine(IndexReader(spark, d_anchor))
+            top2 = (anc.select(F_.explode(F_.split("inlink", " ")).alias("t"))
+                    .groupBy("t").count()
+                    .orderBy(F_.desc("count"), F_.asc("t")).limit(2).collect())
+            q_inlink = "#SUM( " + " ".join(
+                f"{r['t']}.inlink" for r in top2) + " )"
+            eng_a.search(q_inlink, model="bm25", k=100).collect()  # warm
+            t0 = time.time()
+            eng_a.search(q_inlink, model="bm25", k=100).collect()
+            queries["serve_inlink"] = round(time.time() - t0, 3)
+
+            # delta refresh: ~2% of urls gain a new anchor token — the
+            # per-crawl-cycle shape (re-index ONLY the changed targets)
+            delta = (anc.filter(F_.pmod(F_.xxhash64("url"), F_.lit(50)) == 0)
+                     .withColumn("inlink",
+                                 F_.concat("inlink", F_.lit(" freshanchor"))))
+            t0 = time.time()
+            m_r = refresh_anchors(spark, d_anchor, apages, delta, delta=True)
+            queries["anchor_refresh"] = round(time.time() - t0, 3)
+            extra["anchor_refreshed_docs"] = m_r.get("refreshed", 0)
+
         if "analytic" in PHASES:
             import __spark_entry__ as E
 
-            qs = E.queries()
+            # queries_all: the bench battery includes exact-baseline twins
+            # (minhash, jaccard_topk, simhash, quality) demoted from the
+            # <=50-entry driver registry but still bench-relevant
+            qs = E.queries_all() if hasattr(E, "queries_all") else E.queries()
             # session warm-up, mirroring the serve phase: Python/Arrow
             # worker spawn + first whole-stage-codegen compile are
             # per-session costs (~6s at 32-wide) that would otherwise be
@@ -221,14 +276,25 @@ def main():
     d = [y - x for x, y in zip(stat0, stat1)]
     extra["host_steal_pct"] = round(100.0 * d[7] / max(1, sum(d)), 2)
     extra["host_loop_mops_end"] = _loop_rate()
-    print(json.dumps({
+    payload = {
         "metric": "index-build+serve+analytic wall clock",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": float(SF),
-        **extra,
-    }))
+    }
+    # full record (per-run arrays, stage timings) goes to a file; stdout
+    # gets ONE COMPACT line as the very last output — the driver only
+    # tail-captures stdout, and the r3 record was lost to a line that
+    # outgrew that window
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_run_detail.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump({**payload, **extra}, f, indent=2, sort_keys=True)
+    scalars = {k: v for k, v in extra.items()
+               if not isinstance(v, (list, dict))}
+    print(json.dumps({**payload, **scalars}, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -347,6 +347,61 @@ def _delete_keys(col: str):
     return F.expr(f"array_distinct(concat(array({col}), {d1}, {d2}))")
 
 
+def py_delete_keys(w: str) -> list[str]:
+    """Driver-side replica of _delete_keys: the term plus its depth-<=2
+    delete neighborhood (same SET as the Catalyst expression — gated by
+    tests/test_spell.py). Used to key a query batch without a Spark job:
+    query-side keys are batch-bounded (~16/term), never vocab-bounded."""
+    d1 = [w[:i] + w[i + 1:] for i in range(len(w))]
+    d2 = [s[:j] + s[j + 1:] for s in d1 for j in range(len(s))]
+    out, seen = [], set()
+    for k in [w] + d1 + d2:
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
+def _rank_suggestions(cand: DataFrame, max_d: int, top: int) -> DataFrame:
+    """Shared verify+rank tail: exact levenshtein on the candidate-sized
+    set, then top-`top` per query by (distance asc, ctf desc, term asc)."""
+    from pyspark.sql import Window
+
+    cand = (cand.select("q", "term", "ctf").distinct()
+            .withColumn("dist", F.levenshtein("q", "term").cast("long"))
+            .filter(F.col("dist") <= max_d))
+    w = Window.partitionBy("q").orderBy(
+        F.asc("dist"), F.desc("ctf"), F.asc("term"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top)
+            .select("q", F.col("term").alias("suggestion"), "dist", "ctf",
+                    F.col("rn").cast("long").alias("rnk")))
+
+
+def spell_suggest_keys(vkeys: DataFrame, queries: list[str],
+                       max_d: int = SPELL_MAX_D,
+                       top: int = SPELL_TOP) -> DataFrame:
+    """spell_suggest against a PRE-EXPLODED (k, term, ctf) delete-key table
+    — the index sidecar path (index/spellkeys.py). Query keys are computed
+    driver-side and pushed into the vkeys scan as an IN() predicate, so the
+    parquet read is row-group-pruned to the batch's handful of keys (the
+    sidecar is sorted on k): a point read per suggestion, no vocab-sized
+    explode or scan anywhere in the plan."""
+    if max_d > 2:
+        raise ValueError("spell_suggest supports max_d <= 2 "
+                         "(SymSpell delete depth is fixed at 2)")
+    spark = vkeys.sparkSession
+    if not queries:
+        return spark.createDataFrame(
+            [], "q string, suggestion string, dist long, ctf long, rnk long")
+    qpairs = [(q, k) for q in queries for k in py_delete_keys(q)]
+    qdf = spark.createDataFrame(qpairs, "q string, k string")
+    keys = sorted({k for _, k in qpairs})
+    cand = (vkeys.filter(F.col("k").isin(keys))
+            .join(F.broadcast(qdf), "k"))
+    return _rank_suggestions(cand, max_d, top)
+
+
 def spell_suggest(vocab: DataFrame, queries: list[str],
                   max_d: int = SPELL_MAX_D, top: int = SPELL_TOP) -> DataFrame:
     """Spell correction against a (term, ctf) vocabulary, SymSpell shape:
@@ -376,18 +431,8 @@ def spell_suggest(vocab: DataFrame, queries: list[str],
     qkeys = qdf.select("q", F.explode(_delete_keys("q")).alias("k"))
     # broadcast the QUERY-side keys (bounded by the query batch, ~16
     # keys/term), never the vocab delete table (10^9-vocab x 16 at scale)
-    cand = (F.broadcast(qkeys).join(vkeys, "k")
-            .select("q", "term", "ctf").distinct()
-            .withColumn("dist", F.levenshtein("q", "term").cast("long"))
-            .filter(F.col("dist") <= max_d))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q").orderBy(
-        F.asc("dist"), F.desc("ctf"), F.asc("term"))
-    return (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top)
-            .select("q", F.col("term").alias("suggestion"), "dist", "ctf",
-                    F.col("rn").cast("long").alias("rnk")))
+    cand = F.broadcast(qkeys).join(vkeys, "k")
+    return _rank_suggestions(cand, max_d, top)
 
 
 def q_spell(spark, sf_dir):

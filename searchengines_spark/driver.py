@@ -13,6 +13,10 @@ Parameter keys mirror the reference param files (PARAM_DIR/*.param):
   diversity:maxInputRankingsLength, diversity:maxResultRankingLength,
   diversity:intentsFile
   ltr:trainingQueryFile, ltr:trainingQrelsFile (qid 0 extid rel)
+  snippets=true, snippets:width, snippets:length, snippets:pagesPath,
+  snippets:outputPath (engine extension — the reference emits bare TREC
+  ids; a snippeted run writes 'qid url rank snippet' lines to a sidecar
+  file next to the TREC output)
 """
 
 from __future__ import annotations
@@ -81,7 +85,45 @@ def run_param_file(reader: IndexReader, params: dict | str,
     if "trecEvalOutputPath" in params:
         with open(params["trecEvalOutputPath"], "w") as f:
             f.write("\n".join(lines) + "\n")
+    if str(params.get("snippets", "false")).lower() == "true":
+        _write_snippets(reader, params, queries, lines)
     return lines
+
+
+def _write_snippets(reader: IndexReader, params: dict,
+                    queries: dict[str, str], lines: list[str]) -> list[str]:
+    """Snippet sidecar for a param-file run: for each query's top
+    ``snippets:length`` TREC results, the best-window highlighted passage
+    (Engine.snippets — window rule shared with the DuckDB-gated
+    analytic.q_snippet) as ``qid url rank snippet`` lines written to
+    ``snippets:outputPath`` (default: trecEvalOutputPath + '.snippets').
+
+    ``snippets:pagesPath`` names the raw pages parquet (the index stores
+    postings, not text — snippeting is a doc-store point fetch). Per query
+    the work is k-bounded: the result frame broadcasts into the pages scan
+    and the window walk is a k-row mapInPandas; nothing corpus-sized
+    moves."""
+    eng = Engine(reader)
+    pages = reader.spark.read.parquet(params["snippets:pagesPath"])
+    width = int(params.get("snippets:width", 30))
+    topn = int(params.get("snippets:length", 10))
+    out_path = params.get("snippets:outputPath") or (
+        params["trecEvalOutputPath"] + ".snippets")
+    ranked = parse_ranking(lines)
+    out_lines: list[str] = []
+    for qid, q in queries.items():
+        top = [(u, s) for u, s in ranked.get(qid, [])[:topn] if u != "dummy"]
+        if not top:
+            continue
+        res = reader.spark.createDataFrame(top, ["url", "score"])
+        snips = {r["url"]: r["snippet"]
+                 for r in eng.snippets(res, pages, q, width=width).collect()}
+        for rank, (u, _s) in enumerate(top, 1):
+            if u in snips:
+                out_lines.append(f"{qid} {u} {rank} {snips[u]}")
+    with open(out_path, "w") as f:
+        f.write("\n".join(out_lines) + "\n")
+    return out_lines
 
 
 def parse_intents(path_or_lines) -> dict[str, list[tuple[int, str]]]:

@@ -321,11 +321,17 @@ class Engine:
         fetch is a pruned point read; here it is a filtered scan."""
         import math as _m
 
-        row = (self.reader.docid_url_map().filter(F.col("url") == url)
-               .select("docid").limit(1).collect())
-        if not row:
+        live = self.reader.docid_url_map().filter(F.col("url") == url)
+        dels = self.reader.deletes_df()
+        if dels is not None:
+            # exclude tombstones: on an upserted index the url maps to both
+            # the old (tombstoned) and the new docid — reading the stale
+            # pre-recrawl doc vector would be nondeterministic; a deleted-
+            # but-uncompacted url must error, not silently serve
+            live = live.join(F.broadcast(dels), "docid", "left_anti")
+        docid = live.agg(F.max("docid")).collect()[0][0]
+        if docid is None:
             raise KeyError(f"url not indexed: {url}")
-        docid = row[0]["docid"]
         vec = (self.reader.doc_terms()
                .filter((F.col("docid") == docid) & (F.col("field") == field))
                .select("term", "tf").collect())
@@ -349,14 +355,29 @@ class Engine:
         exact levenshtein verify — see analytic.spell_suggest. Raw input
         terms are matched as typed (no stemming: a misspelling's stem is
         meaningless); suggestions come back as indexed (stemmed) terms,
-        directly usable in a follow-up query."""
-        from .analytic import spell_suggest
+        directly usable in a follow-up query.
 
+        Serving path: the build/compact-materialized delete-key sidecar
+        (index/spellkeys.py) when it is fresh — a row-group-pruned point
+        read keyed by the batch's driver-computed delete keys, no
+        vocab-sized explode per call. After an append/upsert the sidecar
+        is stale (term_stats moved on); then this falls back to the
+        on-the-fly delete join until the next compact(), exactly like a
+        Lucene suggester rebuilt at segment-merge time."""
+        from .analytic import spell_suggest, spell_suggest_keys
+        from .index.spellkeys import read_spell_keys
+
+        qs = [t.lower() for t in terms]
+        side = read_spell_keys(self.reader.spark, self.reader.index_dir)
+        if side is not None:
+            vkeys = (side.filter(F.col("field") == field)
+                     .select("k", "term",
+                             F.col("ctf").cast("long").alias("ctf")))
+            return spell_suggest_keys(vkeys, qs, max_d=max_d, top=top)
         vocab = (self.reader.term_stats_df()
                  .filter(F.col("field") == field)
                  .select("term", F.col("ctf").cast("long").alias("ctf")))
-        return spell_suggest(vocab, [t.lower() for t in terms],
-                             max_d=max_d, top=top)
+        return spell_suggest(vocab, qs, max_d=max_d, top=top)
 
     def snippets(self, results: DataFrame, pages: DataFrame, query: str,
                  width: int = 30, field: str = "body") -> DataFrame:

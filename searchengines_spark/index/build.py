@@ -485,7 +485,12 @@ def build_index(
             # future anchor tables against exactly these rows. Keyed by
             # docid (minted once) so live-filtering survives upserts.
             state_path = os.path.join(index_dir, "anchor_state")
-            anchors.select("url", "inlink").join(docids, "url").select(
+            from ..links import one_anchor_row_per_url
+
+            # defensively reduce to one row per url (latest epoch wins for
+            # a multi-epoch streaming delta read) — a duplicate url here
+            # would duplicate page rows and inflate tf/df silently
+            one_anchor_row_per_url(anchors).join(docids, "url").select(
                 "docid", "url", "inlink"
             ).write.mode("overwrite").parquet(state_path)
             anc = spark.read.parquet(state_path).select(
@@ -524,6 +529,12 @@ def build_index(
         _write_doc_lens_wide(spark, index_dir)
         _mark_stage(index_dir, "doc_terms")
         _lap("doc_terms")
+    elif anchors is not None:
+        # the tokenize stage (where anchors index into the inlink field)
+        # was resumed as-is; a newly supplied anchors frame cannot take
+        # effect without a rebuild or refresh_anchors — surface that like
+        # the page_ranks resume branch does instead of silently no-op'ing
+        metrics["anchors_ignored_on_resume"] = True
     doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
 
     # -- stage 3: stats tables ----------------------------------------------
@@ -545,6 +556,12 @@ def build_index(
             [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"]
         )
         field_stats.unionByName(meta_row).write.mode("overwrite").parquet(field_stats_path)
+        # spell sidecar: materialize the SymSpell delete-key table once per
+        # build/compact so Engine.suggest is a pruned point read, never a
+        # vocab-sized explode per call (index/spellkeys.py)
+        from .spellkeys import write_spell_keys
+
+        write_spell_keys(spark, index_dir)
         _mark_stage(index_dir, "stats")
         _lap("stats")
 

@@ -155,7 +155,12 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         # fresh, so append-mode rows never collide — live-filtering on
         # docid resolves upserted urls.
         state_path = os.path.join(index_dir, "anchor_state")
-        anchors.select("url", "inlink").join(new_ids, "url").select(
+        from ..links import one_anchor_row_per_url
+
+        # one row per url (latest epoch wins on a streaming delta read):
+        # a duplicate url would duplicate page rows in the join below and
+        # silently index inflated tf/df postings
+        one_anchor_row_per_url(anchors).join(new_ids, "url").select(
             "docid", "url", "inlink"
         ).write.mode("append").parquet(state_path)
         anc = (spark.read.parquet(state_path)
@@ -360,6 +365,12 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
         raise ValueError("index has no anchor_state — build it with "
                          "build_index(anchors=...) first")
     t0 = time.time()
+    from ..links import one_anchor_row_per_url
+
+    # normalize once at entry (latest epoch per url wins): the delta path
+    # documents 'one row per url, latest value', but a direct
+    # spark.read.parquet(out_dir) across epoch partitions violates it
+    anchors = one_anchor_row_per_url(anchors)
     reader = IndexReader(spark, index_dir)
     live = reader.docid_url_map()
     dels = reader.deletes_df()
@@ -564,6 +575,12 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     _swap(index_dir, "blocks")
     for name in ("blocks_segments_old", "blocks_old"):
         shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    # refresh the spell-suggest delete-key sidecar against the compacted
+    # term_stats (appends leave it stale on purpose — see index/spellkeys.py)
+    from .spellkeys import write_spell_keys
+
+    write_spell_keys(spark, index_dir)
 
     manifest["salt_range"] = salt_range
     manifest["n_salts"] = n_salts

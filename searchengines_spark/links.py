@@ -295,6 +295,23 @@ def url_priors(pages: DataFrame, links: DataFrame,
                     .alias("page_rank")))
 
 
+def one_anchor_row_per_url(anchors: DataFrame) -> DataFrame:
+    """Normalize an anchors frame to ONE (url, inlink) row per url — the
+    contract every index path joins on (build/append/upsert/refresh join
+    pages to anchors by url; duplicate urls would duplicate page rows and
+    silently index inflated tf/df postings). Reading a streaming delta
+    directory (stream_anchor_votes' out_dir) across epoch partitions yields
+    one row per url PER EPOCH: when an `epoch` column is present the latest
+    epoch wins (the documented delta semantics); otherwise ties break on
+    inlink desc — a deterministic pick that is a no-op on an already-unique
+    frame. One narrow window over (url) on a urls-sized table."""
+    order = ([F.desc("epoch")] if "epoch" in anchors.columns else []) + \
+        [F.desc("inlink")]
+    w = Window.partitionBy("url").orderBy(*order)
+    return (anchors.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1).select("url", "inlink"))
+
+
 def links_from_pages(pages: DataFrame) -> DataFrame:
     """The crawl-correct link derivation: extract (nofollow-honoring) ->
     redirect through the canonical map. Shared by anchor aggregation and

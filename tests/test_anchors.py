@@ -403,6 +403,42 @@ def test_url_priors_into_index_attrs(spark, linked_pages, spark_links,
     assert sum(per_host.values()) == pytest.approx(1000.0, abs=1e-6)
 
 
+def test_one_anchor_row_per_url(spark):
+    """Multi-epoch streaming-delta reads collapse to one row per url with
+    the latest epoch winning; epoch-less frames stay deterministic."""
+    from searchengines_spark.links import one_anchor_row_per_url
+
+    multi = spark.createDataFrame(
+        [("http://a", "old text", 0), ("http://a", "new text", 1),
+         ("http://b", "only", 0)],
+        "url string, inlink string, epoch long")
+    got = {r["url"]: r["inlink"]
+           for r in one_anchor_row_per_url(multi).collect()}
+    assert got == {"http://a": "new text", "http://b": "only"}
+
+    dup = spark.createDataFrame(
+        [("http://a", "x"), ("http://a", "z"), ("http://b", "only")],
+        "url string, inlink string")
+    got = {r["url"]: r["inlink"]
+           for r in one_anchor_row_per_url(dup).collect()}
+    assert got == {"http://a": "z", "http://b": "only"}  # inlink desc
+
+
+def test_anchors_ignored_on_resume_surfaced(spark, linked_pages, spark_links,
+                                            tmp_path_factory):
+    """build_index(resume=True, anchors=...) with the doc_terms stage
+    already complete must surface the no-op like the page_ranks branch."""
+    from searchengines_spark.index import build_index
+
+    d = str(tmp_path_factory.mktemp("resume_anchor"))
+    build_index(spark, linked_pages, d, n_salts=4)
+    anc = anchor_texts(spark_links)
+    m = build_index(spark, linked_pages, d, n_salts=4, resume=True,
+                    anchors=anc)
+    assert m.get("anchors_ignored_on_resume") is True
+    assert "anchor_inlinks" not in m
+
+
 def test_url_priors_url_granularity_hand_solved(spark):
     """Per-url PageRank (url_priors granularity='url'): hand-solved one
     power iteration on a 3-node url graph with a dangling node, duplicate

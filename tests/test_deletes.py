@@ -206,6 +206,16 @@ def test_upsert_replaces_recrawled_content(spark, tmp_path):
     urls = [h["url"] for h in hits]
     assert len(urls) == len(set(urls))
 
+    # more_like_this on an upserted url must read the NEW doc vector: the
+    # url maps to both the tombstoned and the live docid until compact, and
+    # the stale vector would select pre-recrawl terms. The recrawled docs'
+    # only discriminative term is the marker, so MLT's expansion hits
+    # exactly the www2 set.
+    mlt = [r["url"] for r in
+           e.more_like_this(urls[0], top_terms=5, k=50).collect()]
+    assert mlt and all(u.startswith("https://www2") for u in mlt)
+    assert urls[0] in mlt
+
     compact(spark, d, n_salts=4)
     d_fresh = str(tmp_path / "fresh")
     build_index(
@@ -217,3 +227,9 @@ def test_upsert_replaces_recrawled_content(spark, tmp_path):
     assert [u for u, _ in got] == [u for u, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9)
+
+    # a deleted-but-uncompacted url must ERROR from more_like_this, not
+    # silently serve the tombstoned doc vector
+    delete_pages(spark, d, spark.createDataFrame([(urls[0],)], ["url"]))
+    with pytest.raises(KeyError):
+        Engine(IndexReader(spark, d)).more_like_this(urls[0])

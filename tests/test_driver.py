@@ -375,3 +375,45 @@ def test_search_batch_mixed_fields_and_models(spark, tiny_index):
         assert [u for u, _ in got] == [u for u, _ in want], qid
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-9), qid
+
+
+def test_run_param_file_snippets(spark, tiny_index, tmp_path):
+    """snippets=true on a param-file run writes the 'qid url rank snippet'
+    sidecar next to the TREC output: highlighted passages for the top
+    snippets:length results, none for dummy rows; byte-compared against a
+    committed golden (GOLDEN_REGEN=1 to refresh)."""
+    import os
+    import shutil
+
+    from searchengines_spark.corpus import generate_pages
+    from searchengines_spark.driver import run_param_file
+
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 300, seed=42, partitions=4).write.parquet(pages_path)
+    qf = tmp_path / "q.qry"
+    qf.write_text("1:cebaba1 dibaba2\n2:zzznope\n")
+    trec = str(tmp_path / "out.teIn")
+    params = {"retrievalAlgorithm": "BM25", "queryFilePath": str(qf),
+              "trecEvalOutputPath": trec, "trecEvalOutputLength": "10",
+              "snippets": "true", "snippets:pagesPath": pages_path,
+              "snippets:width": "20", "snippets:length": "3"}
+    lines = run_param_file(tiny_index, params)
+
+    snip_path = trec + ".snippets"
+    assert os.path.exists(snip_path)
+    with open(snip_path) as f:
+        got = f.read()
+    rows = got.strip().split("\n")
+    # 3 snippet rows for q1 (top-3); the no-match query's dummy row gets none
+    assert len(rows) == 3 and all(r.startswith("1 ") for r in rows)
+    assert all("**" in r for r in rows)  # match-highlighted passages
+    # url + rank columns mirror the TREC top-3 order
+    trec_top = [ln.split()[2] for ln in lines if ln.startswith("1 ")][:3]
+    assert [r.split()[1] for r in rows] == trec_top
+    assert [r.split()[2] for r in rows] == ["1", "2", "3"]
+
+    golden = os.path.join(os.path.dirname(__file__), "golden", "snippets.out")
+    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+        shutil.copy(snip_path, golden)
+    with open(golden) as f:
+        assert got == f.read()

@@ -35,10 +35,15 @@ def _pydels(w: str) -> set[str]:
 
 @pytest.mark.parametrize("word", ["a", "ab", "spark", "cebaba1", "xx1"])
 def test_delete_keys_replica(spark, word):
+    from searchengines_spark.analytic import py_delete_keys
+
     row = (spark.createDataFrame([(word,)], ["t"])
            .select(_delete_keys("t").alias("ks")).first())
     assert set(row["ks"]) == _pydels(word)
     assert row["ks"][0] == word  # the term itself is always a key
+    # driver-side replica (the sidecar path's query keying) — same set
+    assert set(py_delete_keys(word)) == _pydels(word)
+    assert py_delete_keys(word)[0] == word
 
 
 def test_spell_guards(tiny_index):
@@ -66,3 +71,73 @@ def test_engine_suggest_matches_bruteforce(tiny_index):
         assert got.get(q, []) == want, q
     assert got["zzzzzzzz"] == []  # no candidate within distance 2
     assert got["cebbaa1"] and got["cebbaa1"][0][0] == "cebaba1"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_suggest_serves_from_sidecar(tiny_index):
+    """On a freshly built index, Engine.suggest reads the materialized
+    spell_keys sidecar: the plan contains NO Generate (explode) node —
+    the vocab-sized delete-key explode happened once at build time — and
+    scans the sidecar with the batch's keys pushed down."""
+    from searchengines_spark.index.spellkeys import read_spell_keys
+
+    assert read_spell_keys(tiny_index.spark, tiny_index.index_dir) is not None
+    df = Engine(tiny_index).suggest(["cebbaa1", "dibaba"])
+    assert any("spell_keys" in f for f in df.inputFiles())
+    assert "Generate" not in _plan(df)  # no vocab-sized explode per call
+    assert df.count() > 0
+
+
+def test_suggest_stale_fallback_and_compact_refresh(spark, tmp_path):
+    """Append -> sidecar stale -> suggest falls back to the on-the-fly
+    delete join (correct, vocab-exploding); compact -> sidecar refreshed
+    -> pruned path again, suggestions identical."""
+    from searchengines_spark.corpus import generate_pages
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import append_pages, compact
+    from searchengines_spark.index.spellkeys import read_spell_keys
+
+    pages = generate_pages(spark, 150, seed=21, partitions=3)
+    extra = generate_pages(spark, 200, seed=21, partitions=3).subtract(pages)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4)
+    assert read_spell_keys(spark, d) is not None
+
+    append_pages(spark, d, extra)
+    assert read_spell_keys(spark, d) is None  # term_stats moved on
+    eng = Engine(IndexReader(spark, d))
+    df = eng.suggest(["cebbaa1", "dibaba"])
+    assert "Generate" in _plan(df)  # fallback explodes on the fly
+    stale_rows = sorted(map(tuple, df.collect()))
+
+    compact(spark, d, n_salts=4)
+    assert read_spell_keys(spark, d) is not None
+    eng2 = Engine(IndexReader(spark, d))
+    df2 = eng2.suggest(["cebbaa1", "dibaba"])
+    assert any("spell_keys" in f for f in df2.inputFiles())
+    assert "Generate" not in _plan(df2)
+    # same post-append vocabulary -> identical suggestions on either path
+    assert sorted(map(tuple, df2.collect())) == stale_rows
+
+
+def test_suggest_sidecar_survives_snapshot(tiny_index):
+    """Time-travel readers keep the fast suggest path: the hard-linked
+    snapshot tree shares inodes/sizes/mtimes and the sidecar's signature
+    is path-relative, so it verifies fresh under the snapshot root."""
+    from searchengines_spark.index import IndexReader
+    from searchengines_spark.index.snapshots import list_snapshots
+    from searchengines_spark.index.spellkeys import read_spell_keys
+
+    v = int(list_snapshots(tiny_index.index_dir)[-1]["version"])
+    snap_reader = IndexReader(tiny_index.spark, tiny_index.index_dir,
+                              snapshot=v)
+    assert read_spell_keys(snap_reader.spark,
+                           snap_reader.index_dir) is not None
+    df = Engine(snap_reader).suggest(["cebbaa1"])
+    assert any("spell_keys" in f for f in df.inputFiles())
+    assert "Generate" not in _plan(df)
+    live = sorted(map(tuple, Engine(tiny_index).suggest(["cebbaa1"]).collect()))
+    assert sorted(map(tuple, df.collect())) == live
