@@ -339,6 +339,32 @@ def upsert_pages(spark: SparkSession, index_dir: str,
             "snapshot": a.get("snapshot", d.get("snapshot"))}
 
 
+def anchor_changed_urls(spark: SparkSession, index_dir: str,
+                        anchors: DataFrame, delta: bool) -> DataFrame:
+    """The refresh_anchors join-diff as a LAZY frame: live urls whose new
+    anchor aggregate differs from the indexed anchor_state ('' == absent).
+    Anchor-table-sized and narrow — two semi-joins against the live docid
+    map plus one url equi-join; nothing corpus-sized shuffles. Factored out
+    so tools/capture_plans.py captures exactly the plan refresh_anchors
+    executes."""
+    state_path = os.path.join(index_dir, "anchor_state")
+    reader = IndexReader(spark, index_dir)
+    live = reader.docid_url_map()
+    dels = reader.deletes_df()
+    if dels is not None:
+        live = live.join(F.broadcast(dels), "docid", "left_anti")
+    state = (spark.read.parquet(state_path)
+             .join(live.select("docid"), "docid", "left_semi")
+             .select("url", F.col("inlink").alias("old_inlink")))
+    new = (anchors.select("url", F.col("inlink").alias("new_inlink"))
+           .join(live.select("url"), "url", "left_semi"))
+    diff = F.coalesce(F.col("old_inlink"), F.lit("")) != F.coalesce(
+        F.col("new_inlink"), F.lit(""))
+    if delta:  # urls absent from the partial table are untouched
+        return new.join(state, "url", "left").filter(diff).select("url")
+    return state.join(new, "url", "full_outer").filter(diff).select("url")
+
+
 def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
                     anchors: DataFrame, delta: bool = False,
                     page_ranks: DataFrame | None = None) -> dict:
@@ -371,22 +397,7 @@ def refresh_anchors(spark: SparkSession, index_dir: str, pages: DataFrame,
     # documents 'one row per url, latest value', but a direct
     # spark.read.parquet(out_dir) across epoch partitions violates it
     anchors = one_anchor_row_per_url(anchors)
-    reader = IndexReader(spark, index_dir)
-    live = reader.docid_url_map()
-    dels = reader.deletes_df()
-    if dels is not None:
-        live = live.join(F.broadcast(dels), "docid", "left_anti")
-    state = (spark.read.parquet(state_path)
-             .join(live.select("docid"), "docid", "left_semi")
-             .select("url", F.col("inlink").alias("old_inlink")))
-    new = (anchors.select("url", F.col("inlink").alias("new_inlink"))
-           .join(live.select("url"), "url", "left_semi"))
-    diff = F.coalesce(F.col("old_inlink"), F.lit("")) != F.coalesce(
-        F.col("new_inlink"), F.lit(""))
-    if delta:  # urls absent from the partial table are untouched
-        changed = new.join(state, "url", "left").filter(diff).select("url")
-    else:
-        changed = state.join(new, "url", "full_outer").filter(diff).select("url")
+    changed = anchor_changed_urls(spark, index_dir, anchors, delta)
     # materialize NOW: the upsert below tombstones these very urls, and a
     # lazy `changed` would re-evaluate against the post-delete live set
     # (re-listed deletes/) inside append_pages — evaluating EMPTY, deleting

@@ -235,6 +235,41 @@ def main() -> None:
         "celebrity page never funnels its raw anchor set into one task.",
         fmt(anc)))
 
+    idx_anchor = "/tmp/plans_anchor_idx"
+    if not os.path.exists(os.path.join(idx_anchor, "MANIFEST.json")):
+        build_index(spark, linked, idx_anchor, n_salts=4, anchors=anc)
+    from searchengines_spark.index.incremental import anchor_changed_urls
+
+    delta_tbl = (anc.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+                 .withColumn("inlink", F.concat("inlink", F.lit(" newtok"))))
+    changed = anchor_changed_urls(spark, idx_anchor, delta_tbl, delta=True)
+    sections.append((
+        "refresh_anchors delta diff (changed-url selection)",
+        "What to look for: the diff is anchor-table-sized and narrow — the "
+        "partial delta table left-semi-joins the live docid map (tombstones "
+        "anti-joined first), equi-joins the indexed anchor_state on url, and "
+        "the '' == absent inequality filter keeps only genuinely changed "
+        "urls. NO page html is read anywhere in this plan (pages join only "
+        "the changed slice, inside the subsequent upsert); nothing "
+        "corpus-sized shuffles.",
+        fmt(changed)))
+
+    from searchengines_spark.index.spellkeys import read_spell_keys
+
+    sidecar = read_spell_keys(spark, idx)
+    assert sidecar is not None, "freshly built index must carry spell_keys"
+    suggest = e.suggest(["hacebb4", "badbia5"])
+    sections.append((
+        "Engine.suggest over the spell_keys sidecar (point-read path)",
+        "What to look for: the vocab side is the build-materialized "
+        "spell_keys sidecar scan with `PushedFilters: [In(k, ...)]` — the "
+        "batch's driver-computed delete keys prune row groups of the "
+        "(field, k)-sorted parquet, a point read like a norms stripe; NO "
+        "Generate/explode node anywhere (the vocab-sized delete explode ran "
+        "once at build time); `levenshtein` verify on the candidate-sized "
+        "join output only.",
+        fmt(suggest)))
+
     snip = A.q_snippet(spark, "/root/testdata/sf0.001")
     sections.append((
         "Snippet best-window selection (batch twin)",
