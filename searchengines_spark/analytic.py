@@ -391,6 +391,12 @@ def spell_suggest_keys(vkeys: DataFrame, queries: list[str],
         raise ValueError("spell_suggest supports max_d <= 2 "
                          "(SymSpell delete depth is fixed at 2)")
     spark = vkeys.sparkSession
+    # length guard BEFORE the driver-side key expansion: py_delete_keys is
+    # O(len^2) keys per term, so a pasted 200-char junk token would emit
+    # ~40k IN() literals. Correctness-neutral: sidecar terms are all
+    # <= SPELL_MAX_LEN and levenshtein >= |len(q)-len(t)|, so a query term
+    # longer than SPELL_MAX_LEN+max_d can never match within max_d.
+    queries = [q for q in queries if len(q) <= SPELL_MAX_LEN + max_d]
     if not queries:
         return spark.createDataFrame(
             [], "q string, suggestion string, dist long, ctf long, rnk long")

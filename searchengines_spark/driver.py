@@ -99,10 +99,16 @@ def _write_snippets(reader: IndexReader, params: dict,
     ``snippets:outputPath`` (default: trecEvalOutputPath + '.snippets').
 
     ``snippets:pagesPath`` names the raw pages parquet (the index stores
-    postings, not text — snippeting is a doc-store point fetch). Per query
-    the work is k-bounded: the result frame broadcasts into the pages scan
-    and the window walk is a k-row mapInPandas; nothing corpus-sized
-    moves."""
+    postings, not text — snippeting is a doc-store point fetch). ALL
+    queries run as ONE Spark job (Engine.snippets_batch): the whole
+    batch's (qid, url) hits broadcast into a single pages scan and one
+    (sum of k)-row mapInPandas walks every window; nothing corpus-sized
+    moves, and a 100-query run costs one scan, not 100."""
+    if ("snippets:outputPath" not in params
+            and "trecEvalOutputPath" not in params):
+        raise ValueError(
+            "snippets=true needs snippets:outputPath (or trecEvalOutputPath"
+            " to derive '<trecEvalOutputPath>.snippets' from)")
     eng = Engine(reader)
     pages = reader.spark.read.parquet(params["snippets:pagesPath"])
     width = int(params.get("snippets:width", 30))
@@ -110,17 +116,18 @@ def _write_snippets(reader: IndexReader, params: dict,
     out_path = params.get("snippets:outputPath") or (
         params["trecEvalOutputPath"] + ".snippets")
     ranked = parse_ranking(lines)
+    tops = {qid: [(u, s) for u, s in ranked.get(qid, [])[:topn]
+                  if u != "dummy"] for qid in queries}
+    rows = [(qid, u, s) for qid, top in tops.items() for u, s in top]
     out_lines: list[str] = []
-    for qid, q in queries.items():
-        top = [(u, s) for u, s in ranked.get(qid, [])[:topn] if u != "dummy"]
-        if not top:
-            continue
-        res = reader.spark.createDataFrame(top, ["url", "score"])
-        snips = {r["url"]: r["snippet"]
-                 for r in eng.snippets(res, pages, q, width=width).collect()}
-        for rank, (u, _s) in enumerate(top, 1):
-            if u in snips:
-                out_lines.append(f"{qid} {u} {rank} {snips[u]}")
+    if rows:
+        res = reader.spark.createDataFrame(rows, ["qid", "url", "score"])
+        got = eng.snippets_batch(res, pages, queries, width=width).collect()
+        snips = {(r["qid"], r["url"]): r["snippet"] for r in got}
+        for qid in queries:
+            for rank, (u, _s) in enumerate(tops.get(qid, []), 1):
+                if (qid, u) in snips:
+                    out_lines.append(f"{qid} {u} {rank} {snips[(qid, u)]}")
     with open(out_path, "w") as f:
         f.write("\n".join(out_lines) + "\n")
     return out_lines

@@ -395,6 +395,22 @@ class Engine:
         by url the scan prunes to k buckets), and the window walk is one
         stateless mapInPandas over k rows. Nothing corpus-sized shuffles.
         Returns (url, score, start, n_terms, snippet)."""
+        out = self.snippets_batch(
+            results.withColumn("qid", F.lit("_q")), pages, {"_q": query},
+            width=width, field=field)
+        return out.drop("qid").orderBy(F.desc("score"), F.asc("url"))
+
+    def snippets_batch(self, results: DataFrame, pages: DataFrame,
+                       queries: dict[str, str], width: int = 30,
+                       field: str = "body") -> DataFrame:
+        """Multi-query twin of :meth:`snippets`: `results` carries
+        (qid, url, score) rows for ALL queries of a batch, `queries` maps
+        qid -> query string. ONE broadcast join into the pages scan and ONE
+        mapInPandas over the (sum of k)-bounded hit rows serve every query
+        — a param-file run with 100 queries costs one pages scan, not 100
+        sequential ones. Per-row term sets come from a small driver-side
+        qid -> terms map in the kernel closure. Returns
+        (qid, url, score, start, n_terms, snippet)."""
         import pandas as pd
 
         from pyspark.sql import types as T
@@ -403,28 +419,32 @@ class Engine:
         from .query import ast as _ast
         from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
 
-        root = QueryParser().parse(query)
-        qterms: set[str] = set()
+        def qterms_of(query: str) -> frozenset:
+            root = QueryParser().parse(query)
+            qterms: set[str] = set()
 
-        def leaves(n):
-            if isinstance(n, _ast.Term):
-                if n.field == field:
-                    qterms.add(n.term)
-            else:
-                for a in getattr(n, "args", []) or []:
-                    leaves(a)
-                if hasattr(n, "arg"):
-                    leaves(n.arg)
+            def leaves(n):
+                if isinstance(n, _ast.Term):
+                    if n.field == field:
+                        qterms.add(n.term)
+                else:
+                    for a in getattr(n, "args", []) or []:
+                        leaves(a)
+                    if hasattr(n, "arg"):
+                        leaves(n.arg)
 
-        leaves(root)
-        terms = frozenset(qterms)
+            leaves(root)
+            return frozenset(qterms)
+
+        terms_map = {qid: qterms_of(q) for qid, q in queries.items()}
         w = int(width)
 
         def kernel(batches):
             for pdf in batches:
                 rows = []
-                for url, html, score in zip(pdf["url"], pdf["html"],
-                                            pdf["score"]):
+                for qid, url, html, score in zip(pdf["qid"], pdf["url"],
+                                                 pdf["html"], pdf["score"]):
+                    terms = terms_map.get(qid, frozenset())
                     text = extract_fields(url, bytes(html))[field]
                     low = text.lower()
                     # token spans come from the LOWERED text (that is where
@@ -447,7 +467,7 @@ class Engine:
                             best_s, best_n = p, n
                     lo, hi = best_s, min(best_s + w, len(spans)) - 1
                     if hi < lo:
-                        rows.append((url, float(score), 0, 0, ""))
+                        rows.append((qid, url, float(score), 0, 0, ""))
                         continue
                     out, cur = [], spans[lo].start()
                     for i in range(lo, hi + 1):
@@ -456,22 +476,24 @@ class Engine:
                         tok = disp[m.start():m.end()]
                         out.append(f"**{tok}**" if i in mset else tok)
                         cur = m.end()
-                    rows.append((url, float(score), lo + 1, best_n,
+                    rows.append((qid, url, float(score), lo + 1, best_n,
                                  "".join(out)))
-                yield pd.DataFrame(rows, columns=["url", "score", "start",
-                                                  "n_terms", "snippet"])
+                yield pd.DataFrame(rows, columns=["qid", "url", "score",
+                                                  "start", "n_terms",
+                                                  "snippet"])
 
         schema = T.StructType([
+            T.StructField("qid", T.StringType(), False),
             T.StructField("url", T.StringType(), False),
             T.StructField("score", T.DoubleType(), False),
             T.StructField("start", T.IntegerType(), False),
             T.StructField("n_terms", T.IntegerType(), False),
             T.StructField("snippet", T.StringType(), False),
         ])
-        hits = F.broadcast(results.select("url", "score"))
+        hits = F.broadcast(results.select("qid", "url", "score"))
         return (pages.select("url", "html").join(hits, "url")
                 .mapInPandas(kernel, schema)
-                .orderBy(F.desc("score"), F.asc("url")))
+                .orderBy(F.asc("qid"), F.desc("score"), F.asc("url")))
 
     @staticmethod
     def trec_lines(qid: str, ranking: list[tuple[str, float]], run_id: str = "run") -> list[str]:

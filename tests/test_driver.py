@@ -205,7 +205,7 @@ def test_prf_output_files(spark, tiny_index, tmp_path):
     assert eq[0].startswith("p1: #WAND (") and eq[1].startswith("p2: #WAND (")
 
     golden = os.path.join(os.path.dirname(__file__), "golden", "prf.qryOut")
-    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+    if os.environ.get("GOLDEN_REGEN"):
         shutil.copy(qry_out, golden)
     with open(golden) as f:
         assert got == f.read()
@@ -413,7 +413,7 @@ def test_run_param_file_snippets(spark, tiny_index, tmp_path):
     assert [r.split()[2] for r in rows] == ["1", "2", "3"]
 
     golden = os.path.join(os.path.dirname(__file__), "golden", "snippets.out")
-    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+    if os.environ.get("GOLDEN_REGEN"):
         shutil.copy(snip_path, golden)
     with open(golden) as f:
         assert got == f.read()

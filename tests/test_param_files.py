@@ -27,7 +27,7 @@ pytestmark = pytest.mark.skipif(
 
 def _check_golden(got_path: str, name: str) -> None:
     golden = os.path.join(GOLDEN, name)
-    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(golden):
+    if os.environ.get("GOLDEN_REGEN"):
         shutil.copy(got_path, golden)
     with open(got_path) as f, open(golden) as g:
         assert f.read() == g.read(), f"{name} drifted from frozen golden"

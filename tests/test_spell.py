@@ -51,6 +51,12 @@ def test_spell_guards(tiny_index):
     assert eng.suggest([]).count() == 0  # empty batch -> empty frame
     with pytest.raises(ValueError):  # delete depth is fixed at 2
         eng.suggest(["abc"], max_d=3)
+    # pasted junk token guard: a 200-char term can never match any indexed
+    # term (all <= SPELL_MAX_LEN, levenshtein >= length gap), so it yields
+    # no rows WITHOUT expanding O(len^2) delete keys driver-side; a normal
+    # term in the same batch still gets its suggestions
+    rows = eng.suggest(["x" * 200, "cebbaa1"]).collect()
+    assert all(r["q"] == "cebbaa1" for r in rows) and rows
 
 
 def test_engine_suggest_matches_bruteforce(tiny_index):

@@ -257,18 +257,24 @@ def main() -> None:
     from searchengines_spark.index.spellkeys import read_spell_keys
 
     sidecar = read_spell_keys(spark, idx)
-    assert sidecar is not None, "freshly built index must carry spell_keys"
-    suggest = e.suggest(["hacebb4", "badbia5"])
-    sections.append((
-        "Engine.suggest over the spell_keys sidecar (point-read path)",
-        "What to look for: the vocab side is the build-materialized "
-        "spell_keys sidecar scan with `PushedFilters: [In(k, ...)]` — the "
-        "batch's driver-computed delete keys prune row groups of the "
-        "(field, k)-sorted parquet, a point read like a norms stripe; NO "
-        "Generate/explode node anywhere (the vocab-sized delete explode ran "
-        "once at build time); `levenshtein` verify on the candidate-sized "
-        "join output only.",
-        fmt(suggest)))
+    if sidecar is not None:
+        suggest = e.suggest(["hacebb4", "badbia5"])
+        sections.append((
+            "Engine.suggest over the spell_keys sidecar (point-read path)",
+            "What to look for: the vocab side is the build-materialized "
+            "spell_keys sidecar scan with `PushedFilters: [In(k, ...)]` — "
+            "the batch's driver-computed delete keys prune row groups of "
+            "the (field, k)-sorted parquet, a point read like a norms "
+            "stripe; NO Generate/explode node anywhere (the vocab-sized "
+            "delete explode ran once at build time); `levenshtein` verify "
+            "on the candidate-sized join output only.",
+            fmt(suggest)))
+    else:
+        # pre-sidecar or append-stale /tmp index (read_spell_keys returning
+        # None is the designed fallback) — skip the section rather than
+        # abort the whole capture; a fresh build regenerates it
+        print("NOTE: spell_keys sidecar absent/stale on", idx,
+              "- suggest plan section skipped (rebuild the index to capture)")
 
     snip = A.q_snippet(spark, "/root/testdata/sf0.001")
     sections.append((
