@@ -287,7 +287,9 @@ def url_priors(pages: DataFrame, links: DataFrame,
             .filter(F.col("node").isNotNull()))
     else:
         raise ValueError(f"granularity must be 'host' or 'url', got {granularity!r}")
-    n = max(1, pr.count())  # 1-row-per-node frame; host- or url-sized
+    # pagerank() already counted the node set; fall back to counting the
+    # (checkpointed, 1-row-per-node) frame only if the stash is absent
+    n = max(1, getattr(pr, "_pagerank_n_nodes", 0) or pr.count())
     floor = (1.0 - damp) / n
     return (keyed.join(pr, "node", "left")
             .select("url",

@@ -291,6 +291,25 @@ def test_pagerank_hand_computed_and_stochastic(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_pagerank_empty_graph(spark):
+    """An empty edge set (a crawl slice with no extractable links) returns
+    the empty rank frame instead of a ZeroDivisionError, and url_priors
+    still yields a TOTAL frame (every page at the teleport floor)."""
+    from searchengines_spark.links import url_priors
+    empty = spark.createDataFrame([], "src string, dst string, w double")
+    out = A.pagerank(empty)
+    assert out.count() == 0
+    assert out.columns == ["node", "pr"]
+    pages = spark.createDataFrame(
+        [("https://h0.example.org/a.html",), ("https://h1.example.org/b.html",)],
+        ["url"])
+    pri = {r.url: r.page_rank for r in url_priors(pages, empty).collect()}
+    assert len(pri) == 2
+    floor = (1.0 - A.PR_DAMP) * 1000.0
+    for v in pri.values():
+        assert v == pytest.approx(floor, rel=1e-9)
+
+
 def test_domain_cap_invariants(spark, docs):
     """<= DCAP_N rows per source; every kept doc is at least as large as
     every dropped doc of the same source (modulo the doc_id tie-break)."""
