@@ -262,8 +262,15 @@ def main():
                     # clear BEFORE every query in every pass: Spark's
                     # CacheManager matches re-built identical plans, so one
                     # query's cached shingle/band tables would serve the next
-                    # query (and pass-1 headline numbers) warm
+                    # query (and pass-1 headline numbers) warm. Same for the
+                    # driver-side PQ codebook memo (analytic._PQ_BOOKS_CACHE):
+                    # clearing it keeps analytic_pq_topk measuring
+                    # train+encode+ADC+refine, like-for-like with r1-r3
+                    # records (the memo exists for serving batches, not to
+                    # redefine what the bench times).
+                    from searchengines_spark import analytic as A_
                     spark.catalog.clearCache()
+                    A_._PQ_BOOKS_CACHE.clear()
                     t0 = time.time()
                     qs[name](spark, SF_DIR).collect()
                     an_runs[name].append(round(time.time() - t0, 3))

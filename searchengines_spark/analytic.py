@@ -817,6 +817,31 @@ def q_cosine_topk(spark, sf_dir):
 
 
 _PQ_BOOKS_CACHE: dict = {}
+_PQ_BOOKS_CACHE_MAX = 8  # codebooks are tiny (m*k*sub-dim floats); bound anyway
+
+
+def _pq_cache_key(sf_dir: str, m: int, k: int, seed: int):
+    """Cache key that pins the INPUT DATA, not just its path: the
+    (relpath, size, mtime_ns) signature of the embeddings parquet files.
+    Regenerating testdata in place under a long-lived driver gets a cache
+    miss and a retrain instead of silently serving codebooks trained on
+    the old vectors."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    sig = []
+    if os.path.isdir(root):
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    st = os.stat(p)
+                    sig.append((os.path.relpath(p, root), st.st_size,
+                                st.st_mtime_ns))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        sig.append((".", st.st_size, st.st_mtime_ns))
+    return (sf_dir, tuple(sorted(sig)), m, k, seed)
 
 
 def q_pq_topk(spark, sf_dir):
@@ -838,9 +863,11 @@ def q_pq_topk(spark, sf_dir):
     # (bench passes, batched correctness runs) measure the encode+ADC+refine
     # serving shape, not a driver-side k-means re-train. Deterministic
     # (seeded, sorted sample) -> identical books and results either way.
-    key = (sf_dir, 16, 64, 7)
+    key = _pq_cache_key(sf_dir, 16, 64, 7)
     books = _PQ_BOOKS_CACHE.get(key)
     if books is None:
+        while len(_PQ_BOOKS_CACHE) >= _PQ_BOOKS_CACHE_MAX:
+            _PQ_BOOKS_CACHE.pop(next(iter(_PQ_BOOKS_CACHE)))
         books = _PQ_BOOKS_CACHE[key] = P.train_pq(emb, m=16, k=64, seed=7)
     codes = P.pq_encode(emb, books)
     qv = np.asarray(

@@ -77,6 +77,8 @@ def run_param_file(reader: IndexReader, params: dict | str,
     dict, a path to a .param file, or raw param-file text."""
     if isinstance(params, str):
         params = parse_params(params)
+    if str(params.get("snippets", "false")).lower() == "true":
+        _validate_snippet_params(params)  # fail fast, BEFORE retrieval runs
     queries = parse_queries(params["queryFilePath"])
     if params.get("retrievalAlgorithm", "BM25").lower() == "ltr":
         lines = run_ltr(reader, params, None, queries, None, run_id)
@@ -88,6 +90,20 @@ def run_param_file(reader: IndexReader, params: dict | str,
     if str(params.get("snippets", "false")).lower() == "true":
         _write_snippets(reader, params, queries, lines)
     return lines
+
+
+def _validate_snippet_params(params: dict) -> None:
+    """Configuration errors surface before the retrieval batch spends
+    minutes of cluster time, not at the sidecar write after it."""
+    if ("snippets:outputPath" not in params
+            and "trecEvalOutputPath" not in params):
+        raise ValueError(
+            "snippets=true needs snippets:outputPath (or trecEvalOutputPath"
+            " to derive '<trecEvalOutputPath>.snippets' from)")
+    if "snippets:pagesPath" not in params:
+        raise ValueError(
+            "snippets=true needs snippets:pagesPath (the raw pages parquet"
+            " — the index stores postings, not text)")
 
 
 def _write_snippets(reader: IndexReader, params: dict,
@@ -104,11 +120,7 @@ def _write_snippets(reader: IndexReader, params: dict,
     batch's (qid, url) hits broadcast into a single pages scan and one
     (sum of k)-row mapInPandas walks every window; nothing corpus-sized
     moves, and a 100-query run costs one scan, not 100."""
-    if ("snippets:outputPath" not in params
-            and "trecEvalOutputPath" not in params):
-        raise ValueError(
-            "snippets=true needs snippets:outputPath (or trecEvalOutputPath"
-            " to derive '<trecEvalOutputPath>.snippets' from)")
+    _validate_snippet_params(params)  # also guards direct callers
     eng = Engine(reader)
     pages = reader.spark.read.parquet(params["snippets:pagesPath"])
     width = int(params.get("snippets:width", 30))

@@ -556,14 +556,16 @@ def build_index(
             [("__docs__", int(n_docs), 0)], ["field", "doc_count", "sum_len"]
         )
         field_stats.unionByName(meta_row).write.mode("overwrite").parquet(field_stats_path)
+        _lap("stats")
         # spell sidecar: materialize the SymSpell delete-key table once per
         # build/compact so Engine.suggest is a pruned point read, never a
-        # vocab-sized explode per call (index/spellkeys.py)
+        # vocab-sized explode per call (index/spellkeys.py). Own lap so
+        # stage timings stay comparable with pre-sidecar bench records.
         from .spellkeys import write_spell_keys
 
         write_spell_keys(spark, index_dir)
         _mark_stage(index_dir, "stats")
-        _lap("stats")
+        _lap("spell_keys")
 
     term_stats = spark.read.parquet(term_stats_path)
     field_stats = spark.read.parquet(field_stats_path)

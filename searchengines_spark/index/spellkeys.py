@@ -32,21 +32,29 @@ SPELL_DIR = "spell_keys"
 _SIG_FILE = "_TS_SIGNATURE.json"
 
 
-def _ts_signature(index_dir: str) -> list:
+def _ts_signature(index_dir: str) -> dict:
     """term_stats file signature with paths RELATIVE to the index dir:
     a hard-linked snapshot tree (index/snapshots.py) shares inodes, sizes
     and mtimes, so its pinned sidecar verifies fresh under the snapshot
-    root too — time-travel readers keep the fast suggest path."""
+    root too — time-travel readers keep the fast suggest path.
+
+    ``params`` pins the DERIVATION, not just the inputs: if a release
+    changes SPELL_MAX_LEN or the delete depth, sidecars built by the old
+    code stop verifying (term_stats files alone wouldn't notice) and
+    suggest() falls back to the on-the-fly join until the next compact()."""
+    from ..analytic import SPELL_MAX_LEN
+
     ts = os.path.join(index_dir, "term_stats")
-    out = []
-    for root, _dirs, files in os.walk(ts):
-        for f in files:
+    files = []
+    for root, _dirs, fs in os.walk(ts):
+        for f in fs:
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
                 st = os.stat(p)
-                out.append([os.path.relpath(p, index_dir),
-                            st.st_size, st.st_mtime_ns])
-    return sorted(out)
+                files.append([os.path.relpath(p, index_dir),
+                              st.st_size, st.st_mtime_ns])
+    return {"files": sorted(files),
+            "params": {"max_len": SPELL_MAX_LEN, "depth": 2, "fmt": 1}}
 
 
 def write_spell_keys(spark: SparkSession, index_dir: str) -> None:

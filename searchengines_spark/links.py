@@ -288,8 +288,13 @@ def url_priors(pages: DataFrame, links: DataFrame,
     else:
         raise ValueError(f"granularity must be 'host' or 'url', got {granularity!r}")
     # pagerank() already counted the node set; fall back to counting the
-    # (checkpointed, 1-row-per-node) frame only if the stash is absent
-    n = max(1, getattr(pr, "_pagerank_n_nodes", 0) or pr.count())
+    # (checkpointed, 1-row-per-node) frame only if the stash is absent.
+    # None-sentinel, not falsy: an empty graph legitimately stashes 0 and
+    # must not trigger a redundant count of the empty frame.
+    n = getattr(pr, "_pagerank_n_nodes", None)
+    if n is None:
+        n = pr.count()
+    n = max(1, n)
     floor = (1.0 - damp) / n
     return (keyed.join(pr, "node", "left")
             .select("url",
