@@ -417,3 +417,20 @@ def test_run_param_file_snippets(spark, tiny_index, tmp_path):
         shutil.copy(snip_path, golden)
     with open(golden) as f:
         assert got == f.read()
+
+
+def test_run_param_file_snippets_config_fails_before_retrieval(tmp_path):
+    """snippets=true with a missing required key raises a descriptive
+    ValueError BEFORE any retrieval runs: reader=None proves nothing
+    downstream of validation was touched."""
+    import pytest
+
+    from searchengines_spark.driver import run_param_file
+
+    qf = tmp_path / "q.qry"
+    qf.write_text("1:cebaba1\n")
+    base = {"queryFilePath": str(qf), "snippets": "true"}
+    with pytest.raises(ValueError, match="snippets:pagesPath"):
+        run_param_file(None, {**base, "trecEvalOutputPath": str(tmp_path / "o")})
+    with pytest.raises(ValueError, match="snippets:outputPath"):
+        run_param_file(None, base)

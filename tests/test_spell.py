@@ -147,3 +147,16 @@ def test_suggest_sidecar_survives_snapshot(tiny_index):
     assert "Generate" not in _plan(df)
     live = sorted(map(tuple, Engine(tiny_index).suggest(["cebbaa1"]).collect()))
     assert sorted(map(tuple, df.collect())) == live
+
+
+def test_sidecar_invalidated_by_derivation_param_change(tiny_index, monkeypatch):
+    """The sidecar signature pins SPELL_MAX_LEN/depth, not just the
+    term_stats files: a release that changes the derivation params must
+    see old sidecars as stale (fallback path) rather than silently serve
+    a table missing the newly-eligible terms."""
+    from searchengines_spark import analytic
+    from searchengines_spark.index.spellkeys import read_spell_keys
+
+    assert read_spell_keys(tiny_index.spark, tiny_index.index_dir) is not None
+    monkeypatch.setattr(analytic, "SPELL_MAX_LEN", analytic.SPELL_MAX_LEN + 8)
+    assert read_spell_keys(tiny_index.spark, tiny_index.index_dir) is None
