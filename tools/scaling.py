@@ -108,6 +108,16 @@ def run_engine(cpus: int, cpu_range: str, n_pages: int) -> dict:
     s1, t1 = _steal_jiffies()
     line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
     out = json.loads(line)
+    # the compact summary line keeps only headline metrics (the driver's tail
+    # capture is small); per-stage laps live in BENCH/last_run_detail.json —
+    # merge them here so the per-leg stage table survives regeneration
+    try:
+        with open(os.path.join(REPO, "BENCH", "last_run_detail.json")) as f:
+            detail = json.load(f)
+        if detail.get("cpus") == cpus:
+            out.setdefault("build_stage_secs", detail.get("build_stage_secs", {}))
+    except (OSError, ValueError):
+        pass
     # whole-box steal %% during this run: on this sandbox the hypervisor
     # visibly throttles wide bursts (measured ~3x higher steal under
     # 32-wide load than 8-wide), which deflates the wide run's throughput
