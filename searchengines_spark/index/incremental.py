@@ -200,7 +200,9 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         .withColumn("bucket", term_bucket_col(F.col("term")))
     )
     ts_tmp = os.path.join(index_dir, "term_stats_new")
-    merged_ts.write.mode("overwrite").parquet(ts_tmp)
+    from .build import write_term_stats
+
+    write_term_stats(merged_ts, ts_tmp)
     _swap(index_dir, "term_stats")
     # Which term buckets did this delta touch? Bounded by N_BUCKETS (64)
     # rows; computed from the delta's own vocab (cached `tokenized` lineage),
@@ -525,13 +527,14 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
             purged.write.mode("overwrite").parquet(p + "_new")
             _swap(index_dir, tbl)
         doc_terms_purged = spark.read.parquet(doc_terms_dir(index_dir))
-        (
+        from .build import write_term_stats
+
+        write_term_stats(
             doc_terms_purged.groupBy("field", "term").agg(
                 F.count(F.lit(1)).cast("long").alias("df"),
                 F.sum("tf").cast("long").alias("ctf"))
-            .withColumn("bucket", term_bucket_col(F.col("term")))
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "term_stats_new"))
+            .withColumn("bucket", term_bucket_col(F.col("term"))),
+            os.path.join(index_dir, "term_stats_new"),
         )
         _swap(index_dir, "term_stats")
         n_docs = spark.read.parquet(

@@ -321,16 +321,15 @@ def wand_topk_batch_local(reader: IndexReader,
             return idf * mtf / (mtf + k1 * ((1.0 - b) + b * float(row_mindl) / avg))
         return float(row_maxscore)
 
-    cold_rows = blocks.filter(~F.col("striped")).collect()
-    cold: dict[tuple[str, str], list] = {}
-    for r in cold_rows:
-        key = (r["field"], r["term"])
-        cold.setdefault(key, []).append((
-            int(r["min_docid"]), int(r["max_docid"]),
-            _ub(r["max_score"], r["max_tf"], r["min_doclen"],
-                idf_of[key], avgs[key[0]]),
-            bytes(r["docids_z"]), bytes(r["tfs_z"]),
-        ))
+    # cold (unstriped, low-df) blocks: memoized per reader, and skipped
+    # with ZERO Spark jobs when the stats prove none exist (the common
+    # all-hot-terms query) — see IndexReader.cold_blocks. Bounds are
+    # derived here because they depend on THIS query's (k1, b).
+    cold: dict[tuple[str, str], list] = {
+        key: [(mn, mx, _ub(ms, mtf, mdl, idf_of[key], avgs[key[0]]), dz, tz)
+              for mn, mx, mtf, mdl, ms, dz, tz in rows]
+        for key, rows in reader.cold_blocks(all_pairs).items()
+    }
     b_cold = spark.sparkContext.broadcast(cold)
     b_queries = spark.sparkContext.broadcast(
         {qid: (list(ts), f) for qid, (ts, f) in queries.items()})
