@@ -1,4 +1,6 @@
-"""Block-max WAND top-k serving path for BM25 bag-of-words queries.
+"""Top-k serving path for BM25 bag-of-words queries: vectorized bulk
+stripe evaluation by default, block-max WAND pruning as an opt-in
+strategy. Both are score-identical to the exhaustive path.
 
 The reference evaluates exhaustively — its DAAT loop visits every matching
 doc (QryEval.java:1172-1178) with no pruning. Per the north rule we add
@@ -15,12 +17,28 @@ Two-level pruning, classic BMW:
 2. at the pivot, a second check over CURRENT block maxes after a *shallow*
    block advance (block pointers move, nothing decodes).
 
+Why bulk is the default (measured on the 1M-page index, per stripe,
+BENCH/SERVE_ANATOMY.md "kernel strategy" study): the WAND loop costs
+~3.3 µs per evaluated posting (scalar Python: cursor sort + heap +
+score_cur), the vectorized evaluator ~0.4 µs per decoded posting, so
+pruning must skip >~85% of postings to pay for itself — and at k=100 on
+a Zipf vocabulary it never does: head terms' BM25 idf clips to 0 (df ≈
+N), flattening block maxes to 0 so the threshold can't rise above them,
+and genuinely rare terms (df < salt_min_df) are served as broadcast cold
+postings, not striped blocks. Measured: 4-head-term query 12.0 s → 1.7 s
+(identical 28511 decodes), mid+head 2.6 s → 0.4 s (WAND skipped 19% of
+blocks and still lost), 4 mid-frequency terms 0.31 s → 0.05 s, identical
+top-k in every case. ``strategy="wand"`` remains for corpora with real
+block-max variance (wide tf ranges, large k-selective workloads), where
+skipping decode AND evaluation can win.
+
 Distribution story (how this runs on 1000 executors): the index's ``salt``
 is a *docid-range stripe* (build.py), so all blocks of one salt cover a
-disjoint docid range. groupBy(salt) -> each task runs an independent WAND
-over its docid slice with a local threshold and emits its local top-k; a
-tiny global merge (k rows per stripe) finishes. Threshold sharing across
-stripes is impossible in one pass — pruning is per-stripe, still sound.
+disjoint docid range. groupBy(salt) -> each task runs an independent
+stripe evaluation over its docid slice (with a local threshold under the
+WAND strategy) and emits its local top-k; a tiny global merge (k rows per
+stripe) finishes. Threshold sharing across stripes is impossible in one
+pass — pruning is per-stripe, still sound.
 
 Tie-break: docid asc == url asc (docids are ranks of sorted urls), matching
 the reference sort rule (ScoreList.java:90-105).
@@ -269,6 +287,73 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
     return [(d, s) for s, d in ranked], decodes
 
 
+def _bulk_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
+                 k1: float, b: float, avg: float, require_all: bool,
+                 norms, lo: int,
+                 cache: dict | None = None,
+                 deleted: frozenset | None = None) -> tuple[list, int]:
+    """Vectorized exhaustive evaluation of one salt stripe — the default
+    strategy (see module docstring for the measured WAND crossover).
+
+    Decodes every block, then scores all postings in a handful of numpy
+    expressions over dense per-stripe accumulators (score sum + match
+    count, each len(norms) ≈ salt_range entries, a few 100 KB at typical
+    stripe sizes). Bit-identical to ``_wand_stripe``: contributions add in
+    query-term order (the same order the WAND loop sums score_cur), each
+    elementwise expression is the same float64 expression tree as
+    score_cur, and the final cut sorts by (score desc, docid asc) — the
+    heap's tie rule. Shares the batch decode cache (payload-identity keys)
+    so hot terms decode once per stripe across a query batch."""
+    n_terms = len(idfs)
+    present = [i for i in range(n_terms) if term_blocks.get(i)]
+    if not present or (require_all and len(present) < n_terms):
+        return [], 0
+    span = len(norms)
+    score = np.zeros(span, dtype=np.float64)
+    matched = np.zeros(span, dtype=np.int16)
+    # per-doc denominator part of score_cur: k1 * ((1-b) + b*dl/avg)
+    denom_base = k1 * ((1.0 - b) + b * norms.astype(np.float64) / avg)
+    decodes = 0
+    for i in present:  # query-term order == the WAND loop's sum order
+        ds, ts_ = [], []
+        for _, _, payload in term_blocks[i]:
+            if payload[0] != "raw":
+                key = id(payload) if cache is not None else None
+                hit = cache.get(key) if key is not None else None
+                if hit is None:
+                    hit = codec.decode_block(payload[1], payload[2], payload[0])
+                    decodes += 1
+                    if key is not None:
+                        cache[key] = hit
+                d, t = hit
+            else:
+                _, d, t = payload
+            ds.append(d)
+            ts_.append(t)
+        d = np.concatenate(ds).astype(np.int64) - lo
+        tf = np.concatenate(ts_).astype(np.float64)
+        # one posting per (doc, term): fancy-index += has no duplicate
+        # indices within a term, so no add.at needed
+        score[d] += idfs[i] * tf / (tf + denom_base[d])
+        matched[d] += 1
+    need = n_terms if require_all else 1
+    cand = np.nonzero(matched >= need)[0]
+    if deleted and len(cand):
+        del_arr = np.fromiter(deleted, dtype=np.int64, count=len(deleted))
+        cand = cand[~np.isin(cand + lo, del_arr)]
+    sc = score[cand]
+    docids = cand + lo
+    # (score desc, docid asc): lexsort is stable and ±0.0 compare equal,
+    # so zero-score ties also fall to the docid key — the heap's rule
+    order = np.lexsort((docids, -sc))
+    if k < len(order):
+        order = order[:k]
+    return [(int(docids[j]), float(sc[j])) for j in order], decodes
+
+
+_STRATEGIES = {"bulk": _bulk_stripe, "wand": _wand_stripe}
+
+
 WAND_SCHEMA = T.StructType([
     T.StructField("docid", T.LongType(), False),
     T.StructField("score", T.DoubleType(), False),
@@ -288,7 +373,8 @@ def wand_topk_batch_local(reader: IndexReader,
                           k: int = 100, k1: float = 1.2, b: float = 0.75,
                           require_all: bool = False,
                           recompute_bounds: bool = False,
-                          deleted: frozenset | None = None) -> DataFrame:
+                          deleted: frozenset | None = None,
+                          strategy: str = "bulk") -> DataFrame:
     """Multi-query block-max WAND in ONE stripe pass: every query's terms
     share a single pruned block scan and one groupBy(salt) shuffle; inside a
     stripe the per-(field, term) block lists are built once and a shared
@@ -296,7 +382,14 @@ def wand_topk_batch_local(reader: IndexReader,
     use it. Emits per-stripe local top-k rows (qid, docid, score, decodes);
     the caller does the tiny global merge (k rows per stripe per query).
 
-    queries: qid -> (terms in query order, field)."""
+    queries: qid -> (terms in query order, field).
+    strategy: 'bulk' (vectorized exhaustive, default — see module
+    docstring for the measured crossover) or 'wand' (block-max pruning
+    loop). Both are score-identical."""
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"unknown stripe strategy {strategy!r}; "
+                         f"expected one of {sorted(_STRATEGIES)}")
+    kernel = _STRATEGIES[strategy]
     all_pairs = sorted({(f, t) for ts, f in queries.values() for t in ts})
     stats = reader.term_stats(all_pairs)
     n_docs = reader.n_docs
@@ -417,10 +510,10 @@ def wand_topk_batch_local(reader: IndexReader,
             if tb and field not in norms_by_field:
                 norms_by_field[field] = norms_mod.stripe_doclens(
                     norms_dir, field, lo, hi)
-            top, dec = _wand_stripe(tb, idfs, k, k1, b, avgs[field],
-                                    require_all,
-                                    norms_by_field.get(field), lo, cache,
-                                    deleted=stripe_del)
+            top, dec = kernel(tb, idfs, k, k1, b, avgs[field],
+                              require_all,
+                              norms_by_field.get(field), lo, cache,
+                              deleted=stripe_del)
             for d, s in top:
                 out_q.append(qid); out_d.append(d); out_s.append(s)
                 out_dec.append(dec)
@@ -441,7 +534,8 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
               k: int = 100, k1: float = 1.2, b: float = 0.75,
               require_all: bool = False, debug: bool = False,
               recompute_bounds: bool = False,
-              deleted: frozenset | None = None) -> DataFrame:
+              deleted: frozenset | None = None,
+              strategy: str = "bulk") -> DataFrame:
     """Distributed block-max WAND top-k over the compressed index.
     Score-identical to the exhaustive #SUM/#AND-conjunctive BM25 path.
 
@@ -456,7 +550,8 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     local = wand_topk_batch_local(
         reader, {"q": (list(terms), field)}, k=k, k1=k1, b=b,
         require_all=require_all, recompute_bounds=recompute_bounds,
-        deleted=deleted if deleted is not None else reader.deleted_set())
+        deleted=deleted if deleted is not None else reader.deleted_set(),
+        strategy=strategy)
     if debug:
         return local.select("docid", "score", "decodes")
     urls = reader.docid_url_map()

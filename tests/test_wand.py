@@ -1,6 +1,7 @@
-"""Block-max WAND exactness: kernel top-k must equal exhaustive evaluation
-(scores identical, reference tie rule), with pruning only skipping
-non-top-k docs."""
+"""Stripe-kernel exactness, both strategies (block-max WAND loop and the
+default vectorized bulk evaluator): top-k must equal exhaustive evaluation
+(scores identical, reference tie rule), WAND pruning only skips non-top-k
+docs, and the two kernels agree bit-for-bit."""
 
 import math
 
@@ -8,9 +9,10 @@ import numpy as np
 import pytest
 
 from searchengines_spark.index import codec
-from searchengines_spark.query.wand import _wand_stripe
+from searchengines_spark.query.wand import _bulk_stripe, _wand_stripe
 
 K1, B = 1.2, 0.75
+KERNELS = [_wand_stripe, _bulk_stripe]
 
 
 def make_stripe(rng, n_terms=4, n_docs=400, block=16, density=0.3):
@@ -59,18 +61,74 @@ def brute_force(postings, idfs, doclens, avg, n_docs, k, require_all):
     return out[:k]
 
 
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("seed", range(8))
 @pytest.mark.parametrize("require_all", [False, True])
 @pytest.mark.parametrize("k", [3, 10, 1000])
-def test_wand_exact(seed, require_all, k):
+def test_wand_exact(kernel, seed, require_all, k):
     rng = np.random.default_rng(seed)
     tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
-    got, decodes = _wand_stripe(tb, idfs, k, K1, B, avg, require_all,
-                                doclens.astype(np.int32), 0)
+    got, decodes = kernel(tb, idfs, k, K1, B, avg, require_all,
+                          doclens.astype(np.int32), 0)
     want = brute_force(postings, idfs, doclens, avg, n_docs, k, require_all)
     assert [d for d, _ in got] == [d for d, _ in want], (seed, require_all, k)
     for (gd, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12), (seed, gd, gs, ws)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("require_all", [False, True])
+def test_bulk_bitwise_identical_to_wand(seed, require_all):
+    """Not just rank-identical: the bulk evaluator's float64 expression
+    tree matches score_cur op-for-op, so scores are EXACTLY equal."""
+    rng = np.random.default_rng(100 + seed)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    w, _ = _wand_stripe(tb, idfs, 1000, K1, B, avg, require_all,
+                        doclens.astype(np.int32), 0)
+    bu, _ = _bulk_stripe(tb, idfs, 1000, K1, B, avg, require_all,
+                         doclens.astype(np.int32), 0)
+    assert w == bu  # tuples compare exact: same docids AND same bits
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_kernel_deleted_docs_excluded(kernel):
+    rng = np.random.default_rng(55)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    full, _ = kernel(tb, idfs, 50, K1, B, avg, False,
+                     doclens.astype(np.int32), 0)
+    dead = frozenset(d for d, _ in full[:5])
+    got, _ = kernel(tb, idfs, 50, K1, B, avg, False,
+                    doclens.astype(np.int32), 0, None, deleted=dead)
+    assert not dead & {d for d, _ in got}
+    # survivors keep their scores and order (deletion only removes rows)
+    want = [(d, s) for d, s in full if d not in dead]
+    assert got[: len(want)] == want[:45]
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_kernel_require_all_missing_term_is_free(kernel):
+    """A conjunctive query with an absent term returns empty WITHOUT
+    decoding anything."""
+    rng = np.random.default_rng(9)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng, n_terms=3)
+    tb.pop(1, None)
+    got, decodes = kernel(tb, idfs, 10, K1, B, avg, True,
+                          doclens.astype(np.int32), 0)
+    assert got == [] and decodes == 0
+
+
+def test_bulk_shares_decode_cache():
+    """Two queries over the same blocks through one cache: the second
+    pays zero decodes (the batch path's cross-query decode sharing)."""
+    rng = np.random.default_rng(11)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    cache: dict = {}
+    _, dec1 = _bulk_stripe(tb, idfs, 10, K1, B, avg, False,
+                           doclens.astype(np.int32), 0, cache)
+    assert dec1 > 0
+    _, dec2 = _bulk_stripe(tb, idfs, 10, K1, B, avg, False,
+                           doclens.astype(np.int32), 0, cache)
+    assert dec2 == 0
 
 
 def test_wand_actually_prunes():
@@ -116,3 +174,15 @@ def test_wand_spark_end_to_end(spark, tiny_index):
     got_and = [r["url"] for r in wand_topk(tiny_index, terms[:2], k=20, require_all=True).collect()]
     and_docs = {r["url"] for r in eng.search(f"#AND( {terms[0]} {terms[1]} )", "bm25", 300).collect()}
     assert set(got_and) <= and_docs and len(got_and) == min(20, len(and_docs))
+
+    # both stripe strategies agree through the full Spark path
+    via_wand = [(r["url"], r["score"]) for r in
+                wand_topk(tiny_index, terms, k=20, strategy="wand").collect()]
+    assert via_wand == got  # default is strategy="bulk"
+
+
+def test_wand_unknown_strategy_raises(spark, tiny_index):
+    from searchengines_spark.query.wand import wand_topk
+
+    with pytest.raises(ValueError, match="strategy"):
+        wand_topk(tiny_index, ["anything"], k=5, strategy="nope")

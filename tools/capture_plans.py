@@ -90,12 +90,14 @@ def main() -> None:
 
     wand = e.search("haceba4 badiba5", k=10)
     sections.append((
-        "Block-max WAND serving path (default route for flat BM25)",
+        "Stripe top-k serving path (default route for flat BM25)",
         "What to look for: `FlatMapGroupsInPandas` over the salt stripes — "
-        "each docid-range stripe runs an independent WAND kernel emitting a "
+        "each docid-range stripe runs an independent top-k kernel "
+        "(vectorized bulk evaluation by default; block-max WAND via "
+        "strategy='wand' — BENCH/SERVE_ANATOMY.md kernel study) emitting a "
         "local top-k; the global `TakeOrderedAndProject` merges k rows per "
-        "stripe. Compressed blocks reach the kernel undecoded — pruned "
-        "blocks never decompress.",
+        "stripe. Compressed blocks reach the kernel undecoded; under the "
+        "WAND strategy pruned blocks never decompress.",
         fmt(wand)))
 
     near = e.search("#NEAR/3( haceba4 badiba5 )", k=10, use_wand=False)
