@@ -93,7 +93,23 @@ for _ in range({runs}):
     out = eng.search_batch(batch, model="bm25", k=100)
     bt.append(round(time.time() - t0, 3))
 
-print("RESULT " + json.dumps({{"single_runs": single, "batch_runs": bt}}))
+# throughput workload: 48 queries incl. the heavy Zipf-head set repeated
+# with distinct qids (shared decode cache is per-stripe-task, so repeats
+# still exercise scoring) — large enough that kernel work, not the fixed
+# job floor, dominates the wall clock
+big = {{}}
+for i in range(40):
+    big[f"m{{i}}"] = f"{{VOCAB[50 + i]}} {{VOCAB[90 + i]}}"
+for i in range(8):
+    big[f"h{{i}}"] = f"{{VOCAB[i]}} {{VOCAB[i + 1]}} {{VOCAB[i + 2]}}"
+bt48 = []
+for _ in range({runs}):
+    t0 = time.time()
+    out = eng.search_batch(big, model="bm25", k=100)
+    bt48.append(round(time.time() - t0, 3))
+
+print("RESULT " + json.dumps({{"single_runs": single, "batch_runs": bt,
+                               "batch48_runs": bt48}}))
 spark.stop()
 """
 
@@ -130,16 +146,22 @@ def main() -> None:
         r["single_best"] = min(r["single_runs"])
         r["batch_best"] = min(r["batch_runs"])
         r["batch_qps"] = round(12 / r["batch_best"], 2)
+        r["batch48_best"] = min(r["batch48_runs"])
+        r["batch48_qps"] = round(48 / r["batch48_best"], 2)
         res[f"cpus{cpus}"] = r
     s8, s32 = res["cpus8"], res["cpus32"]
     res["single_speedup"] = round(s8["single_best"] / s32["single_best"], 2)
     res["single_efficiency"] = round(res["single_speedup"] / 4, 3)
     res["batch_speedup"] = round(s8["batch_best"] / s32["batch_best"], 2)
     res["batch_efficiency"] = round(res["batch_speedup"] / 4, 3)
+    res["batch48_speedup"] = round(s8["batch48_best"] / s32["batch48_best"], 2)
+    res["batch48_efficiency"] = round(res["batch48_speedup"] / 4, 3)
     ceil = res["hw_ceiling_numpy_mix"]["efficiency"]
     if ceil:
         res["batch_efficiency_normalized"] = round(
             res["batch_efficiency"] / ceil, 3)
+        res["batch48_efficiency_normalized"] = round(
+            res["batch48_efficiency"] / ceil, 3)
     print(json.dumps(res))
 
 
