@@ -61,6 +61,22 @@ from ..index import codec
 from ..index.build import IndexReader
 
 
+def _decode_payload(payload, cache: dict | None):
+    """Decode one block payload through the shared payload-identity cache.
+    Returns (docids, tfs, was_miss). The single decode/cache dispatch point
+    for BOTH stripe kernels — codec or cache-keying changes land here once."""
+    if payload[0] == "raw":
+        return payload[1], payload[2], False
+    key = id(payload) if cache is not None else None
+    hit = cache.get(key) if key is not None else None
+    if hit is not None:
+        return hit[0], hit[1], False
+    d, t = codec.decode_block(payload[1], payload[2], payload[0])
+    if key is not None:
+        cache[key] = (d, t)
+    return d, t, True
+
+
 class _TermCursor:
     """Lazy cursor over one term's blk-ordered blocks within a salt stripe.
     Blocks decode only when entered; shallow moves never decode."""
@@ -99,21 +115,10 @@ class _TermCursor:
 
     def _decode(self):
         if self.docids is None:
-            payload = self.blocks[self.bi][2]
-            if payload[0] != "raw":
-                key = id(payload) if self.cache is not None else None
-                hit = self.cache.get(key) if key is not None else None
-                if hit is not None:
-                    self.docids, self.tfs = hit
-                else:
-                    # payload[0] carries the index's payload codec name
-                    self.docids, self.tfs = codec.decode_block(
-                        payload[1], payload[2], payload[0])
-                    self.decodes += 1
-                    if key is not None:
-                        self.cache[key] = (self.docids, self.tfs)
-            else:
-                _, self.docids, self.tfs = payload
+            self.docids, self.tfs, miss = _decode_payload(
+                self.blocks[self.bi][2], self.cache)
+            if miss:
+                self.decodes += 1
 
     def cur_doc(self) -> int:
         self._decode()
@@ -172,15 +177,25 @@ def _wand_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
                  k1: float, b: float, avg: float, require_all: bool,
                  norms, lo: int,
                  cache: dict | None = None,
-                 deleted: frozenset | None = None) -> tuple[list, int]:
+                 deleted=None) -> tuple[list, int]:
     """Block-max WAND over one salt stripe.
     term_blocks: query-term-index -> block tuples. Returns (top-k, decodes).
     norms/lo: the stripe's dense doclen array for the query field.
 
-    deleted: tombstoned docids (merge-on-read deletes). A deleted doc is
+    deleted: tombstoned docids (merge-on-read deletes), as a frozenset or
+    a sorted int64 array (converted once, memoized in the shared cache so a
+    query batch pays it per stripe, not per query). A deleted doc is
     never pushed into the heap, so it can neither appear in results nor
     raise the pruning threshold — skipping it only LOWERS theta, which
     keeps every block-max skip sound (less pruning, never wrong)."""
+    if deleted is not None and not isinstance(deleted, frozenset):
+        dkey = ("delset", id(deleted))
+        fs = cache.get(dkey) if cache is not None else None
+        if fs is None:
+            fs = frozenset(int(x) for x in deleted)
+            if cache is not None:
+                cache[dkey] = fs
+        deleted = fs
     n_terms = len(idfs)
     cursors: list[tuple[int, _TermCursor]] = []
     for i in range(n_terms):
@@ -291,7 +306,7 @@ def _bulk_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
                  k1: float, b: float, avg: float, require_all: bool,
                  norms, lo: int,
                  cache: dict | None = None,
-                 deleted: frozenset | None = None) -> tuple[list, int]:
+                 deleted=None) -> tuple[list, int]:
     """Vectorized exhaustive evaluation of one salt stripe — the default
     strategy (see module docstring for the measured WAND crossover).
 
@@ -303,7 +318,11 @@ def _bulk_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
     elementwise expression is the same float64 expression tree as
     score_cur, and the final cut sorts by (score desc, docid asc) — the
     heap's tie rule. Shares the batch decode cache (payload-identity keys)
-    so hot terms decode once per stripe across a query batch."""
+    so hot terms decode once per stripe across a query batch.
+
+    deleted: tombstoned docids as a SORTED int64 array (the stripe slice
+    run_stripe cuts from the broadcast — membership is then two vectorized
+    searchsorted probes) or a frozenset (converted+sorted here once)."""
     n_terms = len(idfs)
     present = [i for i in range(n_terms) if term_blocks.get(i)]
     if not present or (require_all and len(present) < n_terms):
@@ -311,23 +330,23 @@ def _bulk_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
     span = len(norms)
     score = np.zeros(span, dtype=np.float64)
     matched = np.zeros(span, dtype=np.int16)
-    # per-doc denominator part of score_cur: k1 * ((1-b) + b*dl/avg)
-    denom_base = k1 * ((1.0 - b) + b * norms.astype(np.float64) / avg)
+    # per-doc denominator part of score_cur: k1 * ((1-b) + b*dl/avg).
+    # Depends only on (norms, k1, b, avg), all constant across a query
+    # batch for one field — memoize the stripe-span array in the shared
+    # per-stripe cache so a 48-query batch computes it once, not 48 times.
+    dkey = ("denom", id(norms), k1, b, avg)
+    denom_base = cache.get(dkey) if cache is not None else None
+    if denom_base is None:
+        denom_base = k1 * ((1.0 - b) + b * norms.astype(np.float64) / avg)
+        if cache is not None:
+            cache[dkey] = denom_base
     decodes = 0
     for i in present:  # query-term order == the WAND loop's sum order
         ds, ts_ = [], []
         for _, _, payload in term_blocks[i]:
-            if payload[0] != "raw":
-                key = id(payload) if cache is not None else None
-                hit = cache.get(key) if key is not None else None
-                if hit is None:
-                    hit = codec.decode_block(payload[1], payload[2], payload[0])
-                    decodes += 1
-                    if key is not None:
-                        cache[key] = hit
-                d, t = hit
-            else:
-                _, d, t = payload
+            d, t, miss = _decode_payload(payload, cache)
+            if miss:
+                decodes += 1
             ds.append(d)
             ts_.append(t)
         d = np.concatenate(ds).astype(np.int64) - lo
@@ -338,9 +357,16 @@ def _bulk_stripe(term_blocks: dict[int, list], idfs: list[float], k: int,
         matched[d] += 1
     need = n_terms if require_all else 1
     cand = np.nonzero(matched >= need)[0]
-    if deleted and len(cand):
-        del_arr = np.fromiter(deleted, dtype=np.int64, count=len(deleted))
-        cand = cand[~np.isin(cand + lo, del_arr)]
+    if deleted is not None and len(deleted) and len(cand):
+        if isinstance(deleted, np.ndarray):
+            del_arr = deleted  # already-sorted stripe slice from run_stripe
+        else:
+            del_arr = np.fromiter(deleted, dtype=np.int64, count=len(deleted))
+            del_arr.sort()
+        docids_abs = cand + lo
+        pos = np.minimum(np.searchsorted(del_arr, docids_abs),
+                         len(del_arr) - 1)
+        cand = cand[del_arr[pos] != docids_abs]
     sc = score[cand]
     docids = cand + lo
     # (score desc, docid asc): lexsort is stable and ±0.0 compare equal,
@@ -495,13 +521,15 @@ def wand_topk_batch_local(reader: IndexReader,
         from ..index import norms as norms_mod
 
         norms_by_field: dict[str, np.ndarray] = {}
-        # range-slice the sorted tombstone array to THIS stripe's docids
+        # range-slice the sorted tombstone array to THIS stripe's docids;
+        # the kernels take the sorted slice as-is (bulk: searchsorted
+        # membership; wand: one cache-memoized frozenset per stripe)
         stripe_del = None
         if b_del is not None:
             arr = b_del.value
             s_, e_ = np.searchsorted(arr, lo), np.searchsorted(arr, hi)
             if e_ > s_:
-                stripe_del = frozenset(int(x) for x in arr[s_:e_])
+                stripe_del = arr[s_:e_]
         out_q, out_d, out_s, out_dec = [], [], [], []
         for qid, (terms, field) in b_queries.value.items():
             idfs = [idf_of.get((field, t), 0.0) for t in terms]
@@ -514,9 +542,14 @@ def wand_topk_batch_local(reader: IndexReader,
                               require_all,
                               norms_by_field.get(field), lo, cache,
                               deleted=stripe_del)
-            for d, s in top:
+            # decode count rides on the FIRST row of each (stripe, query)
+            # only — sum(decodes) over the debug output is then the true
+            # kernel decode total, not k× it. (A stripe whose candidates
+            # were all tombstoned emits no rows and drops its count; fine
+            # for the anatomy tool this feeds.)
+            for j, (d, s) in enumerate(top):
                 out_q.append(qid); out_d.append(d); out_s.append(s)
-                out_dec.append(dec)
+                out_dec.append(dec if j == 0 else 0)
         return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s,
                              "decodes": out_dec})
 
@@ -536,15 +569,19 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
               recompute_bounds: bool = False,
               deleted: frozenset | None = None,
               strategy: str = "bulk") -> DataFrame:
-    """Distributed block-max WAND top-k over the compressed index.
-    Score-identical to the exhaustive #SUM/#AND-conjunctive BM25 path.
+    """Distributed top-k BM25 over the compressed index, score-identical
+    to the exhaustive #SUM/#AND-conjunctive planner path.
 
-    Block max_score metadata is computed at build time with the build's
-    (k1, b) and corpus stats. After an incremental append (or with different
-    k1/b), pass recompute_bounds=True: bounds are re-derived per block from
-    the stored (max_tf, min_doclen) under CURRENT stats — conservative
-    (max_tf paired with min_doclen dominates any real posting) but always
-    sound.
+    strategy='bulk' (default) runs the vectorized exhaustive stripe
+    evaluator — every block decodes and block-max bounds are unused (see
+    the module docstring for the measured WAND-vs-bulk crossover).
+    strategy='wand' runs the block-max pruning loop; only there do bounds
+    matter: they are computed at build time with the build's (k1, b) and
+    corpus stats, and after an incremental append (or with different
+    k1/b) recompute_bounds=True re-derives them per block from the stored
+    (max_tf, min_doclen) under CURRENT stats — conservative (max_tf
+    paired with min_doclen dominates any real posting) but always sound.
+    recompute_bounds has no effect on the bulk path.
 
     Delegates to the multi-query kernel with a batch of one."""
     local = wand_topk_batch_local(

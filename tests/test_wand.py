@@ -106,6 +106,41 @@ def test_kernel_deleted_docs_excluded(kernel):
 
 
 @pytest.mark.parametrize("kernel", KERNELS)
+def test_kernel_deleted_as_sorted_array(kernel):
+    """Both kernels accept tombstones as the SORTED int64 array run_stripe
+    slices from the broadcast (no per-query set/array conversion), with
+    results identical to the frozenset form."""
+    rng = np.random.default_rng(56)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    full, _ = kernel(tb, idfs, 50, K1, B, avg, False,
+                     doclens.astype(np.int32), 0)
+    dead = sorted(d for d, _ in full[:7])
+    via_set, _ = kernel(tb, idfs, 50, K1, B, avg, False,
+                        doclens.astype(np.int32), 0, {},
+                        deleted=frozenset(dead))
+    via_arr, _ = kernel(tb, idfs, 50, K1, B, avg, False,
+                        doclens.astype(np.int32), 0, {},
+                        deleted=np.asarray(dead, dtype=np.int64))
+    assert via_arr == via_set
+    assert not set(dead) & {d for d, _ in via_arr}
+
+
+def test_bulk_denom_memo_bitwise_stable():
+    """The per-(stripe, field) denominator memo must not change scores:
+    two calls through one shared cache are bitwise equal to the uncached
+    run (same float64 expression tree, just computed once)."""
+    rng = np.random.default_rng(57)
+    tb, postings, idfs, doclens, avg, n_docs = make_stripe(rng)
+    norms = doclens.astype(np.int32)
+    bare, _ = _bulk_stripe(tb, idfs, 100, K1, B, avg, False, norms, 0)
+    cache: dict = {}
+    first, _ = _bulk_stripe(tb, idfs, 100, K1, B, avg, False, norms, 0, cache)
+    again, _ = _bulk_stripe(tb, idfs, 100, K1, B, avg, False, norms, 0, cache)
+    assert any(k[0] == "denom" for k in cache if isinstance(k, tuple))
+    assert bare == first == again
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
 def test_kernel_require_all_missing_term_is_free(kernel):
     """A conjunctive query with an absent term returns empty WITHOUT
     decoding anything."""
@@ -179,6 +214,29 @@ def test_wand_spark_end_to_end(spark, tiny_index):
     via_wand = [(r["url"], r["score"]) for r in
                 wand_topk(tiny_index, terms, k=20, strategy="wand").collect()]
     assert via_wand == got  # default is strategy="bulk"
+
+
+def test_debug_decode_total_is_k_invariant(spark, tmp_path):
+    """The debug output's decode total must be the kernel's true count —
+    emitted once per (stripe, query), not duplicated onto all k rows. The
+    bulk kernel decodes every block regardless of k, so summing the debug
+    column at k=50 and k=2 must agree (the pre-fix duplication made the
+    sum scale with k). Needs STRIPED terms (cold broadcast postings ship
+    raw and never count as decodes), so build with salt_min_df=1."""
+    from searchengines_spark.corpus import generate_pages
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.query.wand import wand_topk
+
+    d = str(tmp_path / "idx")
+    build_index(spark, generate_pages(spark, 300, seed=42, partitions=4),
+                d, n_salts=4, salt_min_df=1)
+    reader = IndexReader(spark, d)
+    terms = ["cebaba1", "dibaba2", "fobaba3"]
+    big = sum(r["decodes"] for r in
+              wand_topk(reader, terms, k=50, debug=True).collect())
+    small = sum(r["decodes"] for r in
+                wand_topk(reader, terms, k=2, debug=True).collect())
+    assert big > 0 and big == small
 
 
 def test_wand_unknown_strategy_raises(spark, tiny_index):

@@ -56,12 +56,22 @@ def _numpy_mix(_: int) -> int:
 
 
 def _ceiling() -> dict:
+    """Affinity-pinned, matching the engine legs: the 8-proc pool must run
+    on the SAME cpus 0-7 the 8-CPU engine leg is tasksetted to (same
+    physical cores / cache domains), or the ceiling is measured under a
+    different hardware budget than the thing it normalizes (the pattern
+    tools/scaling.py::_calibrate uses)."""
     out = {}
+    old = os.sched_getaffinity(0)
     for procs in BUDGETS:
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_numpy_mix, range(procs * 4))
-            dt = time.time() - t0
+        os.sched_setaffinity(0, set(range(procs)))  # children inherit
+        try:
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(_numpy_mix, range(procs * 4))
+                dt = time.time() - t0
+        finally:
+            os.sched_setaffinity(0, old)
         out[str(procs)] = round(procs * 4 / dt, 2)  # tasks/sec
     out["efficiency"] = round((out["32"] / out["8"]) / 4, 3)
     return out
