@@ -1590,7 +1590,8 @@ def q_host_links(spark, sf_dir):
 
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS,
-             damp: float = PR_DAMP) -> DataFrame:
+             damp: float = PR_DAMP,
+             reliable_checkpoint: bool = False) -> DataFrame:
     """Weighted PageRank with damping and dangling-mass redistribution,
     fixed `iters` power iterations (deterministic — no convergence test, so
     the DuckDB oracle can unroll the same recurrence). Per iteration: one
@@ -1602,17 +1603,26 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
     an iterative driver — the cached data is reused but the LOGICAL plan
     keeps its full ancestry, so Catalyst analysis time grows with every
     round (measured: 1.9s -> 7.8s/iter by round 5 at 20 nodes); the
-    checkpoint truncates the plan and holds per-iteration cost flat. (On
-    a real cluster with executor churn, swap in reliable checkpoint(),
-    same semantics.) Dangling nodes (in-links but no out-links) donate
+    checkpoint truncates the plan and holds per-iteration cost flat.
+    reliable_checkpoint=True swaps in checkpoint() (requires
+    spark.sparkContext.setCheckpointDir on durable storage): same
+    semantics, but the materialized ranks survive executor loss — the
+    right setting on a real cluster where a lost executor would otherwise
+    force recomputing the whole iteration chain. Dangling nodes
+    (in-links but no out-links) donate
     their mass uniformly, the textbook correction; the dangling SET is
     static across iterations, so when it is empty the 1-row mass
     aggregate + cross join are skipped entirely — when present it stays
     an executor-side agg cross-joined back (never a driver collect)."""
     edges = _track(edges)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if reliable_checkpoint
+                else df.localCheckpoint(eager=True))
+
+    nodes = _ckpt(edges.select(F.col("src").alias("node"))
+                  .unionByName(edges.select(F.col("dst").alias("node")))
+                  .distinct())
     n = nodes.count()
     if n == 0:
         # empty edge set (e.g. a crawl slice with no extractable links):
@@ -1623,7 +1633,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
     outw = _track(edges.groupBy("src").agg(F.sum("w").alias("ow")))
     has_dangling = (
         nodes.join(outw, nodes.node == outw.src, "left_anti").limit(1).count() > 0)
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = _ckpt(nodes.withColumn("pr", F.lit(1.0 / n)))
     for _ in range(iters):
         contrib = (
             ranks.join(edges, ranks.node == edges.src)
@@ -1638,12 +1648,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
             new_ranks = new_ranks.crossJoin(dang)
         else:
             dang_mass = F.lit(0.0)
-        ranks = new_ranks.select(
+        ranks = _ckpt(new_ranks.select(
             "node",
             (F.lit((1.0 - damp) / n)
              + F.lit(damp) * (F.coalesce(F.col("contrib"), F.lit(0.0))
                               + dang_mass)).alias("pr")
-        ).localCheckpoint(eager=True)
+        ))
     # node count is already paid for above — stash it so callers needing
     # the teleport floor (url_priors) don't run an extra count job
     ranks._pagerank_n_nodes = n

@@ -291,6 +291,26 @@ def test_pagerank_hand_computed_and_stochastic(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_pagerank_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable_checkpoint=True (the real-cluster setting: materialized
+    ranks survive executor loss) swaps localCheckpoint for checkpoint()
+    without changing a single rank value."""
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("a", "d", 1.0), ("b", "d", 3.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    base = {r.node: r.pr for r in A.pagerank(df).collect()}
+    old_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel = A.pagerank(df, reliable_checkpoint=True)
+        got = {r.node: r.pr for r in rel.collect()}
+    finally:
+        if old_dir.isDefined():
+            spark.sparkContext.setCheckpointDir(old_dir.get())
+    assert got == base
+    assert rel._pagerank_n_nodes == 4
+
+
 def test_pagerank_empty_graph(spark):
     """An empty edge set (a crawl slice with no extractable links) returns
     the empty rank frame instead of a ZeroDivisionError, and url_priors
