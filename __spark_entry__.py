@@ -360,6 +360,7 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 4 ---
+        "pii_scrub": A.q_pii_scrub,
         "pagerank_url": A.q_pagerank_url,
         # --- round 3, newest first (no driver row before r04) ---
         "fingerprint": A.q_fingerprint,
@@ -385,7 +386,6 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_pairs": A.q_near_pairs,
         "window_pairs": A.q_window_pairs,
         "dedup_exact": A.q_dedup_exact,
-        "minhash64": A.q_minhash64,
         "lsh_dup_pairs_scaled": A.q_lsh_dup_pairs_scaled,
         "dup_clusters": A.q_dup_clusters,
         "jaccard_topk_scaled": A.q_jaccard_topk_scaled,
@@ -423,6 +423,7 @@ def _baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage; the registered twin that supersedes it is noted inline."""
     return {
         "minhash": A.q_minhash,                # superseded by minhash64
+        "minhash64": A.q_minhash64,            # input of lsh_dup_pairs_scaled
         "lsh_dup_pairs": A.q_lsh_dup_pairs,    # by lsh_dup_pairs_scaled
         "jaccard_topk": A.q_jaccard_topk,      # by jaccard_topk_scaled
         "simhash": A.q_simhash,                # input of simhash_dup_pairs
@@ -896,6 +897,31 @@ pairs AS (
 SELECT "left", "right", CAST(SUM(cnt) AS BIGINT) AS freq
 FROM pairs GROUP BY 1, 2
 ORDER BY freq DESC, "left" ASC, "right" ASC LIMIT {A.BPE_PAIRS_K}""",
+        "pii_scrub": f"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {A.PII_MOD} = 0
+           THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+         WHEN doc_id % {A.PII_MOD} = 1
+           THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         WHEN doc_id % {A.PII_MOD} = 2
+           THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR)
+         ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{A.PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '{A.PII_PHONE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(t, '{A.PII_IPV4}')) AS BIGINT) AS n_ips,
+         md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{A.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{A.PII_PHONE}', '<PHONE>', 'g'),
+             '{A.PII_IPV4}', '<IP>', 'g')) AS redacted_h
+  FROM aug)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       (n_emails + n_phones + n_ips) > 0 AS has_pii, redacted_h
+FROM c""",
         "domain_cap": f"""
 SELECT source, doc_id, n_chars, rnk FROM (
   SELECT source, doc_id, n_chars,

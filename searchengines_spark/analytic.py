@@ -1137,6 +1137,68 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+# PII scrub (C4 / Dolma / FineWeb-style): regex families kept to syntax both
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — \b, \d, bounded
+# repetition, plain char classes — so the oracle replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_MOD = 4
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII detection + redaction — the pre-training scrub pass every
+    public web corpus pipeline runs (C4 drops lines with bad words, Dolma and
+    FineWeb mask emails/phones/IPs before training). One narrow projection,
+    no shuffle: each doc is scanned independently by JVM-side regexes
+    (regexp_count / regexp_replace inside whole-stage codegen — no Python in
+    the loop), so the pass is embarrassingly parallel at any corpus size.
+    Emits match counts per family, the has_pii flag a filter or router would
+    consume, and the md5 of the redacted text (<EMAIL>/<PHONE>/<IP>
+    placeholders) so the scrubbed OUTPUT is value-checked without shipping
+    full text through the gate."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    n_em = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ph = F.regexp_count(t, F.lit(PII_PHONE))
+    n_ip = F.regexp_count(t, F.lit(PII_IPV4))
+    return docs.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        ((n_em + n_ph + n_ip) > 0).alias("has_pii"),
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_h"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Driver gate for pii_stats. The synthetic corpus contains no organic
+    PII, so the gate appends a deterministic per-doc suffix (email / phone /
+    IPv4 / none by doc_id % 4 — integer arithmetic the DuckDB oracle replays
+    exactly, like the eval_* synthetic run/qrels) and value-checks counts,
+    the flag, and the redacted-text hash."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % PII_MOD == 0,
+               F.concat(F.lit(" contact admin"), did.cast("string"),
+                        F.lit("@example.com")))
+        .when(did % PII_MOD == 1,
+              F.concat(F.lit(" call 555-010-"),
+                       F.lpad((did % 10000).cast("string"), 4, "0")))
+        .when(did % PII_MOD == 2,
+              F.concat(F.lit(" from 192.168."), (did % 256).cast("string"),
+                       F.lit("."), ((did * 7) % 256).cast("string")))
+        .otherwise(F.lit("")))
+    return pii_stats(docs.select("doc_id", aug.alias("text")))
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash-based train/valid/test split (the standard leakage-
     safe way to split a training corpus: hash of a stable id, never random()):

@@ -254,6 +254,35 @@ def test_substring_dedup_self_repeat_not_dup(spark):
     assert out[2].dup_tokens == 0
 
 
+def test_pii_stats_hand_checked(spark):
+    """PII detection + redaction on hand-written rows: counts per family,
+    the has_pii flag, and the redacted text (checked via its md5, the same
+    value the driver gate hashes)."""
+    import hashlib
+
+    rows = [
+        (1, "write to bob.smith+x@mail.example.org or sue@ex.co today"),
+        (2, "call 555-010-1234 from 10.0.255.7 please"),
+        (3, "clean text with digits 123 and a dash-word only"),
+        (4, "a@b.io 555-111-2222 192.168.1.1 all three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in A.pii_stats(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 0, 0)
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 1, 1)
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 0)
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (1, 1, 1)
+    assert [got[i].has_pii for i in (1, 2, 3, 4)] == [True, True, False, True]
+    want = {
+        1: "write to <EMAIL> or <EMAIL> today",
+        2: "call <PHONE> from <IP> please",
+        3: rows[2][1],
+        4: "<EMAIL> <PHONE> <IP> all three",
+    }
+    for i, red in want.items():
+        assert got[i].redacted_h == hashlib.md5(red.encode()).hexdigest(), i
+
+
 def test_pagerank_hand_computed_and_stochastic(spark):
     """PageRank on a hand-solvable 3-node graph: A->B, B->C, C->A (uniform
     cycle => uniform ranks = 1/3 at every iteration), then a weighted
