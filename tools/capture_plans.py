@@ -231,6 +231,16 @@ def main() -> None:
         "Join` of a single row), never a driver collect.",
         fmt(pr)))
 
+    pii = A.q_pii_scrub(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "PII detection + redaction (pii_scrub)",
+        "What to look for: ONE `WholeStageCodegen` span over the scan — "
+        "every regexp_count/regexp_replace is a JVM-side Catalyst "
+        "expression, so there is no shuffle, no Python worker, and no "
+        "exchange anywhere in the plan; the pass is a pure projection "
+        "that scales with input splits.",
+        fmt(pii)))
+
     dcap = A.q_domain_cap(spark, "/root/testdata/sf0.001")
     sections.append((
         "Per-host document cap (domain_cap)",
