@@ -603,6 +603,16 @@ def build_index(
         # actually encoded with
         metrics["payload_codec"] = old_man.get("payload_codec", "varint")
         metrics["store_positions"] = old_man.get("store_positions", True)
+        # and for the striping threshold: cold_blocks' skip-gate ("df >=
+        # salt_min_df implies every block is striped") is only sound
+        # against the value the blocks were ENCODED with — recording the
+        # new call's value would silently drop any term whose df falls
+        # between the two thresholds from every query
+        if "salt_min_df" in old_man:
+            metrics["salt_min_df"] = old_man["salt_min_df"]
+            metrics["n_salts"] = old_man.get("n_salts", metrics["n_salts"])
+        else:  # encode threshold unknown -> reader must not skip-gate
+            metrics["salt_min_df_unknown"] = True
         if "bm25_k1" in old_man:
             metrics["bm25_k1"] = old_man["bm25_k1"]
             metrics["bm25_b"] = old_man["bm25_b"]
@@ -731,6 +741,13 @@ class IndexReader:
         # build; exceeds it after a physical purge leaves docid holes.
         self.docid_space = int(self.manifest.get("docid_space") or self.n_docs)
         self.salt_min_df = int(self.manifest.get("salt_min_df") or SALT_MIN_DF)
+        # cold_blocks may only SKIP scanning a term (df >= salt_min_df =>
+        # "all its blocks are striped") when the manifest actually records
+        # the threshold the blocks were encoded with; a legacy manifest
+        # (or a resume that couldn't recover it) forces the conservative
+        # path: scan every pair with postings, like the appends case.
+        self.salt_min_df_known = ("salt_min_df" in self.manifest
+                                  and not self.manifest.get("salt_min_df_unknown"))
         self.payload_codec = self.manifest.get("payload_codec", "varint")
         # False for DOCS_AND_FREQS-style indexes (blocks carry no position
         # payloads; positional operators raise at plan time)
@@ -825,7 +842,7 @@ class IndexReader:
         unseen = [p for p in pairs if p not in self._cold_memo]
         if unseen:
             stats = self.term_stats(unseen)  # memoized upstream of wand
-            if self.manifest.get("appends"):
+            if self.manifest.get("appends") or not self.salt_min_df_known:
                 candidates = [p for p in unseen if p in stats]
             else:
                 candidates = [p for p in unseen

@@ -600,6 +600,10 @@ def compact(spark: SparkSession, index_dir: str, n_salts: int | None = None,
     manifest["n_salts"] = n_salts
     manifest["bm25_k1"] = bm25_k1
     manifest["bm25_b"] = bm25_b
+    # compact re-encoded EVERY block at this threshold, so the manifest can
+    # (re)assert it even if the pre-compact value was unknown
+    manifest["salt_min_df"] = salt_min_df
+    manifest.pop("salt_min_df_unknown", None)
     manifest["stale_block_bounds"] = False
     manifest["store_positions"] = bool(store_positions)
     manifest["uncompacted_buckets"] = []

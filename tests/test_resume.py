@@ -33,6 +33,54 @@ def index_fingerprint(spark, d):
 
 
 @pytest.mark.slow
+def test_resume_preserves_encode_salt_min_df(spark, tmp_path):
+    """cold_blocks' skip-gate ("df >= salt_min_df implies all blocks
+    striped") is only sound against the threshold the blocks were ENCODED
+    with. A resume that skips the segments stage but records the new
+    call's (lower) threshold would make the reader skip the cold scan for
+    every term with new_thr <= df < old_thr — whose blocks are all
+    UNSTRIPED — silently dropping those postings from every query."""
+    import pandas as pd
+
+    from searchengines_spark.corpus import PAGES_SCHEMA
+    from searchengines_spark.index import IndexReader
+
+    bodies = [f"hotone filler{i}" for i in range(12)]
+    rows = [(f"https://rs.org/p{i:03d}", pd.Timestamp("2020-01-01"),
+             (f"<html><head><title>t{i}</title></head>"
+              f"<body>{b}</body></html>").encode(), b, "en")
+            for i, b in enumerate(bodies)]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+
+    d = str(tmp_path / "idx")
+    # encode threshold 100: "hotone" (df=12) gets only UNSTRIPED blocks
+    build_index(spark, pages, d, n_salts=4, salt_min_df=100)
+    pairs = [("body", "hotone")]
+    baseline = IndexReader(spark, d).cold_blocks(pairs)
+    assert pairs[0] in baseline  # sanity: served from the cold path
+
+    # resume with the threshold LOWERED to 4: every stage is already done,
+    # so no block is re-encoded — the manifest must keep 100
+    build_index(spark, pages, d, n_salts=4, salt_min_df=4, resume=True)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["salt_min_df"] == 100
+
+    r2 = IndexReader(spark, d)
+    assert r2.cold_blocks(pairs) == baseline  # postings still reachable
+
+    # legacy manifest without the key -> the gate must go conservative
+    m.pop("salt_min_df")
+    with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+        json.dump(m, f)
+    r3 = IndexReader(spark, d)
+    assert not r3.salt_min_df_known
+    assert r3.cold_blocks(pairs) == baseline
+
+
+@pytest.mark.slow
 def test_resume_identical(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     generate_pages(spark, 200, seed=7, partitions=4).write.parquet(pages_dir)
