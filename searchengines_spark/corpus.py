@@ -204,12 +204,14 @@ FIELD_DOCS_SCHEMA = T.StructType([
 ])
 
 
-def pages_to_field_docs(pages: DataFrame) -> DataFrame:
+def pages_to_field_docs(pages: DataFrame, stemmer: str = "s") -> DataFrame:
     """pages -> long (url, field, tokens) with FULL-mode tokenization.
     Non-'en' pages are filtered before indexing (engine policy)."""
     import pandas as pd
 
-    from .tokenizer import tokenize_full
+    from .tokenizer import get_stemmer, tokenize_full
+
+    get_stemmer(stemmer)  # validate on the driver, not per-task
 
     def explode_fields(batches):
         for pdf in batches:
@@ -217,7 +219,7 @@ def pages_to_field_docs(pages: DataFrame) -> DataFrame:
             for url, html in zip(pdf["url"], pdf["html"]):
                 fields = extract_fields(url, bytes(html))
                 for f in FIELDS:
-                    recs.append((url, f, tokenize_full(fields[f])))
+                    recs.append((url, f, tokenize_full(fields[f], stemmer=stemmer)))
             yield pd.DataFrame(recs, columns=["url", "field", "tokens"])
 
     return (
@@ -243,7 +245,7 @@ TOKENIZED_SCHEMA = T.StructType([
 ])
 
 
-def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
+def pages_to_tokenized(pages_with_docid: DataFrame, stemmer: str = "s") -> DataFrame:
     """One tokenize pass -> per-(doc, field, term) postings rows WITH
     positions, tf and inline doclen, aggregated doc-locally inside the Arrow
     batch (a document's postings never cross a partition boundary, so the
@@ -264,7 +266,9 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     from .index import codec  # lazy: corpus <-> index.build cycle
-    from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
+    from .tokenizer import _TOKEN_RE, STOPWORDS, get_stemmer
+
+    stem_fn = get_stemmer(stemmer)  # resolve once; ships in the closure
 
     def explode(batches):
         stem_ids: dict[str, int] = {}   # raw token -> term id (-1 = stopword)
@@ -310,7 +314,7 @@ def pages_to_tokenized(pages_with_docid: DataFrame) -> DataFrame:
                         if t in STOPWORDS:
                             v = -1
                         else:
-                            m = s_stem(t)
+                            m = stem_fn(t)
                             v = vocab_ids.get(m)
                             if v is None:
                                 v = len(vocab)

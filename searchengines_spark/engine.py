@@ -59,7 +59,7 @@ class Engine:
         (score-identical to the exhaustive plan; pruning only skips blocks
         that cannot reach the top k)."""
         m = make_model(model, **model_kw)
-        root = QueryParser(m.name).parse(query)
+        root = QueryParser(m.name, stemmer=self.reader.stemmer).parse(query)
         if root is None:  # all stopwords
             return self.reader.docid_url_map().select("url", F.lit(0.0).alias("score")).limit(0)
         if use_wand and isinstance(m, BM25):
@@ -169,7 +169,7 @@ class Engine:
         m = make_model(model, **model_kw)
         roots = {}
         for qid, q in queries.items():
-            root = QueryParser(m.name).parse(q)
+            root = QueryParser(m.name, stemmer=self.reader.stemmer).parse(q)
             if root is not None:
                 roots[qid] = root
         urls = self.reader.docid_url_map()
@@ -417,10 +417,12 @@ class Engine:
 
         from .corpus import extract_fields
         from .query import ast as _ast
-        from .tokenizer import _TOKEN_RE, STOPWORDS, s_stem
+        from .tokenizer import _TOKEN_RE, STOPWORDS, get_stemmer
+
+        stem_fn = get_stemmer(self.reader.stemmer)  # index-pinned; in closure
 
         def qterms_of(query: str) -> frozenset:
-            root = QueryParser().parse(query)
+            root = QueryParser(stemmer=self.reader.stemmer).parse(query)
             qterms: set[str] = set()
 
             def leaves(n):
@@ -456,7 +458,7 @@ class Engine:
                     disp = text if len(low) == len(text) else low
                     spans = list(_TOKEN_RE.finditer(low))
                     stems = [None if m.group() in STOPWORDS
-                             else s_stem(m.group()) for m in spans]
+                             else stem_fn(m.group()) for m in spans]
                     matches = [i for i, s in enumerate(stems) if s in terms]
                     mset = set(matches)
                     best_s, best_n = 0, 0

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus import assign_docids, pages_to_tokenized
+from ..tokenizer import get_stemmer
 from . import codec
 
 N_BUCKETS = 64
@@ -384,6 +385,7 @@ def build_index(
     salt_min_df: int = SALT_MIN_DF,
     payload_codec: str = "pfor",
     store_positions: bool = True,
+    stemmer: str = "s",
     anchors: DataFrame | None = None,
     page_ranks: DataFrame | None = None,
 ) -> dict:
@@ -393,6 +395,11 @@ def build_index(
     varint at equal build/serve speed) or "varint" (LEB128); positions are
     always varint (pre-encoded per posting by the tokenize kernel).
     Pre-existing indexes keep the codec recorded in their manifest.
+    stemmer: tokenizer stem function for document text — "s" (frozen s-stem
+    spec, default) or "kstem" (Krovetz-scope inflectional spec; the
+    reference's Lucene KStem analog, QryParser.java:40-49). Pinned in
+    MANIFEST so the query side always resolves the same function; resume
+    keeps the stemmer the doc_terms were actually tokenized with.
     page_ranks: optional (url, page_rank) frame — a real crawl-graph prior
     (e.g. links.url_priors: pagerank over the real-href host graph, mapped
     to each page) stored as the per-doc PageRank attribute the reference
@@ -406,6 +413,7 @@ def build_index(
     url at cluster scale); html bytes never move."""
     if payload_codec not in codec.PAYLOAD_CODECS:
         raise ValueError(f"unknown payload_codec {payload_codec!r}")
+    get_stemmer(stemmer)  # fail on the driver, not inside the tokenize job
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     metrics: dict = {}
@@ -464,6 +472,7 @@ def build_index(
     metrics["bm25_b"] = bm25_b
     metrics["payload_codec"] = payload_codec
     metrics["store_positions"] = bool(store_positions)
+    metrics["stemmer"] = stemmer  # pinned: query side resolves the same fn
 
     # -- stage 2: tokenized postings long table + doc_lens ------------------
     # tokens arrays keep stopword slots as NULL so len(tokens) == field
@@ -535,7 +544,7 @@ def build_index(
         # ONE write, partitioned by post (0 = doclen sentinel rows, 1 = real
         # postings). doc_terms IS the post=1 partition directory — the old
         # filter-and-rewrite of the biggest intermediate is gone.
-        pages_to_tokenized(with_ids).withColumn(
+        pages_to_tokenized(with_ids, stemmer=stemmer).withColumn(
             "post", (F.col("term") != "").cast("int")
         ).write.mode("overwrite").partitionBy("post").parquet(tokenized_path)
         spark.read.parquet(os.path.join(tokenized_path, "post=0")).select(
@@ -547,12 +556,26 @@ def build_index(
         _write_doc_lens_wide(spark, index_dir)
         _mark_stage(index_dir, "doc_terms")
         _lap("doc_terms")
-    elif anchors is not None:
-        # the tokenize stage (where anchors index into the inlink field)
-        # was resumed as-is; a newly supplied anchors frame cannot take
-        # effect without a rebuild or refresh_anchors — surface that like
-        # the page_ranks resume branch does instead of silently no-op'ing
-        metrics["anchors_ignored_on_resume"] = True
+    else:
+        if anchors is not None:
+            # the tokenize stage (where anchors index into the inlink field)
+            # was resumed as-is; a newly supplied anchors frame cannot take
+            # effect without a rebuild or refresh_anchors — surface that like
+            # the page_ranks resume branch does instead of silently no-op'ing
+            metrics["anchors_ignored_on_resume"] = True
+        # doc_terms were tokenized by the PREVIOUS run: the manifest must
+        # keep the stemmer they were actually stemmed with (same discipline
+        # as salt_min_df for resumed segments) — recording this call's value
+        # would make the query side stem differently from the documents
+        man_path = os.path.join(index_dir, "MANIFEST.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                old_stemmer = json.load(f).get("stemmer", "s")
+        else:
+            old_stemmer = "s"
+        if old_stemmer != stemmer:
+            metrics["stemmer_ignored_on_resume"] = True
+        metrics["stemmer"] = old_stemmer
     doc_terms = spark.read.parquet(doc_terms_dir(index_dir))
 
     # -- stage 3: stats tables ----------------------------------------------
@@ -749,6 +772,9 @@ class IndexReader:
         self.salt_min_df_known = ("salt_min_df" in self.manifest
                                   and not self.manifest.get("salt_min_df_unknown"))
         self.payload_codec = self.manifest.get("payload_codec", "varint")
+        # the stemmer documents were tokenized with; every query-side
+        # tokenization (parser, LTR query vectors, snippets) must use it
+        self.stemmer = str(self.manifest.get("stemmer", "s"))
         # False for DOCS_AND_FREQS-style indexes (blocks carry no position
         # payloads; positional operators raise at plan time)
         self.store_positions = bool(self.manifest.get("store_positions", True))

@@ -168,7 +168,10 @@ def append_pages(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                .select("url", F.col("inlink").alias("inlink_override")))
         anc = F.broadcast(anc) if n_new * 1024 <= bcast_cap else anc
         with_ids = with_ids.join(anc, "url", "left")
-    tokenized = pages_to_tokenized(with_ids).cache()
+    # stem NEW pages with the stemmer this index's docs were built with —
+    # a mismatch would silently split one term's postings across two stems
+    tokenized = pages_to_tokenized(
+        with_ids, stemmer=manifest.get("stemmer", "s")).cache()
     tokenized.filter(F.col("term") == "").select(
         "docid", "field", F.col("doclen").cast("int").alias("len")
     ).write.mode("append").parquet(os.path.join(index_dir, "doc_lens"))

@@ -42,12 +42,14 @@ FEATURE_FIELDS = ["body", "title", "url", "inlink"]
 N_FEATURES = 20
 
 
-def query_vectors(queries: dict[str, str]) -> dict[str, dict[str, int]]:
+def query_vectors(queries: dict[str, str],
+                  stemmer: str = "s") -> dict[str, dict[str, int]]:
     """qid -> {stem: qtf} via the shared tokenize pipeline
-    (QryParser.tokenizeString analog, QryEval.java:786-798)."""
+    (QryParser.tokenizeString analog, QryEval.java:786-798).
+    stemmer: the index's pinned stemmer (IndexReader.stemmer)."""
     out = {}
     for qid, q in queries.items():
-        toks = [t for t in tokenize_full(q) if t is not None]
+        toks = [t for t in tokenize_full(q, stemmer=stemmer) if t is not None]
         out[qid] = dict(Counter(toks))
     return out
 
@@ -58,7 +60,7 @@ def extract_features(reader: IndexReader, candidates: DataFrame,
                      mu: float = 2500.0, lam: float = 0.4) -> DataFrame:
     """candidates: (qid, docid, rel). Returns (qid, docid, rel, f1..f20)."""
     spark = reader.spark
-    qv = query_vectors(queries)
+    qv = query_vectors(queries, stemmer=reader.stemmer)
     n_docs = float(reader.n_docs)
     num_words = float(sum(reader.field_stats[f][1] for f in FEATURE_FIELDS))
     qconst = {qid: (float(len(v)), math.sqrt(sum(x * x for x in v.values())))

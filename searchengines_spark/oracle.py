@@ -336,13 +336,14 @@ def evaluate(idx: OracleIndex, root, model) -> dict[int, float]:
 
 
 def search(idx: OracleIndex, query: str, model_name: str = "bm25", k: int = 100,
-           **model_kw) -> list[tuple[str, float]]:
-    """Parse + evaluate + reference top-k sort."""
+           stemmer: str = "s", **model_kw) -> list[tuple[str, float]]:
+    """Parse + evaluate + reference top-k sort. stemmer must match the one
+    the oracle's docs were tokenized with (tokenize_full(stemmer=...))."""
     from .query.models import make_model
     from .query.parser import QueryParser
 
     m = make_model(model_name, **model_kw)
-    root = QueryParser(m.name).parse(query)
+    root = QueryParser(m.name, stemmer=stemmer).parse(query)
     if root is None:
         return []
     return topk(evaluate(idx, root, m), idx.ext_ids, k)

@@ -36,8 +36,11 @@ def _tokenize_query_string(q: str) -> list[str]:
 
 
 class QueryParser:
-    def __init__(self, model: str = "bm25"):
+    def __init__(self, model: str = "bm25", stemmer: str = "s"):
+        # stemmer must be the INDEX's pinned stemmer (MANIFEST "stemmer")
+        # so query terms stem exactly like the documents did
         self.model = model.lower()
+        self.stemmer = stemmer
 
     def parse(self, query: str) -> ast.Node | None:
         toks = _tokenize_query_string(query)
@@ -103,7 +106,7 @@ class QueryParser:
             if suffix.lower() in _KNOWN_FIELDS and base:
                 field = suffix.lower()
                 tok = base
-        stem = tokenize_query_term(tok)
+        stem = tokenize_query_term(tok, stemmer=self.stemmer)
         if stem is None:
             return None
         return ast.Term(stem, field)

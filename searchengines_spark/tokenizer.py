@@ -74,23 +74,118 @@ def s_stem(tok: str) -> str:
     return tok
 
 
-def tokenize_full(text: str) -> list[str | None]:
+# ---------------------------------------------------------------------------
+# Krovetz-scope inflectional stemmer ("kstem" mode). The reference stems with
+# Lucene's KStem (QryParser.java:40-49) — Krovetz 1993's inflectional stemmer,
+# whose defining trick is a LEXICON check before every transformation. The
+# lexicon isn't shippable here, so this frozen spec keeps Krovetz's scope
+# (plural, past tense, aspect — one transformation per word, nothing
+# derivational) and replaces the dictionary guards with Porter's step-1b
+# orthographic repairs (undoubling, e-restoration; Porter 1980, public
+# domain). Deterministic pure function — index and query sides share it, so
+# rankings stay rank-identical regardless of linguistic edge cases.
+# Selected per index via build_index(stemmer="kstem"); pinned in MANIFEST.
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiou")
+
+
+def _vflags(s: str) -> list[bool]:
+    """Vowel flags with Porter's rule: 'y' is a vowel after a consonant."""
+    flags: list[bool] = []
+    for i, ch in enumerate(s):
+        if ch in _VOWELS:
+            flags.append(True)
+        elif ch == "y" and i > 0 and not flags[i - 1]:
+            flags.append(True)
+        else:
+            flags.append(False)
+    return flags
+
+
+def _measure(s: str) -> int:
+    """Porter's m(): number of vowel->consonant transitions."""
+    f = _vflags(s)
+    return sum(1 for i in range(1, len(f)) if f[i - 1] and not f[i])
+
+
+def _ed_ing_fixup(stem: str) -> str:
+    """Orthographic repair after stripping -ed/-ing (Porter step 1b):
+    at/bl/iz -> +e; doubled final consonant (not l/s/z) -> undouble;
+    short cvc stem (m==1, final not w/x/y) -> +e (hop->hope)."""
+    if stem.endswith(("at", "bl", "iz")):
+        return stem + "e"
+    if (len(stem) >= 2 and stem[-1] == stem[-2]
+            and stem[-1] not in _VOWELS and stem[-1] not in "lsz"):
+        return stem[:-1]
+    if len(stem) >= 3:
+        c2, v, c1 = stem[-3], stem[-2], stem[-1]
+        if (c2 not in _VOWELS and v in _VOWELS and c1 not in _VOWELS
+                and c1 not in "wxy" and _measure(stem) == 1):
+            return stem + "e"
+    return stem
+
+
+def kstem(tok: str) -> str:
+    """Krovetz-scope inflectional stem (frozen spec; see block comment).
+    One transformation per word, first match wins. Tokens with digits or
+    shorter than 4 chars pass through untouched (same guard as s_stem)."""
+    if len(tok) < 4 or not tok.isalpha():
+        return tok
+    w = tok
+    # -- plural ------------------------------------------------------------
+    if w.endswith("ies") and len(w) >= 5:
+        return w[:-3] + "y"                       # cities -> city
+    if (w.endswith("es") and len(w) >= 5
+            and (w[-3] in "sxz" or w[-4:-2] in ("ch", "sh"))):
+        return w[:-2]                             # boxes -> box, churches -> church
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        return w[:-1]                             # tables -> table, ties -> tie
+    # -- past tense ----------------------------------------------------------
+    if w.endswith("ied") and len(w) >= 5:
+        return w[:-3] + "y"                       # carried -> carry
+    if w.endswith("eed"):
+        return w[:-1] if _measure(w[:-3]) > 0 else w   # agreed -> agree, feed -> feed
+    if w.endswith("ed") and len(w) >= 5 and any(_vflags(w[:-2])):
+        return _ed_ing_fixup(w[:-2])              # hopped -> hop, hoped -> hope
+    # -- aspect (-ing) ---------------------------------------------------------
+    if w.endswith("ing") and len(w) >= 6 and any(_vflags(w[:-3])):
+        return _ed_ing_fixup(w[:-3])              # running -> run, hoping -> hope
+    return w
+
+
+# Registry of frozen stemmer specs. The stemmer is an INDEX parameter:
+# build_index pins the name in MANIFEST.json and the query side resolves the
+# same function from it, so documents and queries can never disagree.
+STEMMERS = {"s": s_stem, "kstem": kstem}
+
+
+def get_stemmer(name: str):
+    try:
+        return STEMMERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown stemmer {name!r}; available: {sorted(STEMMERS)}") from None
+
+
+def tokenize_full(text: str, stemmer: str = "s") -> list[str | None]:
     """Lowercase, regex-split, stop, stem. Returns one slot per raw token;
     stopword slots are None (they hold a position and count toward field
     length but emit no posting)."""
     if not text:
         return []
+    stem = get_stemmer(stemmer)
     out: list[str | None] = []
     for tok in _TOKEN_RE.findall(text.lower()):
-        out.append(None if tok in STOPWORDS else s_stem(tok))
+        out.append(None if tok in STOPWORDS else stem(tok))
     return out
 
 
-def tokenize_query_term(tok: str) -> str | None:
+def tokenize_query_term(tok: str, stemmer: str = "s") -> str | None:
     """Tokenize a single query term exactly like document text. Returns None
     if the term is a stopword (the reference drops it and later removes
     emptied operators, QryParser.java:141-179,230-259)."""
-    toks = tokenize_full(tok)
+    toks = tokenize_full(tok, stemmer=stemmer)
     for t in toks:
         if t is not None:
             return t

@@ -10,6 +10,7 @@ Commands:
   graph  --pages PATH --out DIR [--iters N]  host-graph PageRank ->
                                            (url, page_rank) prior table
   build  --pages PATH --index-dir DIR [--n-salts N] [--resume]
+         [--stemmer s|kstem]               tokenizer stem spec (MANIFEST-pinned)
          [--anchors DIR]                   index anchor table as inlink field
          [--page-ranks DIR]                store graph priors as doc attrs
   query  --index-dir DIR --query STR [--model M] [--k K] [--run-id ID]
@@ -39,6 +40,9 @@ def main() -> None:
     b.add_argument("--no-positions", action="store_true",
                    help="DOCS_AND_FREQS index: no position payloads "
                         "(positional operators unavailable)")
+    b.add_argument("--stemmer", default="s", choices=["s", "kstem"],
+                   help="tokenizer stem spec; pinned in MANIFEST so the "
+                        "query side always stems identically")
     b.add_argument("--anchors", default=None,
                    help="(url, inlink) parquet from the `anchors` command; "
                         "indexed as each target's inlink field")
@@ -99,6 +103,7 @@ def main() -> None:
                         n_salts=args.n_salts, resume=args.resume,
                         payload_codec=args.payload_codec,
                         store_positions=not args.no_positions,
+                        stemmer=args.stemmer,
                         anchors=anchors, page_ranks=ranks)
         print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
     elif args.cmd == "query":
