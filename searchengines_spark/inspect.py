@@ -14,7 +14,7 @@ from .query.postings import decode_postings
 
 def corpus_stats(reader: IndexReader) -> dict:
     """listStats analog (InspectIndex.java:286-333)."""
-    out = {"num_docs": reader.n_docs, "fields": {}}
+    out = {"num_docs": reader.n_docs, "stemmer": reader.stemmer, "fields": {}}
     for f, (c, s) in reader.field_stats.items():
         out["fields"][f] = {
             "doc_count": c, "sum_field_lens": s,

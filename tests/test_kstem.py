@@ -233,6 +233,33 @@ def test_append_uses_pinned_stemmer(spark, tmp_path):
     assert any("/appended/" in u for u in urls)
 
 
+def test_compact_preserves_pinned_stemmer(spark, tmp_path):
+    """compact() re-encodes blocks from doc_terms without re-tokenizing, so
+    it must carry the stemmer pin forward — and inflected retrieval must
+    still work on the compacted index."""
+    from searchengines_spark.corpus import PAGES_SCHEMA
+    from searchengines_spark.engine import Engine
+    from searchengines_spark.index import IndexReader, build_index
+    from searchengines_spark.index.incremental import append_pages, compact
+
+    d = str(tmp_path / "kidx_compact")
+    pages = spark.createDataFrame(_page_rows(_DOCS), PAGES_SCHEMA)
+    build_index(spark, pages, d, n_salts=2, stemmer="kstem")
+    new = spark.createDataFrame(
+        _page_rows([("late", "dancers danced while singers sang")]),
+        PAGES_SCHEMA)
+    append_pages(spark, d, new)
+    compact(spark, d)
+
+    r = IndexReader(spark, d)
+    assert r.stemmer == "kstem"
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        assert json.load(f)["stemmer"] == "kstem"
+    urls = [x["url"]
+            for x in Engine(r).search("dancing", "bm25", 10).collect()]
+    assert any("/late/" in u for u in urls)
+
+
 def test_invalid_stemmer_rejected_on_driver(spark, tmp_path):
     from searchengines_spark.corpus import PAGES_SCHEMA
     from searchengines_spark.index import build_index
