@@ -27,6 +27,8 @@ from __future__ import annotations
 import html as _htmllib
 import re
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 # ---------------------------------------------------------------------------
 # Stop set: Lucene's classic English stop words (public domain list).
 # Frozen — do not edit without regenerating every golden file.
@@ -206,12 +208,15 @@ def simple_tokens(text: str) -> list[str]:
 # module never requires an active SparkSession.
 # ---------------------------------------------------------------------------
 
-def make_udfs():
+def make_udfs(stemmer: str = "s"):
     """Returns dict of pandas UDFs: extract_text_udf, tokenize_full_udf,
-    simple_tokens_udf."""
-    import pandas as pd
+    simple_tokens_udf. stemmer selects the frozen stem spec for
+    tokenize_full (pass the index's pinned value when tokenizing alongside
+    an existing index)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    get_stemmer(stemmer)  # validate on the driver, not per-task
 
     @F.pandas_udf(T.StringType())
     def extract_text_udf(h: pd.Series) -> pd.Series:
@@ -219,7 +224,8 @@ def make_udfs():
 
     @F.pandas_udf(T.ArrayType(T.StringType(), containsNull=True))
     def tokenize_full_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: tokenize_full(x) if x is not None else [])
+        return s.map(lambda x: tokenize_full(x, stemmer=stemmer)
+                     if x is not None else [])
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def simple_tokens_udf(s: pd.Series) -> pd.Series:
