@@ -461,12 +461,29 @@ class Engine:
                              else stem_fn(m.group()) for m in spans]
                     matches = [i for i, s in enumerate(stems) if s in terms]
                     mset = set(matches)
+                    # Sliding window over the (sorted) match positions:
+                    # candidate start p = matches[j]; counts holds the
+                    # multiset of stems at matches[j..r) with matches[r-1]
+                    # < p + w, so len(counts) is the distinct-term score.
+                    # Each match enters and leaves counts once -> O(M),
+                    # not O(M * matches-per-window).
                     best_s, best_n = 0, 0
-                    for p in matches:
-                        n = len({stems[i] for i in matches
-                                 if p <= i < p + w})
+                    counts: dict = {}
+                    r = 0
+                    for j, p in enumerate(matches):
+                        while r < len(matches) and matches[r] < p + w:
+                            s = stems[matches[r]]
+                            counts[s] = counts.get(s, 0) + 1
+                            r += 1
+                        n = len(counts)
                         if n > best_n:  # ties keep the leftmost (first) p
                             best_s, best_n = p, n
+                        s = stems[p]  # evict p before the next start
+                        c = counts[s] - 1
+                        if c:
+                            counts[s] = c
+                        else:
+                            del counts[s]
                     lo, hi = best_s, min(best_s + w, len(spans)) - 1
                     if hi < lo:
                         rows.append((qid, url, float(score), 0, 0, ""))
