@@ -58,10 +58,15 @@ def _cpu_stat():
         return list(map(int, f.readline().split()[1:]))
 
 
-def _loop_rate() -> float:
+def _loop_rate(pin_cpu: int | None = None) -> float:
     """Single-core Python-loop Miter/s — a host-health canary. This sandbox
     VM shows multi-x run-to-run swings from hypervisor contention; recording
-    the canary beside every bench lets a reader normalize."""
+    the canary beside every bench lets a reader normalize. The ONE
+    definition every bench tool shares (tools/ import it), so the number
+    stays comparable across studies. pin_cpu: measure a specific core
+    (hypervisor degradation is per-core-placement dependent)."""
+    if pin_cpu is not None:
+        os.sched_setaffinity(0, {pin_cpu})
     t0 = time.time()
     s = 0
     for i in range(2_000_000):

@@ -104,6 +104,8 @@ def _validate_snippet_params(params: dict) -> None:
         raise ValueError(
             "snippets=true needs snippets:pagesPath (the raw pages parquet"
             " — the index stores postings, not text)")
+    if int(params.get("snippets:width", 30)) < 1:
+        raise ValueError("snippets:width must be >= 1")
 
 
 def _write_snippets(reader: IndexReader, params: dict,

@@ -440,6 +440,8 @@ class Engine:
 
         terms_map = {qid: qterms_of(q) for qid, q in queries.items()}
         w = int(width)
+        if w < 1:  # fail driver-side, not as a KeyError inside the kernel
+            raise ValueError(f"snippet width must be >= 1, got {width}")
 
         def kernel(batches):
             for pdf in batches:

@@ -140,6 +140,26 @@ def _mark_stage(index_dir: str, stage: str, **meta) -> None:
         json.dump({"stage": stage, "ts": time.time(), **meta}, f)
 
 
+def _pinned_meta(index_dir: str, stage: str, manifest: dict,
+                 man_path: str) -> dict:
+    """Parameters a completed `stage` actually ran with, for resume.
+
+    Two sources can know them: the stage marker (stamped at the moment the
+    stage finished — survives a build that crashed before the final
+    MANIFEST write) and the manifest (kept current by append/upsert/compact,
+    which never rewrite markers). Whichever was written LATER wins; the
+    other only fills missing keys."""
+    try:
+        with open(os.path.join(index_dir, "_stages", stage + ".json")) as f:
+            marker = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        marker = {}
+    man_mtime = os.path.getmtime(man_path) if os.path.exists(man_path) else -1.0
+    if marker.get("ts", -1.0) > man_mtime:
+        return {**manifest, **marker}
+    return {**marker, **manifest}
+
+
 SALT_MIN_DF = 8 * codec.BLOCK_SIZE  # only terms with df >= this get striped
 
 
@@ -554,7 +574,7 @@ def build_index(
         # default scores need per-field doclens for every candidate doc;
         # pivoting once at build time beats a scan+pivot per query
         _write_doc_lens_wide(spark, index_dir)
-        _mark_stage(index_dir, "doc_terms")
+        _mark_stage(index_dir, "doc_terms", stemmer=stemmer)
         _lap("doc_terms")
     else:
         if anchors is not None:
@@ -568,11 +588,20 @@ def build_index(
         # as salt_min_df for resumed segments) — recording this call's value
         # would make the query side stem differently from the documents
         man_path = os.path.join(index_dir, "MANIFEST.json")
+        man = {}
         if os.path.exists(man_path):
             with open(man_path) as f:
-                old_stemmer = json.load(f).get("stemmer", "s")
+                man = json.load(f)
+        pinned = _pinned_meta(index_dir, "doc_terms", man, man_path)
+        if "stemmer" in pinned:
+            old_stemmer = pinned["stemmer"]
+        elif man:
+            old_stemmer = "s"  # pre-kstem manifest: 's' was the only spec
         else:
-            old_stemmer = "s"
+            # crashed before any MANIFEST and the marker predates stemmer
+            # stamping: the re-run's own value is the best available guess
+            old_stemmer = stemmer
+            metrics["stemmer_unpinned_on_resume"] = True
         if old_stemmer != stemmer:
             metrics["stemmer_ignored_on_resume"] = True
         metrics["stemmer"] = old_stemmer
@@ -622,32 +651,44 @@ def build_index(
         if os.path.exists(man_path):
             with open(man_path) as f:
                 old_man = json.load(f)
+        # the segments marker stamps the encode params at encode time, so a
+        # build that crashed before its final MANIFEST write still pins
+        # them; a manifest rewritten later (append/compact) wins on recency
+        pinned = _pinned_meta(index_dir, "segments", old_man, man_path)
         # same rule for the payload codec: blocks keep the codec they were
         # actually encoded with
-        metrics["payload_codec"] = old_man.get("payload_codec", "varint")
-        metrics["store_positions"] = old_man.get("store_positions", True)
+        metrics["payload_codec"] = pinned.get("payload_codec", "varint")
+        metrics["store_positions"] = pinned.get("store_positions", True)
+        # stripe geometry: the reader derives each stripe's docid window
+        # from manifest salt_range — recording this call's value (line
+        # `salt_range = ceil(n_docs / n_salts)` above) for blocks encoded
+        # under a DIFFERENT n_salts would silently misalign every striped
+        # decode, so restore both unconditionally when a source knows them
+        if "salt_range" in pinned:
+            metrics["salt_range"] = pinned["salt_range"]
+        if "n_salts" in pinned:
+            metrics["n_salts"] = pinned["n_salts"]
         # and for the striping threshold: cold_blocks' skip-gate ("df >=
         # salt_min_df implies every block is striped") is only sound
         # against the value the blocks were ENCODED with — recording the
         # new call's value would silently drop any term whose df falls
         # between the two thresholds from every query
-        if "salt_min_df" in old_man:
-            metrics["salt_min_df"] = old_man["salt_min_df"]
-            metrics["n_salts"] = old_man.get("n_salts", metrics["n_salts"])
+        if "salt_min_df" in pinned:
+            metrics["salt_min_df"] = pinned["salt_min_df"]
         else:  # encode threshold unknown -> reader must not skip-gate
             metrics["salt_min_df_unknown"] = True
-        if "bm25_k1" in old_man:
-            metrics["bm25_k1"] = old_man["bm25_k1"]
-            metrics["bm25_b"] = old_man["bm25_b"]
-            if (bm25_k1, bm25_b) != (old_man["bm25_k1"], old_man["bm25_b"]):
+        if "bm25_k1" in pinned:
+            metrics["bm25_k1"] = pinned["bm25_k1"]
+            metrics["bm25_b"] = pinned["bm25_b"]
+            if (bm25_k1, bm25_b) != (pinned["bm25_k1"], pinned["bm25_b"]):
                 metrics["stale_block_bounds"] = True
         else:  # encode params unknown -> conservative bounds at serve time
             metrics["stale_block_bounds"] = True
-        if old_man.get("stale_block_bounds") and old_man.get("appends"):
+        if pinned.get("stale_block_bounds") and pinned.get("appends"):
             # appended blocks carry bounds under pre-append corpus stats;
             # only compact()/re-encode clears that, not a resumed build
             metrics["stale_block_bounds"] = True
-            metrics["appends"] = old_man["appends"]
+            metrics["appends"] = pinned["appends"]
     else:
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
@@ -656,7 +697,11 @@ def build_index(
                                payload_codec=payload_codec,
                                store_positions=store_positions)
         blocks.write.mode("overwrite").parquet(segments_path)
-        _mark_stage(index_dir, "segments")
+        _mark_stage(index_dir, "segments", salt_range=int(salt_range),
+                    n_salts=int(n_salts), salt_min_df=int(salt_min_df),
+                    payload_codec=payload_codec,
+                    store_positions=bool(store_positions),
+                    bm25_k1=float(bm25_k1), bm25_b=float(bm25_b))
         _lap("segments")
 
     # -- stage 5: merge segments into the serving layout ---------------------

@@ -80,6 +80,97 @@ def test_resume_preserves_encode_salt_min_df(spark, tmp_path):
     assert r3.cold_blocks(pairs) == baseline
 
 
+def _tiny_pages(spark, n=12, with_hot=8):
+    import pandas as pd
+
+    from searchengines_spark.corpus import PAGES_SCHEMA
+
+    bodies = [("hotone " if i < with_hot else "") + f"filler{i}"
+              for i in range(n)]
+    rows = [(f"https://rs.org/p{i:03d}", pd.Timestamp("2020-01-01"),
+             (f"<html><head><title>t{i}</title></head>"
+              f"<body>{b}</body></html>").encode(), b, "en")
+            for i, b in enumerate(bodies)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+
+
+@pytest.mark.slow
+def test_resume_pins_stemmer_without_manifest(spark, tmp_path):
+    """A build that crashed before its final MANIFEST write must still
+    resume with the stemmer the docs were ACTUALLY tokenized with — the
+    doc_terms stage marker stamps it. A hardcoded 's' fallback would serve
+    kstem-stemmed postings with s-stemmed queries: silent zero hits."""
+    pages = _tiny_pages(spark)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4, stemmer="kstem")
+
+    # crash case: every stage done, MANIFEST never written
+    os.remove(os.path.join(d, "MANIFEST.json"))
+    m = build_index(spark, pages, d, n_salts=4, stemmer="kstem", resume=True)
+    assert m["stemmer"] == "kstem"
+    assert "stemmer_ignored_on_resume" not in m
+
+    # a re-run that passes a DIFFERENT stemmer cannot re-pin tokenized docs
+    os.remove(os.path.join(d, "MANIFEST.json"))
+    m = build_index(spark, pages, d, n_salts=4, stemmer="s", resume=True)
+    assert m["stemmer"] == "kstem"
+    assert m["stemmer_ignored_on_resume"] is True
+    assert IndexReader(spark, d).stemmer == "kstem"
+
+
+@pytest.mark.slow
+def test_resume_restores_stripe_geometry(spark, tmp_path):
+    """segments-stage resume invoked with a different n_salts must keep the
+    geometry the blocks were ENCODED with: the reader derives each stripe's
+    docid window from manifest salt_range, so recording the new call's
+    value would silently misalign every striped decode."""
+    from searchengines_spark.engine import Engine
+
+    pages = _tiny_pages(spark)
+    d = str(tmp_path / "idx")
+    # salt_min_df=4 stripes "hotone" (df=8) across 4 salts
+    build_index(spark, pages, d, n_salts=4, salt_min_df=4)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m0 = json.load(f)
+    baseline = [(r["url"], r["score"]) for r in
+                Engine(IndexReader(spark, d))
+                .search("hotone", model="bm25", k=10).collect()]
+    assert baseline  # sanity: the striped term is servable
+
+    # resume with HALF the salts: blocks are not re-encoded, so the
+    # manifest must keep the encode-time geometry
+    build_index(spark, pages, d, n_salts=2, salt_min_df=4, resume=True)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m1 = json.load(f)
+    assert (m1["salt_range"], m1["n_salts"]) == (m0["salt_range"], m0["n_salts"])
+
+    # crash flavor: no MANIFEST at all -> the segments stage marker pins it
+    os.remove(os.path.join(d, "MANIFEST.json"))
+    build_index(spark, pages, d, n_salts=2, salt_min_df=4, resume=True)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m2 = json.load(f)
+    assert (m2["salt_range"], m2["n_salts"]) == (m0["salt_range"], m0["n_salts"])
+    assert m2["salt_min_df"] == 4
+
+    after = [(r["url"], r["score"]) for r in
+             Engine(IndexReader(spark, d))
+             .search("hotone", model="bm25", k=10).collect()]
+    assert after == baseline
+
+    # precedence: compact() re-encodes with NEW geometry and rewrites the
+    # manifest but never stage markers — a later resume must trust the
+    # fresher manifest, not resurrect the stale marker's geometry
+    from searchengines_spark.index.incremental import compact
+
+    compact(spark, d, n_salts=2)
+    build_index(spark, pages, d, n_salts=4, salt_min_df=4, resume=True)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m3 = json.load(f)
+    assert m3["n_salts"] == 2
+
+
 @pytest.mark.slow
 def test_resume_identical(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")

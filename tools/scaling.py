@@ -127,12 +127,9 @@ def run_engine(cpus: int, cpu_range: str, n_pages: int) -> dict:
 
 
 def _canary_once(cpu: int) -> float:
-    os.sched_setaffinity(0, {cpu})
-    t0 = time.time()
-    s = 0
-    for i in range(2_000_000):
-        s += i
-    return 2.0 / max(1e-9, time.time() - t0)
+    from bench import _loop_rate  # the one shared canary definition
+
+    return _loop_rate(pin_cpu=cpu)
 
 
 def _host_healthy(min_mops: float = 18.0) -> tuple[bool, float]:

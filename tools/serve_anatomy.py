@@ -21,12 +21,7 @@ from pyspark.sql import functions as F
 TERMS = ["cebaba1", "dibaba2", "fobaba3", "gubaba4"]  # bench.py's bm25_bow
 
 
-def loop_rate() -> float:
-    t0 = time.time()
-    s = 0
-    for i in range(2_000_000):
-        s += i
-    return round(2.0 / max(1e-9, time.time() - t0), 2)
+from bench import _loop_rate as loop_rate  # the one shared canary definition
 
 
 def main() -> None:

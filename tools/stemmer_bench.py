@@ -26,17 +26,7 @@ RUNS = int(os.environ.get("RUNS", "2"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
 
-def _loop_rate() -> float:
-    t0 = time.time()
-    s = 0
-    for i in range(2_000_000):
-        s += i
-    return round(2.0 / max(1e-9, time.time() - t0), 2)
-
-
-def _cpu_stat():
-    with open("/proc/stat") as f:
-        return list(map(int, f.readline().split()[1:]))
+from bench import _cpu_stat, _loop_rate  # the one shared canary definition
 
 
 def main() -> None:
