@@ -335,6 +335,7 @@ SPELL_TOP = 3
 # 100+-char junk tokens (base64, urls) nobody spell-corrects. Cap the
 # suggestion vocabulary (mirrored in the DuckDB oracle).
 SPELL_MAX_LEN = 24
+SPELL_KEY_PUSH_MAX = 16384  # max IN() literals pushed into the sidecar scan
 
 
 def _delete_keys(col: str):
@@ -403,8 +404,16 @@ def spell_suggest_keys(vkeys: DataFrame, queries: list[str],
     qpairs = [(q, k) for q in queries for k in py_delete_keys(q)]
     qdf = spark.createDataFrame(qpairs, "q string, k string")
     keys = sorted({k for _, k in qpairs})
-    cand = (vkeys.filter(F.col("k").isin(keys))
-            .join(F.broadcast(qdf), "k"))
+    # the IN() literal list is what turns the sorted sidecar read into a
+    # row-group-pruned point read — but a BULK batch (hundreds of
+    # near-max-length terms emit ~350 keys each) would push 10^5 literals
+    # into one Catalyst predicate. Past the cap, drop the pushdown and
+    # let the broadcast key join do the filtering over one sidecar scan
+    # (the same plan shape the non-sidecar fallback runs).
+    cand = vkeys
+    if len(keys) <= SPELL_KEY_PUSH_MAX:
+        cand = cand.filter(F.col("k").isin(keys))
+    cand = cand.join(F.broadcast(qdf), "k")
     return _rank_suggestions(cand, max_d, top)
 
 
@@ -828,20 +837,10 @@ def _pq_cache_key(sf_dir: str, m: int, k: int, seed: int):
     the old vectors."""
     import os
 
+    from .fsutil import parquet_tree_sig
+
     root = os.path.join(sf_dir, "embeddings.parquet")
-    sig = []
-    if os.path.isdir(root):
-        for r, _d, fs in os.walk(root):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(r, f)
-                    st = os.stat(p)
-                    sig.append((os.path.relpath(p, root), st.st_size,
-                                st.st_mtime_ns))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        sig.append((".", st.st_size, st.st_mtime_ns))
-    return (sf_dir, tuple(sorted(sig)), m, k, seed)
+    return (sf_dir, tuple(parquet_tree_sig(root, rel_to=root)), m, k, seed)
 
 
 def q_pq_topk(spark, sf_dir):

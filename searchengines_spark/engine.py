@@ -368,7 +368,15 @@ class Engine:
         from .index.spellkeys import read_spell_keys
 
         qs = [t.lower() for t in terms]
-        side = read_spell_keys(self.reader.spark, self.reader.index_dir)
+        # read_spell_keys re-walks the term_stats tree to verify the
+        # sidecar's freshness signature — a per-call filesystem sweep an
+        # interactive suggest path shouldn't pay. Readers are
+        # per-index-version objects (the _ts_memo discipline), so the
+        # verified handle is memoized on the reader.
+        r = self.reader
+        if not hasattr(r, "_spell_memo"):
+            r._spell_memo = read_spell_keys(r.spark, r.index_dir)
+        side = r._spell_memo
         if side is not None:
             vkeys = (side.filter(F.col("field") == field)
                      .select("k", "term",

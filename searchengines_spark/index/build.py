@@ -43,6 +43,7 @@ import json
 import math
 import os
 import time
+from collections import OrderedDict
 
 import numpy as np
 
@@ -161,6 +162,9 @@ def _pinned_meta(index_dir: str, stage: str, manifest: dict,
 
 
 SALT_MIN_DF = 8 * codec.BLOCK_SIZE  # only terms with df >= this get striped
+# cold-block memo bound: entries are <= SALT_MIN_DF compressed postings
+# (few KB each), so 16k entries caps the memo at ~100 MB driver-side
+COLD_MEMO_CAP = 16384
 
 
 def encode_blocks(spark, doc_terms: DataFrame, term_stats: DataFrame,
@@ -684,11 +688,20 @@ def build_index(
                 metrics["stale_block_bounds"] = True
         else:  # encode params unknown -> conservative bounds at serve time
             metrics["stale_block_bounds"] = True
-        if pinned.get("stale_block_bounds") and pinned.get("appends"):
+        if pinned.get("stale_block_bounds"):
             # appended blocks carry bounds under pre-append corpus stats;
             # only compact()/re-encode clears that, not a resumed build
             metrics["stale_block_bounds"] = True
-            metrics["appends"] = pinned["appends"]
+        # lifecycle state maintained by append/upsert/delete/compact lives
+        # only in the manifest — a resumed build (which re-encoded nothing)
+        # must carry it forward, not erase it: `appends` drives
+        # segment_cuts' url-rank tie segments, `docid_space` covers docid
+        # holes left by upserts (the dense n_docs recompute above
+        # undercounts it), the rest keeps compact_buckets' bookkeeping
+        for k in ("appends", "compactions", "docid_space", "n_deleted",
+                  "uncompacted_buckets", "stale_bound_buckets"):
+            if k in pinned:
+                metrics[k] = pinned[k]
     else:
         fs = {r["field"]: (r["doc_count"], r["sum_len"]) for r in field_stats.collect()}
         avg_len = {f: (s / c if c else 1.0) for f, (c, s) in fs.items() if f != "__docs__"}
@@ -828,8 +841,12 @@ class IndexReader:
         # per-index-version objects, so no staleness across appends.
         self._ts_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
         # (field, term) -> raw unstriped block tuples (possibly []); see
-        # cold_blocks(). Per-index-version like _ts_memo, so never stale.
-        self._cold_memo: dict[tuple[str, str], list[tuple]] = {}
+        # cold_blocks(). Per-index-version like _ts_memo, so never stale —
+        # but entries hold compressed posting BYTES (up to salt_min_df
+        # postings each), so unlike the small _ts_memo tuples this one is
+        # LRU-bounded: a long-lived reader on a rare-term-heavy workload
+        # must not grow driver memory with the distinct-term count.
+        self._cold_memo: "OrderedDict[tuple[str, str], list[tuple]]" = OrderedDict()
 
     @property
     def norms_dir(self) -> str:
@@ -910,7 +927,15 @@ class IndexReader:
         but the appends history is retained for segment tie-breaks, so the
         conservative gate stays off until a fresh build."""
         pairs = sorted(set(terms))
-        unseen = [p for p in pairs if p not in self._cold_memo]
+        found: dict[tuple[str, str], list[tuple]] = {}
+        unseen = []
+        for p in pairs:
+            v = self._cold_memo.get(p)
+            if v is None:
+                unseen.append(p)
+            else:
+                self._cold_memo.move_to_end(p)
+                found[p] = v
         if unseen:
             stats = self.term_stats(unseen)  # memoized upstream of wand
             if self.manifest.get("appends") or not self.salt_min_df_known:
@@ -933,8 +958,12 @@ class IndexReader:
                          float(r["max_score"]),
                          bytes(r["docids_z"]), bytes(r["tfs_z"])))
             for p in unseen:
-                self._cold_memo[p] = got.get(p, [])
-        return {p: v for p in pairs if (v := self._cold_memo[p])}
+                v = got.get(p, [])
+                found[p] = v
+                self._cold_memo[p] = v
+            while len(self._cold_memo) > COLD_MEMO_CAP:
+                self._cold_memo.popitem(last=False)
+        return {p: v for p, v in found.items() if v}
 
     def blocks_for(self, terms: list[tuple[str, str]]) -> DataFrame:
         """Pruned scan: bucket partition filter (directory pruning) + plain

@@ -31,13 +31,9 @@ _cache: OrderedDict = OrderedDict()
 
 
 def _signature(path: str) -> tuple:
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                st = os.stat(os.path.join(root, f))
-                out.append((os.path.join(root, f), st.st_size, st.st_mtime_ns))
-    return tuple(sorted(out))
+    from ..fsutil import parquet_tree_sig
+
+    return tuple(parquet_tree_sig(path))
 
 
 def stripe_doclens(norms_dir: str, field: str, lo: int, hi: int) -> np.ndarray:

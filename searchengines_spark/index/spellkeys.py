@@ -43,17 +43,12 @@ def _ts_signature(index_dir: str) -> dict:
     code stop verifying (term_stats files alone wouldn't notice) and
     suggest() falls back to the on-the-fly join until the next compact()."""
     from ..analytic import SPELL_MAX_LEN
+    from ..fsutil import parquet_tree_sig
 
     ts = os.path.join(index_dir, "term_stats")
-    files = []
-    for root, _dirs, fs in os.walk(ts):
-        for f in fs:
-            if f.endswith(".parquet"):
-                p = os.path.join(root, f)
-                st = os.stat(p)
-                files.append([os.path.relpath(p, index_dir),
-                              st.st_size, st.st_mtime_ns])
-    return {"files": sorted(files),
+    # list-of-lists so the stamp compares equal after a JSON round-trip
+    files = [list(t) for t in parquet_tree_sig(ts, rel_to=index_dir)]
+    return {"files": files,
             "params": {"max_len": SPELL_MAX_LEN, "depth": 2, "fmt": 1}}
 
 

@@ -80,20 +80,44 @@ def test_resume_preserves_encode_salt_min_df(spark, tmp_path):
     assert r3.cold_blocks(pairs) == baseline
 
 
-def _tiny_pages(spark, n=12, with_hot=8):
+def _tiny_pages(spark, n=12, with_hot=8, prefix="p"):
     import pandas as pd
 
     from searchengines_spark.corpus import PAGES_SCHEMA
 
     bodies = [("hotone " if i < with_hot else "") + f"filler{i}"
               for i in range(n)]
-    rows = [(f"https://rs.org/p{i:03d}", pd.Timestamp("2020-01-01"),
+    rows = [(f"https://rs.org/{prefix}{i:03d}", pd.Timestamp("2020-01-01"),
              (f"<html><head><title>t{i}</title></head>"
               f"<body>{b}</body></html>").encode(), b, "en")
             for i, b in enumerate(bodies)]
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
         schema=PAGES_SCHEMA)
+
+
+@pytest.mark.slow
+def test_resume_keeps_lifecycle_manifest_keys(spark, tmp_path):
+    """A resume re-run over an APPENDED index re-ran no stage, so it must
+    carry the incremental-lifecycle manifest state forward: `appends`
+    drives segment_cuts' url-rank tie segments (dropping it collapses the
+    multi-segment tie rule), `docid_space` covers docid holes."""
+    from searchengines_spark.index.incremental import append_pages
+
+    pages = _tiny_pages(spark)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, n_salts=4)
+    append_pages(spark, d, _tiny_pages(spark, n=6, with_hot=3, prefix="q"))
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m0 = json.load(f)
+    assert m0.get("appends")
+
+    build_index(spark, pages, d, n_salts=4, resume=True)
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m1 = json.load(f)
+    assert m1["appends"] == m0["appends"]
+    assert m1["docid_space"] == m0["docid_space"]
+    assert IndexReader(spark, d).segment_cuts() == [0, 12]
 
 
 @pytest.mark.slow
