@@ -14,6 +14,13 @@ Commands:
          [--anchors DIR]                   index anchor table as inlink field
          [--page-ranks DIR]                store graph priors as doc attrs
   query  --index-dir DIR --query STR [--model M] [--k K] [--run-id ID]
+  append --index-dir DIR --pages PATH      delta-index new urls (no rebuild)
+  upsert --index-dir DIR --pages PATH      recrawl: tombstone old + append new
+  delete --index-dir DIR --urls PATH       tombstone urls (parquet w/ url col)
+  compact --index-dir DIR [--n-salts N] [--expire-keep K]
+                                           fold deltas + purge tombstones,
+                                           re-encode under current stats;
+                                           optionally expire old snapshots
   bench  (delegates to bench.py phases via env)
 
 Package the engine for --py-files with:
@@ -69,6 +76,22 @@ def main() -> None:
     q.add_argument("--k", type=int, default=100)
     q.add_argument("--run-id", default="run")
 
+    for name in ("append", "upsert"):
+        p = sub.add_parser(name)
+        p.add_argument("--index-dir", required=True)
+        p.add_argument("--pages", required=True)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("--urls", required=True,
+                   help="parquet with a url column; extra columns ignored")
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--n-salts", type=int, default=None)
+    c.add_argument("--expire-keep", type=int, default=None,
+                   help="after compacting, expire all but the last K snapshots")
+
     args = ap.parse_args()
 
     # Import AFTER spark-submit has placed --py-files on sys.path
@@ -115,6 +138,29 @@ def main() -> None:
                    for r in eng.search(args.query, model=args.model, k=args.k).collect()]
         for line in Engine.trec_lines("q1", ranking, args.run_id):
             print(line)
+    elif args.cmd in ("append", "upsert"):
+        from searchengines_spark.index.incremental import (append_pages,
+                                                           upsert_pages)
+
+        fn = append_pages if args.cmd == "append" else upsert_pages
+        m = fn(spark, args.index_dir, spark.read.parquet(args.pages))
+        print(json.dumps({k: v for k, v in m.items() if k != "stage_secs"}))
+    elif args.cmd == "delete":
+        from searchengines_spark.index.incremental import delete_pages
+
+        m = delete_pages(spark, args.index_dir,
+                         spark.read.parquet(args.urls).select("url"))
+        print(json.dumps(m))
+    elif args.cmd == "compact":
+        from searchengines_spark.index.incremental import compact
+
+        m = compact(spark, args.index_dir, n_salts=args.n_salts)
+        if args.expire_keep is not None:
+            from searchengines_spark.index.snapshots import expire_snapshots
+
+            m["expired_snapshots"] = expire_snapshots(
+                args.index_dir, keep_last=args.expire_keep)
+        print(json.dumps(m))
 
     spark.stop()
 
