@@ -688,9 +688,12 @@ def build_index(
                 metrics["stale_block_bounds"] = True
         else:  # encode params unknown -> conservative bounds at serve time
             metrics["stale_block_bounds"] = True
-        if pinned.get("stale_block_bounds"):
+        if pinned.get("stale_block_bounds") and pinned.get("appends"):
             # appended blocks carry bounds under pre-append corpus stats;
-            # only compact()/re-encode clears that, not a resumed build
+            # only compact()/re-encode clears that, not a resumed build.
+            # (Without appends the flag does NOT persist: the manifest keeps
+            # the encode-time k1/b, so a matching-params resume re-verifies
+            # bounds sound and clears a previous mismatched-call's flag.)
             metrics["stale_block_bounds"] = True
         # lifecycle state maintained by append/upsert/delete/compact lives
         # only in the manifest — a resumed build (which re-encoded nothing)

@@ -6,6 +6,11 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-build lifecycle tests (~1 min each)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from searchengines_spark.session import get_spark
