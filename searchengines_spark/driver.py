@@ -420,7 +420,11 @@ def run_ltr(reader: IndexReader, params: dict,
         extract_features(reader, cand_train, train_queries, **fkw), disable))
     if "ltr:trainingFeatureVectorsFile" in params:
         write_svmlight(feats, url_ids, params["ltr:trainingFeatureVectorsFile"])
-    model = train_ranker(feats, toolkit)
+    model = train_ranker(
+        feats, toolkit,
+        ranklib_model=params.get("ltr:RankLib:model"),
+        metric=params.get("ltr:RankLib:metric2t", "NDCG@10"),
+        svm_c=params.get("ltr:svmRankParamC"))
     if "ltr:modelFile" in params:
         save_model(model, params["ltr:modelFile"])
 

@@ -307,6 +307,125 @@ def train_gbt(features: DataFrame, seed: int = 7, max_iter: int = 20,
     return gbt.fit(_canonical_fit_input(ds, ["qid", "docid"]))
 
 
+def _metric_fn(spec: str):
+    """Parse a RankLib ``metric2t`` spec — 'NDCG@10', 'P@10', 'MAP' — into
+    a per-query callable over the rel array IN MODEL-SCORE ORDER. The
+    reference forwards this spec to the RankLib process
+    (``ltr:RankLib:metric2t`` in PARAM_DIR, QryEval.java:985-1002); here
+    it is the objective coordinate ascent climbs."""
+    s = spec.strip().upper()
+    name, _, kk = s.partition("@")
+    k = int(kk) if kk else 0
+
+    if name == "NDCG":
+        def m(rels: np.ndarray) -> float:
+            kk2 = min(k or len(rels), len(rels))
+            disc = 1.0 / np.log2(np.arange(2, len(rels) + 2))
+            gains = 2.0 ** rels - 1.0
+            dcg = float((gains[:kk2] * disc[:kk2]).sum())
+            ideal = np.sort(gains)[::-1]
+            idcg = float((ideal[:kk2] * disc[:kk2]).sum())
+            return dcg / idcg if idcg > 0 else 0.0
+    elif name == "P":
+        def m(rels: np.ndarray) -> float:
+            kk2 = min(k or len(rels), len(rels))
+            return float((rels[:kk2] > 0).sum()) / kk2
+    elif name == "MAP":
+        def m(rels: np.ndarray) -> float:
+            pos = rels > 0
+            if not pos.any():
+                return 0.0
+            prec = np.cumsum(pos) / np.arange(1, len(rels) + 1)
+            return float(prec[pos].mean())
+    else:
+        raise ValueError(f"unsupported metric2t: {spec!r}")
+    return m
+
+
+def _collect_grouped(features: DataFrame) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-query (X, rel) numpy groups, qid-sorted, docid-sorted within.
+    Qrels-bounded rows (the reference ships the same data to a single-node
+    RankLib/SVMrank process), so driver-side numpy is the honest analog."""
+    rows = sorted(features.fillna(0.0).collect(),
+                  key=lambda r: (r["qid"], r["docid"]))
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["qid"], []).append(
+            ([float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)],
+             float(r["rel"])))
+    out = []
+    for qid in sorted(groups):
+        g = groups[qid]
+        out.append((np.array([x for x, _ in g], dtype=np.float64),
+                    np.array([y for _, y in g], dtype=np.float64)))
+    return out
+
+
+def _mean_metric(groups, w: np.ndarray, metric) -> float:
+    vals = []
+    for X, y in groups:
+        scores = X @ w
+        order = np.lexsort((np.arange(len(scores)), -scores))  # ties: row asc
+        vals.append(metric(y[order]))
+    return float(np.mean(vals)) if vals else 0.0
+
+
+# anchor the pairwise-LR regularization to the reference corpus's most
+# common ltr:svmRankParamC so default behavior is unchanged at C=0.002;
+# smaller C (more slack) maps monotonically to more regularization
+SVMRANK_C_ANCHOR = 0.002
+PAIRWISE_REG_AT_ANCHOR = 1e-4
+
+
+def train_coordinate_ascent(features: DataFrame, metric: str = "NDCG@10",
+                            sweeps: int = 25) -> np.ndarray:
+    """RankLib Coordinate Ascent analog (``ltr:RankLib:model=4``; Metzler &
+    Croft 2007): greedy per-coordinate line search over linear weights,
+    directly maximizing the listwise ``metric2t`` on the training queries.
+    Deterministic — fixed coordinate order, fixed additive step schedule,
+    strict-improvement acceptance, L1 renormalization per sweep — so the
+    learned .Model is a pure function of the feature frame."""
+    groups = _collect_grouped(features)
+    m = _metric_fn(metric)
+    w = np.full(N_FEATURES, 1.0 / N_FEATURES)
+    best = _mean_metric(groups, w, m)
+    steps = (0.05, -0.05, 0.1, -0.1, 0.2, -0.2, 0.5, -0.5, 1.0, -1.0)
+    for _ in range(sweeps):
+        improved = False
+        for i in range(N_FEATURES):
+            for s in steps:
+                cand = w.copy()
+                cand[i] += s
+                v = _mean_metric(groups, cand, m)
+                if v > best + 1e-12:
+                    w, best, improved = cand, v, True
+        n1 = np.abs(w).sum()
+        if n1 > 0:
+            w = w / n1
+        if not improved:
+            break
+    return w
+
+
+def train_listnet(features: DataFrame, iters: int = 200,
+                  lr: float = 0.05) -> np.ndarray:
+    """RankLib ListNet analog (``ltr:RankLib:model=7``; Cao et al. 2007):
+    listwise top-one-probability softmax cross-entropy on linear weights,
+    full-batch gradient descent. Deterministic (zero init, fixed schedule)."""
+    def softmax(v: np.ndarray) -> np.ndarray:
+        e = np.exp(v - v.max())
+        return e / e.sum()
+
+    groups = _collect_grouped(features)
+    w = np.zeros(N_FEATURES)
+    for _ in range(iters):
+        g = np.zeros(N_FEATURES)
+        for X, y in groups:
+            g += X.T @ (softmax(X @ w) - softmax(y))
+        w -= lr * g / max(1, len(groups))
+    return w
+
+
 class RankModel:
     """Trained ranker: linear weight vector or an ml tree model, selected by
     toolkit name like the reference's ``ltr:toolkit`` param."""
@@ -327,15 +446,35 @@ class RankModel:
             "qid", "docid", F.col("prediction").alias("ltr_score"))
 
 
-def train_ranker(features: DataFrame, toolkit: str = "ridge", **kw) -> RankModel:
+def train_ranker(features: DataFrame, toolkit: str = "ridge",
+                 ranklib_model: int | str | None = None,
+                 metric: str = "NDCG@10",
+                 svm_c: float | str | None = None, **kw) -> RankModel:
     """toolkit: 'ridge' (closed-form linear), 'svmrank' (pairwise logistic
-    -> linear weights), 'ranklib' (pointwise GBT)."""
+    -> linear weights), 'ranklib' (model-id dispatch like the RankLib CLI).
+
+    ranklib_model: the reference's ``ltr:RankLib:model`` id — 4 trains the
+    Coordinate Ascent analog on ``metric`` (``ltr:RankLib:metric2t``),
+    7 the ListNet analog, anything else the pointwise GBT.
+    svm_c: ``ltr:svmRankParamC`` — SVMrank's slack weight, mapped
+    monotonically onto the pairwise-LR regularization (anchored so the
+    reference corpus's C=0.002 reproduces the default reg)."""
     t = toolkit.lower()
     if t == "ridge":
         return RankModel("ridge", weights=train_ridge(features, **kw))
     if t in ("svmrank", "pairwise"):
+        if svm_c is not None:
+            kw.setdefault("reg", PAIRWISE_REG_AT_ANCHOR
+                          * (SVMRANK_C_ANCHOR / float(svm_c)))
         return RankModel("svmrank", weights=train_pairwise_lr(features, **kw))
     if t in ("ranklib", "gbt"):
+        mid = int(ranklib_model) if ranklib_model not in (None, "") else None
+        if mid == 4:
+            return RankModel("ranklib-ca",
+                             weights=train_coordinate_ascent(features, metric))
+        if mid == 7:
+            return RankModel("ranklib-listnet",
+                             weights=train_listnet(features))
         return RankModel("ranklib", ml_model=train_gbt(features, **kw))
     raise ValueError(f"unknown ltr toolkit: {toolkit!r}")
 

@@ -327,3 +327,84 @@ def test_model_and_docscore_files(spark, tiny_index, tmp_path):
         assert int(idx) == seen_idx.get(qid, 0)
         seen_idx[qid] = int(idx) + 1
         assert abs(float(sc) - rmap[(qid, urls_map[url_of[i]])]) < 1e-9
+
+
+def test_metric_fn_hand_computed():
+    """metric2t parsing vs independently hand-derived values."""
+    import numpy as np
+
+    from searchengines_spark.ltr import _metric_fn
+
+    # rels in model-score order [1, 0, 2]:
+    # DCG@2  = (2^1-1)/log2(2) + (2^0-1)/log2(3) = 1.0
+    # IDCG@2 = (2^2-1)/log2(2) + (2^1-1)/log2(3) = 3 + 1/log2(3)
+    rels = np.array([1.0, 0.0, 2.0])
+    idcg2 = 3.0 + 1.0 / math.log2(3.0)
+    assert abs(_metric_fn("NDCG@2")(rels) - 1.0 / idcg2) < 1e-12
+    assert _metric_fn("NDCG@2")(np.array([2.0, 1.0, 0.0])) == 1.0
+    assert abs(_metric_fn("P@2")(rels) - 0.5) < 1e-12
+    # MAP of [1, 0, 1]: precisions at the hits are 1/1 and 2/3
+    assert abs(_metric_fn("MAP")(np.array([1.0, 0.0, 1.0]))
+               - (1.0 + 2.0 / 3.0) / 2.0) < 1e-12
+    assert _metric_fn("MAP")(np.zeros(3)) == 0.0
+    with pytest.raises(ValueError):
+        _metric_fn("ERR@10")
+
+
+def test_ranklib_model_dispatch_and_svm_c(spark, tiny_index, tmp_path):
+    """The reference's RankLib model ids train DIFFERENT rankers in-process
+    (4 -> Coordinate Ascent on metric2t, 7 -> ListNet, both linear and
+    deterministic), and ltr:svmRankParamC maps onto the pairwise
+    regularization anchored at the reference corpus's C=0.002."""
+    import numpy as np
+
+    from searchengines_spark.ltr import (
+        _collect_grouped,
+        _mean_metric,
+        _metric_fn,
+        load_model,
+        save_model,
+        train_ranker,
+    )
+
+    queries = {"q1": "cebaba1 dibaba2", "q2": "fobaba3 cebaba1"}
+    cand = spark.createDataFrame(
+        [(qid, d, (1 if d % 4 == 0 else 0)) for qid in queries for d in range(24)],
+        ["qid", "docid", "rel"],
+    )
+    feats = minmax_normalize(
+        extract_features(tiny_index, cand, queries, K1, B, MU, LAM)).cache()
+
+    m_ca = train_ranker(feats, "ranklib", ranklib_model=4, metric="NDCG@10")
+    m_ln = train_ranker(feats, "ranklib", ranklib_model="7")
+    assert m_ca.kind == "ranklib-ca" and m_ca.weights is not None
+    assert m_ln.kind == "ranklib-listnet" and m_ln.weights is not None
+
+    # deterministic refits
+    assert np.allclose(
+        m_ca.weights,
+        train_ranker(feats, "ranklib", ranklib_model=4).weights)
+    assert np.allclose(
+        m_ln.weights, train_ranker(feats, "ranklib", ranklib_model=7).weights)
+
+    # CA's whole job: never worse than its uniform-weight start on metric2t
+    groups = _collect_grouped(feats)
+    mfn = _metric_fn("NDCG@10")
+    w0 = np.full(len(m_ca.weights), 1.0 / len(m_ca.weights))
+    assert (_mean_metric(groups, m_ca.weights, mfn)
+            >= _mean_metric(groups, w0, mfn) - 1e-12)
+
+    # .Model round-trip for the new linear kinds
+    for m, name in ((m_ca, "ca.Model"), (m_ln, "listnet.Model")):
+        p = str(tmp_path / name)
+        save_model(m, p)
+        m2 = load_model(spark, p)
+        assert m2.kind == m.kind and np.allclose(m2.weights, m.weights)
+
+    # svmRankParamC: the anchor C reproduces the default fit; a much
+    # smaller C (more slack -> more regularization) changes the weights
+    w_def = train_ranker(feats, "svmrank").weights
+    w_anchor = train_ranker(feats, "svmrank", svm_c="0.002").weights
+    assert np.allclose(w_def, w_anchor, rtol=1e-6, atol=1e-8)
+    w_tight = train_ranker(feats, "svmrank", svm_c=2e-6).weights
+    assert not np.allclose(w_def, w_tight, rtol=1e-3, atol=1e-6)

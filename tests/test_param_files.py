@@ -131,3 +131,79 @@ def test_param_file_roundtrip_from_disk(tiny_index, tmp_path):
     lines = run_param_file(tiny_index, str(pfile))
     assert len(lines) == 5
     assert open(str(tmp_path / "r.teIn")).read().splitlines() == lines
+
+
+def test_hw4_ranklib_ca_param_file(tiny_index, tmp_path):
+    """HW4-Exp-2.2a.param: retrievalAlgorithm=ltr with the RankLib toolkit,
+    model=4 (Coordinate Ascent) and metric2t=NDCG@10 — the model id must
+    select the CA analog (a linear .Model, not the GBT pointer) and the
+    run must produce a full TREC ranking."""
+    import json
+
+    params = _load_ref_params("HW4-Exp-2.2a.param")
+    assert params["ltr:toolkit"] == "RankLib"
+    assert params["ltr:RankLib:model"] == "4"
+    assert params["ltr:RankLib:metric2t"] == "NDCG@10"
+    urls = [r["url"] for r in
+            tiny_index.docid_url_map().orderBy("docid").limit(30).collect()]
+    qrels = tmp_path / "hw4rl.trainQrels"
+    qrels.write_text("".join(f"1 0 {u} {i % 3}\n" for i, u in enumerate(urls)))
+    train_qry = tmp_path / "hw4rl.train.qry"
+    train_qry.write_text("1:cebaba1 dibaba2\n")
+    test_qry = tmp_path / "hw4rl.test.qry"
+    test_qry.write_text("9:fobaba3 cebaba1\n")
+    params.update({
+        "queryFilePath": str(test_qry),
+        "trecEvalOutputPath": str(tmp_path / "HW4RL.teIn"),
+        "ltr:trainingQueryFile": str(train_qry),
+        "ltr:trainingQrelsFile": str(qrels),
+        "ltr:trainingFeatureVectorsFile": str(tmp_path / "HW4RL.LtrTrain"),
+        "ltr:modelFile": str(tmp_path / "HW4RL.Model"),
+        "ltr:testingFeatureVectorsFile": str(tmp_path / "HW4RL.LtrTest"),
+        "ltr:testingDocumentScores": str(tmp_path / "HW4RL.DocScore"),
+    })
+    lines = run_param_file(tiny_index, params)
+    assert lines and all(ln.startswith("9 Q0 ") for ln in lines)
+    with open(params["ltr:modelFile"]) as f:
+        model = json.load(f)
+    assert model["kind"] == "ranklib-ca" and len(model["weights"]) == 20
+    _check_golden(params["trecEvalOutputPath"], "HW4-Exp-2.2a.teIn")
+
+
+# every param key any reference PARAM_DIR file uses, mapped to where this
+# engine honors it. indexPath is the one deliberate exception: the index
+# handle is the IndexReader run_param_file receives (the reference opens
+# the Lucene directory itself, QryEval.java:60-66).
+RECOGNIZED_KEYS = {
+    "indexPath",
+    "queryFilePath", "trecEvalOutputPath", "trecEvalOutputLength",
+    "retrievalAlgorithm",
+    "BM25:k_1", "BM25:b", "BM25:k_3", "Indri:mu", "Indri:lambda",
+    "prf", "prf:numDocs", "prf:numTerms", "prf:Indri:mu",
+    "prf:Indri:origWeight", "prf:expansionQueryFile", "prf:expansionField",
+    "prf:initialRankingFile", "prf:qryOutFile",
+    "ltr:toolkit", "ltr:featureDisable",
+    "ltr:trainingQueryFile", "ltr:trainingQrelsFile",
+    "ltr:trainingFeatureVectorsFile", "ltr:modelFile",
+    "ltr:testingFeatureVectorsFile", "ltr:testingDocumentScores",
+    "ltr:svmRankParamC", "ltr:svmRankLearnPath", "ltr:svmRankClassifyPath",
+    "ltr:RankLib:model", "ltr:RankLib:metric2t",
+    "diversity", "diversity:algorithm", "diversity:lambda",
+    "diversity:intentsFile", "diversity:initialRankingFile",
+    "diversity:maxInputRankingsLength", "diversity:maxResultRankingLength",
+}
+
+
+def test_every_reference_param_file_parses_with_known_keys():
+    """Param-surface sweep: EVERY PARAM_DIR/*.param parses and uses only
+    keys this engine recognizes — no reference configuration silently
+    falls outside the implemented surface. (svmRankLearnPath/ClassifyPath
+    name the external binaries the in-process pairwise analog replaces;
+    they are accepted and logically subsumed by ltr:toolkit=SVMRank.)"""
+    fnames = sorted(f for f in os.listdir(PARAM_DIR) if f.endswith(".param"))
+    assert len(fnames) >= 30
+    for fname in fnames:
+        params = parse_params(os.path.join(PARAM_DIR, fname))
+        assert params, fname
+        unknown = set(params) - RECOGNIZED_KEYS
+        assert not unknown, (fname, unknown)
