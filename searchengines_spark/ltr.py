@@ -628,6 +628,16 @@ def save_model(model: RankModel, path: str) -> None:
     if model.kind == "svmrank" and model.weights is not None:
         write_svmlight_model(model.weights, path)
         return
+    if model.kind == "ranklib-ca" and model.weights is not None:
+        # RankLib's Coordinate Ascent model text: "##"-comment header
+        # lines, then one line of space-separated fid:weight pairs —
+        # loadable by RankLib's -load for linear CA models
+        with open(path, "w") as f:
+            f.write("## Coordinate Ascent\n")
+            f.write(f"## No. of features = {len(model.weights)}\n")
+            f.write(" ".join(f"{i + 1}:{float(w)}"
+                             for i, w in enumerate(model.weights)) + "\n")
+        return
     if model.weights is not None:
         with open(path, "w") as f:
             _json.dump({"kind": model.kind,
@@ -646,6 +656,15 @@ def load_model(spark, path: str) -> RankModel:
     if head == "SVM-light":
         w, _b = read_svmlight_model(path)
         return RankModel("svmrank", weights=w)
+    if head.startswith("##"):  # RankLib text model (Coordinate Ascent)
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        pairs = dict(p.split(":", 1)
+                     for p in lines[-1].split())
+        w = np.zeros(max(int(i) for i in pairs))
+        for i, v in pairs.items():
+            w[int(i) - 1] = float(v)
+        return RankModel("ranklib-ca", weights=w)
     with open(path) as f:
         d = _json.load(f)
     if "weights" in d:

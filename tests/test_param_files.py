@@ -138,8 +138,6 @@ def test_hw4_ranklib_ca_param_file(tiny_index, tmp_path):
     model=4 (Coordinate Ascent) and metric2t=NDCG@10 — the model id must
     select the CA analog (a linear .Model, not the GBT pointer) and the
     run must produce a full TREC ranking."""
-    import json
-
     params = _load_ref_params("HW4-Exp-2.2a.param")
     assert params["ltr:toolkit"] == "RankLib"
     assert params["ltr:RankLib:model"] == "4"
@@ -164,9 +162,15 @@ def test_hw4_ranklib_ca_param_file(tiny_index, tmp_path):
     })
     lines = run_param_file(tiny_index, params)
     assert lines and all(ln.startswith("9 Q0 ") for ln in lines)
-    with open(params["ltr:modelFile"]) as f:
-        model = json.load(f)
-    assert model["kind"] == "ranklib-ca" and len(model["weights"]) == 20
+    # the .Model artifact is RankLib's Coordinate Ascent text shape:
+    # "##" comment header, then one line of space-separated fid:weight
+    mlines = open(params["ltr:modelFile"]).read().splitlines()
+    assert mlines[0] == "## Coordinate Ascent"
+    assert len(mlines[-1].split()) == 20
+    from searchengines_spark.ltr import load_model
+
+    m2 = load_model(None, params["ltr:modelFile"])
+    assert m2.kind == "ranklib-ca" and len(m2.weights) == 20
     _check_golden(params["trecEvalOutputPath"], "HW4-Exp-2.2a.teIn")
 
 
