@@ -247,10 +247,9 @@ def _canonical_fit_input(df: DataFrame, order_cols: list[str]) -> DataFrame:
 def train_ridge(features: DataFrame, l2: float = 1e-3) -> np.ndarray:
     """Closed-form ridge regression rel ~ f1..f20 (nulls -> 0). A
     deterministic in-process linear baseline."""
-    rows = sorted(features.fillna(0.0).collect(),
-                  key=lambda r: (r["qid"], r["docid"]))
-    X = np.array([[float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)] for r in rows])
-    y = np.array([float(r["rel"]) for r in rows])
+    data = _collect_rows(features)
+    X = np.array([x for _, _, x, _ in data], dtype=np.float64)
+    y = np.array([rel for _, _, _, rel in data], dtype=np.float64)
     A = X.T @ X + l2 * np.eye(N_FEATURES)
     return np.linalg.solve(A, X.T @ y)
 
@@ -317,12 +316,19 @@ def _metric_fn(spec: str):
     name, _, kk = s.partition("@")
     k = int(kk) if kk else 0
 
-    if name == "NDCG":
+    def disc_for(n: int) -> np.ndarray:
+        return 1.0 / np.log2(np.arange(2, n + 2))
+
+    if name in ("NDCG", "DCG"):
+        normalize = name == "NDCG"
+
         def m(rels: np.ndarray) -> float:
             kk2 = min(k or len(rels), len(rels))
-            disc = 1.0 / np.log2(np.arange(2, len(rels) + 2))
+            disc = disc_for(len(rels))
             gains = 2.0 ** rels - 1.0
             dcg = float((gains[:kk2] * disc[:kk2]).sum())
+            if not normalize:
+                return dcg
             ideal = np.sort(gains)[::-1]
             idcg = float((ideal[:kk2] * disc[:kk2]).sum())
             return dcg / idcg if idcg > 0 else 0.0
@@ -337,22 +343,48 @@ def _metric_fn(spec: str):
                 return 0.0
             prec = np.cumsum(pos) / np.arange(1, len(rels) + 1)
             return float(prec[pos].mean())
+    elif name == "RR":
+        def m(rels: np.ndarray) -> float:
+            kk2 = min(k or len(rels), len(rels))
+            hits = np.nonzero(rels[:kk2] > 0)[0]
+            return 1.0 / (1 + int(hits[0])) if len(hits) else 0.0
+    elif name == "ERR":
+        # Chapelle et al. 2009 cascade metric; satisfaction probability
+        # normalized by the list's top grade (the per-list analog of
+        # RankLib's fixed max-grade constant)
+        def m(rels: np.ndarray) -> float:
+            kk2 = min(k or len(rels), len(rels))
+            top = float(rels.max())
+            if top <= 0:
+                return 0.0
+            sat = (2.0 ** rels[:kk2] - 1.0) / (2.0 ** top)
+            err, p_look = 0.0, 1.0
+            for i, r in enumerate(sat):
+                err += p_look * r / (i + 1)
+                p_look *= 1.0 - r
+            return float(err)
     else:
         raise ValueError(f"unsupported metric2t: {spec!r}")
     return m
 
 
-def _collect_grouped(features: DataFrame) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Per-query (X, rel) numpy groups, qid-sorted, docid-sorted within.
-    Qrels-bounded rows (the reference ships the same data to a single-node
-    RankLib/SVMrank process), so driver-side numpy is the honest analog."""
+def _collect_rows(features: DataFrame) -> list[tuple]:
+    """Driver-side (qid, docid, f1..f20, rel) collection — (qid, docid)-
+    sorted, nulls->0 — the ONE place the linear trainers materialize their
+    qrels-bounded input (the reference ships the same data to a
+    single-node RankLib/SVMrank process)."""
     rows = sorted(features.fillna(0.0).collect(),
                   key=lambda r: (r["qid"], r["docid"]))
+    return [(r["qid"], r["docid"],
+             [float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)],
+             float(r["rel"])) for r in rows]
+
+
+def _collect_grouped(features: DataFrame) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-query (X, rel) numpy groups, qid-sorted, docid-sorted within."""
     groups: dict = {}
-    for r in rows:
-        groups.setdefault(r["qid"], []).append(
-            ([float(r[f"f{i}"]) for i in range(1, N_FEATURES + 1)],
-             float(r["rel"])))
+    for qid, _docid, x, rel in _collect_rows(features):
+        groups.setdefault(qid, []).append((x, rel))
     out = []
     for qid in sorted(groups):
         g = groups[qid]
@@ -387,21 +419,34 @@ def train_coordinate_ascent(features: DataFrame, metric: str = "NDCG@10",
     learned .Model is a pure function of the feature frame."""
     groups = _collect_grouped(features)
     m = _metric_fn(metric)
+
+    def mean_metric(scores_list) -> float:
+        vals = []
+        for (_X, y), sc in zip(groups, scores_list):
+            order = np.lexsort((np.arange(len(sc)), -sc))  # ties: row asc
+            vals.append(m(y[order]))
+        return float(np.mean(vals)) if vals else 0.0
+
     w = np.full(N_FEATURES, 1.0 / N_FEATURES)
-    best = _mean_metric(groups, w, m)
+    # rank-1 trick: a candidate only moves ONE coordinate, so its scores
+    # are base + s * X[:, i] — no full matmul per candidate evaluation
+    bases = [X @ w for X, _ in groups]
+    best = mean_metric(bases)
     steps = (0.05, -0.05, 0.1, -0.1, 0.2, -0.2, 0.5, -0.5, 1.0, -1.0)
     for _ in range(sweeps):
         improved = False
         for i in range(N_FEATURES):
             for s in steps:
-                cand = w.copy()
-                cand[i] += s
-                v = _mean_metric(groups, cand, m)
+                cand = [b + s * X[:, i] for (X, _), b in zip(groups, bases)]
+                v = mean_metric(cand)
                 if v > best + 1e-12:
-                    w, best, improved = cand, v, True
+                    w = w.copy()
+                    w[i] += s
+                    bases, best, improved = cand, v, True
         n1 = np.abs(w).sum()
-        if n1 > 0:
+        if n1 > 0:  # positive rescale: metric-invariant, keeps w bounded
             w = w / n1
+            bases = [b / n1 for b in bases]
         if not improved:
             break
     return w
@@ -464,8 +509,12 @@ def train_ranker(features: DataFrame, toolkit: str = "ridge",
         return RankModel("ridge", weights=train_ridge(features, **kw))
     if t in ("svmrank", "pairwise"):
         if svm_c is not None:
+            c = float(svm_c)
+            if c <= 0:  # degenerate slack weight -> clear error, not a
+                # ZeroDivision/negative-regParam crash inside the fit
+                raise ValueError(f"ltr:svmRankParamC must be > 0, got {svm_c}")
             kw.setdefault("reg", PAIRWISE_REG_AT_ANCHOR
-                          * (SVMRANK_C_ANCHOR / float(svm_c)))
+                          * (SVMRANK_C_ANCHOR / c))
         return RankModel("svmrank", weights=train_pairwise_lr(features, **kw))
     if t in ("ranklib", "gbt"):
         mid = int(ranklib_model) if ranklib_model not in (None, "") else None
@@ -661,7 +710,9 @@ def load_model(spark, path: str) -> RankModel:
             lines = [ln.strip() for ln in f if ln.strip()]
         pairs = dict(p.split(":", 1)
                      for p in lines[-1].split())
-        w = np.zeros(max(int(i) for i in pairs))
+        # a valid CA model may stop below N_FEATURES (disabled features);
+        # score() indexes f1..f20, so never size below that
+        w = np.zeros(max(N_FEATURES, max(int(i) for i in pairs)))
         for i, v in pairs.items():
             w[int(i) - 1] = float(v)
         return RankModel("ranklib-ca", weights=w)
@@ -688,7 +739,7 @@ def write_docscore(features: DataFrame, model: RankModel, urls: DataFrame,
     rows = (model.score(features).join(urls, "docid")
             .orderBy("qid", "url").select("qid", "ltr_score").collect())
     with open(path, "w") as f:
-        if kind == "ranklib":
+        if kind.startswith("ranklib"):  # incl. the -ca / -listnet analogs
             idx, prev = 0, None
             for r in rows:
                 if r["qid"] != prev:

@@ -347,8 +347,17 @@ def test_metric_fn_hand_computed():
     assert abs(_metric_fn("MAP")(np.array([1.0, 0.0, 1.0]))
                - (1.0 + 2.0 / 3.0) / 2.0) < 1e-12
     assert _metric_fn("MAP")(np.zeros(3)) == 0.0
+    # RR: first relevant at rank 2
+    assert _metric_fn("RR")(np.array([0.0, 1.0, 1.0])) == 0.5
+    # DCG@2 of [1, 0, 2] = (2^1-1)/log2(2) = 1.0 (unnormalized)
+    assert abs(_metric_fn("DCG@2")(rels) - 1.0) < 1e-12
+    # ERR of a single fully-relevant doc: sat = (2^r-1)/2^r = 0.5 at r=1
+    assert abs(_metric_fn("ERR@10")(np.array([1.0])) - 0.5) < 1e-12
+    # ERR cascade of [1, 1] (top grade 1): 0.5 + (1-0.5)*0.5/2 = 0.625
+    assert abs(_metric_fn("ERR")(np.array([1.0, 1.0])) - 0.625) < 1e-12
+    assert _metric_fn("ERR@10")(np.zeros(2)) == 0.0
     with pytest.raises(ValueError):
-        _metric_fn("ERR@10")
+        _metric_fn("BEST@10")
 
 
 def test_ranklib_model_dispatch_and_svm_c(spark, tiny_index, tmp_path):

@@ -171,6 +171,13 @@ def test_hw4_ranklib_ca_param_file(tiny_index, tmp_path):
 
     m2 = load_model(None, params["ltr:modelFile"])
     assert m2.kind == "ranklib-ca" and len(m2.weights) == 20
+    # .DocScore must be the RankLib 3-column shape (<qid> <idx> <score>,
+    # QryEval.java:892-949 isSVMRank=false parses items[2]) for EVERY
+    # ranklib-* kind, not just the GBT default
+    ds = [ln.split() for ln in
+          open(params["ltr:testingDocumentScores"]).read().splitlines()]
+    assert ds and all(len(cols) == 3 for cols in ds)
+    assert [int(cols[1]) for cols in ds] == list(range(len(ds)))
     _check_golden(params["trecEvalOutputPath"], "HW4-Exp-2.2a.teIn")
 
 
