@@ -124,3 +124,38 @@ def test_append_crossed_term_serves_old_cold_blocks(spark, tmp_path):
     assert [u for u, _ in got2] == [u for u, _ in want]
     for (_, gs), (_, ws) in zip(got2, want):
         assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_cold_memo_lru_eviction(spark, tmp_path, monkeypatch):
+    """The cold memo is LRU-bounded (entries hold compressed posting
+    bytes): with the cap shrunk to 2, querying 3 distinct cold terms must
+    keep the memo at <= 2 entries, and a re-query of the evicted term
+    must refetch (>= 1 job) and return the identical blocks."""
+    from searchengines_spark.index import build
+
+    # 3 cold terms (df 2 each < salt_min_df 4), one hot term
+    bodies = [f"hotone filler{i}" for i in range(12)]
+    bodies[0] += " colda coldb coldc"
+    bodies[1] += " colda coldb coldc"
+    d = str(tmp_path / "idx")
+    build_index(spark, _pages(spark, bodies), d, n_salts=4, salt_min_df=4)
+
+    monkeypatch.setattr(build, "COLD_MEMO_CAP", 2)
+    reader = IndexReader(spark, d)
+    pairs = [("body", t) for t in ("colda", "coldb", "coldc")]
+    reader.term_stats(pairs)
+
+    first = {}
+    for p in pairs:  # sequential queries -> eviction pressure
+        got = reader.cold_blocks([p])
+        assert set(got) == {p} and got[p]
+        first[p] = got[p]
+    assert len(reader._cold_memo) <= 2
+    assert pairs[0] not in reader._cold_memo  # oldest evicted
+
+    # evicted pair refetches (jobs > 0) and is block-identical
+    got, n = _jobs(spark, lambda: reader.cold_blocks([pairs[0]]))
+    assert n >= 1 and got[pairs[0]] == first[pairs[0]]
+    # most-recent pair is still a 0-job memo hit
+    got2, n2 = _jobs(spark, lambda: reader.cold_blocks([pairs[2]]))
+    assert n2 == 0 and got2[pairs[2]] == first[pairs[2]]
