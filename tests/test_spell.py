@@ -160,3 +160,23 @@ def test_sidecar_invalidated_by_derivation_param_change(tiny_index, monkeypatch)
     assert read_spell_keys(tiny_index.spark, tiny_index.index_dir) is not None
     monkeypatch.setattr(analytic, "SPELL_MAX_LEN", analytic.SPELL_MAX_LEN + 8)
     assert read_spell_keys(tiny_index.spark, tiny_index.index_dir) is None
+
+
+def test_bulk_batch_drops_isin_pushdown_identically(tiny_index, monkeypatch):
+    """Past SPELL_KEY_PUSH_MAX delete keys, spell_suggest_keys must stop
+    pushing the IN() literal list (Catalyst plan blowup) and let the
+    broadcast key join filter over one sidecar scan — suggestions
+    identical either way."""
+    from searchengines_spark import analytic
+
+    qs = ["cebbaa1", "dibaba", "fobaba"]
+    base_df = Engine(tiny_index).suggest(qs)
+    assert "INSET" in _plan(base_df)  # small batch: literal pushdown on
+    base = base_df.collect()
+    monkeypatch.setattr(analytic, "SPELL_KEY_PUSH_MAX", 5)  # force fallback
+    eng = Engine(tiny_index)
+    if hasattr(tiny_index, "_spell_memo"):
+        delattr(tiny_index, "_spell_memo")  # fresh sidecar read
+    got = eng.suggest(qs)
+    assert "INSET" not in _plan(got)  # fallback: no literal predicate
+    assert got.collect() == base
