@@ -155,8 +155,13 @@ def test_search_batch_is_one_action(spark, tiny_index):
     postings scan and issues a single collect; AQE adds per-stage jobs,
     which is why the bound is relative, not '== 1')."""
     from searchengines_spark.engine import Engine
+    from searchengines_spark.index import IndexReader
 
-    eng = Engine(tiny_index)
+    # fresh reader: the session-scoped tiny_index's stats/cold-block memos
+    # are warmed (and LRU-evicted) unpredictably by earlier tests, which
+    # makes a warm-vs-cold job-count comparison order-dependent — both
+    # measurements here must start from the same cold memo state
+    eng = Engine(IndexReader(spark, tiny_index.index_dir))
     sc = spark.sparkContext
     tracker = sc.statusTracker
 

@@ -218,3 +218,102 @@ def test_every_reference_param_file_parses_with_known_keys():
         assert params, fname
         unknown = set(params) - RECOGNIZED_KEYS
         assert not unknown, (fname, unknown)
+
+
+# ---------------------------------------------------------------------------
+# Run sweep: EVERY reference .param file executes end-to-end.
+
+_ALL_PARAM_FILES = (
+    sorted(f for f in os.listdir(PARAM_DIR) if f.endswith(".param"))
+    if os.path.isdir(PARAM_DIR) else [])
+
+
+def _fixture_inputs(params: dict, tiny_index, d) -> dict:
+    """Re-point every path-valued key of a verbatim reference param dict at
+    fixture files synthesized from the tiny_index vocabulary (the ClueWeb
+    index and TEST_DIR inputs the paths name aren't shipped —
+    .MISSING_LARGE_BLOBS). Key SEMANTICS are untouched: algorithm, model,
+    mu/lambda/k1/b, featureDisable, PRF/diversity depths all run verbatim."""
+    os.makedirs(d, exist_ok=True)
+    urls = [r["url"] for r in
+            tiny_index.docid_url_map().orderBy("docid").limit(30).collect()]
+
+    def w(name, text):
+        p = os.path.join(d, name)
+        with open(p, "w") as f:
+            f.write(text)
+        return p
+
+    params = dict(params)
+    params["queryFilePath"] = w(
+        "q.qry", "1:haceba4 badiba5\n2:cebaba1 dibaba2\n")
+    params["trecEvalOutputPath"] = os.path.join(d, "out.teIn")
+
+    # TREC-format initial rankings (qid rows; qid.i rows for intents) over
+    # real corpus urls, mimicking TEST_DIR/*.inRank shape
+    def trec(qids):
+        lines = []
+        for qid in qids:
+            for rank, u in enumerate(urls[:10], 1):
+                lines.append(f"{qid} Q0 {u} {rank} {20.0 - rank} ref\n")
+        return "".join(lines)
+
+    if params.get("prf"):
+        params["prf:expansionQueryFile"] = os.path.join(d, "out.qryOut")
+        if "prf:initialRankingFile" in params:
+            params["prf:initialRankingFile"] = w(
+                "in.inRank", trec(["1", "2"]))
+    if params.get("retrievalAlgorithm") == "ltr":
+        params["ltr:trainingQueryFile"] = w(
+            "train.qry", "1:cebaba1 dibaba2\n")
+        params["ltr:trainingQrelsFile"] = w(
+            "train.qrels",
+            "".join(f"1 0 {u} {i % 3}\n" for i, u in enumerate(urls)))
+        for k, name in (("ltr:trainingFeatureVectorsFile", "out.LtrTrain"),
+                        ("ltr:modelFile", "out.Model"),
+                        ("ltr:testingFeatureVectorsFile", "out.LtrTest"),
+                        ("ltr:testingDocumentScores", "out.DocScore")):
+            params[k] = os.path.join(d, name)
+    if params.get("diversity", "").lower() == "true":
+        params["diversity:intentsFile"] = w(
+            "q.intents",
+            "1.1:haceba4\n1.2:badiba5\n2.1:cebaba1\n2.2:dibaba2\n")
+        if "diversity:initialRankingFile" in params:
+            params["diversity:initialRankingFile"] = w(
+                "div.inRank",
+                trec(["1", "1.1", "1.2", "2", "2.1", "2.2"]))
+    return params
+
+
+@pytest.mark.parametrize("fname", _ALL_PARAM_FILES)
+def test_reference_param_file_runs(fname, tiny_index, tmp_path):
+    """The switch-over claim, executed: every configuration a reference user
+    runs today (all 30 PARAM_DIR files — BM25/Indri retrieval, Indri PRF
+    with and without initial rankings, the full HW4 LTR sweep across
+    SVMRank and RankLib model ids 4/7, xQuAD/PM2 diversification) runs
+    end-to-end through run_param_file and produces a well-formed TREC
+    ranking honoring trecEvalOutputLength."""
+    params = _fixture_inputs(
+        _load_ref_params(fname), tiny_index, str(tmp_path / "run"))
+    lines = run_param_file(tiny_index, params)
+    assert lines, fname
+    assert open(params["trecEvalOutputPath"]).read().splitlines() == lines
+    k = int(params["trecEvalOutputLength"])
+    per_qid: dict[str, list[tuple[int, float]]] = {}
+    for ln in lines:
+        cols = ln.split()
+        assert len(cols) == 6 and cols[1] == "Q0", ln
+        per_qid.setdefault(cols[0], []).append((int(cols[3]), float(cols[4])))
+    for qid, rs in per_qid.items():
+        assert 1 <= len(rs) <= k, (fname, qid, len(rs))
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+    # family-specific artifacts exist and are non-trivial
+    if params.get("prf"):
+        assert os.path.getsize(params["prf:expansionQueryFile"]) > 0
+    if params.get("retrievalAlgorithm") == "ltr":
+        for key in ("ltr:trainingFeatureVectorsFile", "ltr:modelFile",
+                    "ltr:testingFeatureVectorsFile",
+                    "ltr:testingDocumentScores"):
+            assert os.path.getsize(params[key]) > 0, (fname, key)
