@@ -270,112 +270,130 @@ def pages_to_tokenized(pages_with_docid: DataFrame, stemmer: str = "s") -> DataF
 
     stem_fn = get_stemmer(stemmer)  # resolve once; ships in the closure
 
+    # Bound the BYTES flowing through one Arrow batch, not just the rows:
+    # Spark slices input to maxRecordsPerBatch ROWS, but 65536 html pages is
+    # ~165 MB in and the exploded postings batch out of it is several
+    # hundred MB — at 3M pages x 32 concurrent writer tasks that overran the
+    # JVM's 8 GB direct-memory pool (io.netty OutOfDirectMemoryError in the
+    # parquet writer's Arrow reader). A page is one row, so slicing at row
+    # boundaries never splits a document and emits the same rows in the
+    # same order — the built index is content-identical (fingerprint-
+    # verified; see tests/test_resume.py index_fingerprint); only the
+    # in-flight batch size shrinks. Sized from the INPUT slice bytes; the
+    # positions+terms output runs ~2-4x input on small pages, so 16 MB in
+    # keeps every in-flight buffer well under 100 MB at any page size.
+    TOKENIZE_SLICE_BYTES = 16 << 20
+
     def explode(batches):
         stem_ids: dict[str, int] = {}   # raw token -> term id (-1 = stopword)
         vocab_ids: dict[str, int] = {}  # stemmed term -> term id
         vocab: list[str] = []           # term id -> stemmed term
-        for rb in batches:
-            if rb.num_rows == 0:
+        for rb_full in batches:
+            if rb_full.num_rows == 0:
                 continue
-            ix = {n: i for i, n in enumerate(rb.schema.names)}
-            urls = rb.column(ix["url"]).to_pylist()
-            htmls = rb.column(ix["html"]).to_pylist()
-            docids = rb.column(ix["docid"]).to_pylist()
-            # anchor-text inlink field (links.anchor_texts, joined on url by
-            # build_index): overrides any in-page stand-in when present
-            inls = (rb.column(ix["inlink_override"]).to_pylist()
-                    if "inlink_override" in ix else None)
+            avg_row = max(1, rb_full.nbytes // rb_full.num_rows)
+            slice_rows = max(64, TOKENIZE_SLICE_BYTES // avg_row)
+            for rb in (rb_full.slice(s, slice_rows)
+                       for s in range(0, rb_full.num_rows, slice_rows)):
+                ix = {n: i for i, n in enumerate(rb.schema.names)}
+                urls = rb.column(ix["url"]).to_pylist()
+                htmls = rb.column(ix["html"]).to_pylist()
+                docids = rb.column(ix["docid"]).to_pylist()
+                # anchor-text inlink field (links.anchor_texts, joined on url by
+                # build_index): overrides any in-page stand-in when present
+                inls = (rb.column(ix["inlink_override"]).to_pylist()
+                        if "inlink_override" in ix else None)
 
-            texts: list[str] = []
-            seg_docid = np.empty(len(urls) * len(FIELDS), dtype=np.int64)
-            seg_field: list[str] = []
-            k = 0
-            for row_i, (url, html, docid) in enumerate(zip(urls, htmls, docids)):
-                fields = extract_fields(url, bytes(html))
-                if inls is not None:
-                    fields["inlink"] = inls[row_i] or ""
-                for f in FIELDS:
-                    texts.append(fields[f])
-                    seg_docid[k] = int(docid)
-                    seg_field.append(f)
-                    k += 1
-            n_seg = k
+                texts: list[str] = []
+                seg_docid = np.empty(len(urls) * len(FIELDS), dtype=np.int64)
+                seg_field: list[str] = []
+                k = 0
+                for row_i, (url, html, docid) in enumerate(zip(urls, htmls, docids)):
+                    fields = extract_fields(url, bytes(html))
+                    if inls is not None:
+                        fields["inlink"] = inls[row_i] or ""
+                    for f in FIELDS:
+                        texts.append(fields[f])
+                        seg_docid[k] = int(docid)
+                        seg_field.append(f)
+                        k += 1
+                n_seg = k
 
-            tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
-            seg_lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
-            total = int(seg_lens.sum())
-            tok_id = np.empty(total, dtype=np.int64)
-            j = 0
-            get = stem_ids.get
-            for lst in tok_lists:
-                for t in lst:
-                    v = get(t)
-                    if v is None:
-                        if t in STOPWORDS:
-                            v = -1
-                        else:
-                            m = stem_fn(t)
-                            v = vocab_ids.get(m)
-                            if v is None:
-                                v = len(vocab)
-                                vocab_ids[m] = v
-                                vocab.append(m)
-                        stem_ids[t] = v
-                    tok_id[j] = v
-                    j += 1
+                tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
+                seg_lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
+                total = int(seg_lens.sum())
+                tok_id = np.empty(total, dtype=np.int64)
+                j = 0
+                get = stem_ids.get
+                for lst in tok_lists:
+                    for t in lst:
+                        v = get(t)
+                        if v is None:
+                            if t in STOPWORDS:
+                                v = -1
+                            else:
+                                m = stem_fn(t)
+                                v = vocab_ids.get(m)
+                                if v is None:
+                                    v = len(vocab)
+                                    vocab_ids[m] = v
+                                    vocab.append(m)
+                            stem_ids[t] = v
+                        tok_id[j] = v
+                        j += 1
 
-            seg_starts = np.zeros(n_seg, dtype=np.int64)
-            np.cumsum(seg_lens[:-1], out=seg_starts[1:])
-            seg_of = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
-            pos_in_seg = (np.arange(total, dtype=np.int64) - seg_starts[seg_of])
+                seg_starts = np.zeros(n_seg, dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=seg_starts[1:])
+                seg_of = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
+                pos_in_seg = (np.arange(total, dtype=np.int64) - seg_starts[seg_of])
 
-            keep = tok_id >= 0
-            k_seg, k_id, k_pos = seg_of[keep], tok_id[keep], pos_in_seg[keep]
-            V = max(1, len(vocab))
-            key = k_seg * V + k_id
-            order = np.argsort(key, kind="stable")  # stable: positions ascend
-            sk, sp = key[order], k_pos[order].astype(np.int32)
-            if len(sk):
-                run_starts = np.flatnonzero(
-                    np.concatenate([[True], sk[1:] != sk[:-1]]))
-            else:
-                run_starts = np.empty(0, dtype=np.int64)
-            run_ends = np.append(run_starts[1:], len(sk))
-            run_seg = sk[run_starts] // V
-            run_term = sk[run_starts] % V
-            tfs = (run_ends - run_starts).astype(np.int32)
+                keep = tok_id >= 0
+                k_seg, k_id, k_pos = seg_of[keep], tok_id[keep], pos_in_seg[keep]
+                V = max(1, len(vocab))
+                key = k_seg * V + k_id
+                order = np.argsort(key, kind="stable")  # stable: positions ascend
+                sk, sp = key[order], k_pos[order].astype(np.int32)
+                if len(sk):
+                    run_starts = np.flatnonzero(
+                        np.concatenate([[True], sk[1:] != sk[:-1]]))
+                else:
+                    run_starts = np.empty(0, dtype=np.int64)
+                run_ends = np.append(run_starts[1:], len(sk))
+                run_seg = sk[run_starts] // V
+                run_term = sk[run_starts] % V
+                tfs = (run_ends - run_starts).astype(np.int32)
 
-            vocab_np = np.array(vocab, dtype=object) if vocab else np.empty(0, object)
-            field_np = np.array(seg_field, dtype=object)
-            o_docid = np.concatenate([seg_docid[:n_seg], seg_docid[run_seg]])
-            o_field = np.concatenate([field_np, field_np[run_seg]])
-            o_term = np.concatenate(
-                [np.full(n_seg, "", dtype=object), vocab_np[run_term]])
-            o_tf = np.concatenate([np.zeros(n_seg, np.int32), tfs])
-            o_dlen = np.concatenate(
-                [seg_lens, seg_lens[run_seg]]).astype(np.int32)
-            # pre-encode every posting's position payload in one vectorized
-            # pass; the binary column is built straight from (offsets, data)
-            # buffers — zero per-row Python objects
-            n_runs = len(run_starts)
-            pbuf, pcuts = codec.encode_positions_flat_buf(
-                sp.astype(np.int64),
-                np.concatenate([run_starts, [len(sk)]]).astype(np.int64))
-            bin_offs = np.concatenate(
-                [np.zeros(n_seg, np.int64), pcuts]).astype(np.int32)
-            positions_z = pa.Array.from_buffers(
-                pa.binary(), n_seg + n_runs,
-                [None, pa.py_buffer(bin_offs.tobytes()),
-                 pa.py_buffer(pbuf.tobytes())])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_docid, type=pa.int64()),
-                 pa.array(o_field, type=pa.string()),
-                 pa.array(o_term, type=pa.string()),
-                 pa.array(o_tf, type=pa.int32()),
-                 positions_z,
-                 pa.array(o_dlen, type=pa.int32())],
-                names=["docid", "field", "term", "tf", "positions_z", "doclen"],
-            )
+                vocab_np = np.array(vocab, dtype=object) if vocab else np.empty(0, object)
+                field_np = np.array(seg_field, dtype=object)
+                o_docid = np.concatenate([seg_docid[:n_seg], seg_docid[run_seg]])
+                o_field = np.concatenate([field_np, field_np[run_seg]])
+                o_term = np.concatenate(
+                    [np.full(n_seg, "", dtype=object), vocab_np[run_term]])
+                o_tf = np.concatenate([np.zeros(n_seg, np.int32), tfs])
+                o_dlen = np.concatenate(
+                    [seg_lens, seg_lens[run_seg]]).astype(np.int32)
+                # pre-encode every posting's position payload in one vectorized
+                # pass; the binary column is built straight from (offsets, data)
+                # buffers — zero per-row Python objects
+                n_runs = len(run_starts)
+                pbuf, pcuts = codec.encode_positions_flat_buf(
+                    sp.astype(np.int64),
+                    np.concatenate([run_starts, [len(sk)]]).astype(np.int64))
+                bin_offs = np.concatenate(
+                    [np.zeros(n_seg, np.int64), pcuts]).astype(np.int32)
+                positions_z = pa.Array.from_buffers(
+                    pa.binary(), n_seg + n_runs,
+                    [None, pa.py_buffer(bin_offs.tobytes()),
+                     pa.py_buffer(pbuf.tobytes())])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_docid, type=pa.int64()),
+                     pa.array(o_field, type=pa.string()),
+                     pa.array(o_term, type=pa.string()),
+                     pa.array(o_tf, type=pa.int32()),
+                     positions_z,
+                     pa.array(o_dlen, type=pa.int32())],
+                    names=["docid", "field", "term", "tf", "positions_z", "doclen"],
+                )
 
     cols = ["url", "html", "docid"]
     if "inlink_override" in pages_with_docid.columns:
