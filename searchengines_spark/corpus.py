@@ -161,12 +161,18 @@ def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
         partitions = max(8, n_docs // 20_000)
 
     def gen(batches):
+        # chunked emit: input rows are 8-byte ids but output rows are ~2.5 KB
+        # pages, so one 65536-row input batch would become a ~165 MB output
+        # Arrow batch (same direct-memory hazard as pages_to_tokenized)
         for pdf in batches:
-            rows = [make_page(int(i), seed, link_fanout, n_docs)
-                    for i in pdf["id"]]
-            out = pd.DataFrame(rows, columns=["url", "warc_us", "html", "text", "lang"])
-            out["warc_ts"] = pd.to_datetime(out.pop("warc_us"), unit="us")
-            yield out[["url", "warc_ts", "html", "text", "lang"]]
+            ids = [int(i) for i in pdf["id"]]
+            for s in range(0, len(ids), 8192):
+                rows = [make_page(i, seed, link_fanout, n_docs)
+                        for i in ids[s:s + 8192]]
+                out = pd.DataFrame(
+                    rows, columns=["url", "warc_us", "html", "text", "lang"])
+                out["warc_ts"] = pd.to_datetime(out.pop("warc_us"), unit="us")
+                yield out[["url", "warc_ts", "html", "text", "lang"]]
 
     return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
 

@@ -55,6 +55,10 @@ from ..tokenizer import extract_text
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 
+# per-yield byte bound for ingest kernels (see corpus.pages_to_tokenized's
+# direct-memory note): one whole CC shard must never become one Arrow batch
+_CHUNK_BYTES = 32 << 20
+
 # ISO-639-1 <-> the ISO-639-3 codes Common Crawl writes in
 # WARC-Identified-Content-Language. Only the languages the corpus model
 # emits; unknown codes round-trip verbatim.
@@ -204,13 +208,25 @@ def read_warc(spark: SparkSession, path: str,
     files = reader.load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flush page rows in byte-bounded chunks: a real Common Crawl shard
+        # is ~1 GiB, and one pandas frame holding every page of it would be
+        # a multi-GB Arrow batch on the writer side (the same direct-memory
+        # hazard fixed in corpus.pages_to_tokenized, 40x worse). Chunk
+        # boundaries only affect in-flight batch size, not output rows.
+        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             rows: list[tuple] = []
+            nbytes = 0
             for p, data in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_shard(bytes(data),
-                                             str(p).endswith(".gz")))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                for row in parse_warc_shard(bytes(data),
+                                            str(p).endswith(".gz")):
+                    rows.append(row)
+                    nbytes += len(row[2]) + len(row[3])  # html + text
+                    if nbytes >= _CHUNK_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
@@ -332,12 +348,20 @@ def read_wet(spark: SparkSession, path: str,
     files = reader.load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "text", "lang"]
         for pdf in batches:
             rows: list[tuple] = []
+            nbytes = 0
             for p, data in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_wet_shard(bytes(data),
-                                            str(p).endswith(".gz")))
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text", "lang"])
+                for row in parse_wet_shard(bytes(data),
+                                           str(p).endswith(".gz")):
+                    rows.append(row)
+                    nbytes += len(row[2])
+                    if nbytes >= _CHUNK_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, WET_SCHEMA)
 
