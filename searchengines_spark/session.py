@@ -31,7 +31,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow batches are sliced by ROWS only (maxBytesPerBatch exists but
+        # governs only transformWithState serializers in Spark 4.1), so this
+        # is the one knob bounding JVM->Python transfer bytes for wide rows:
+        # 65536 html pages (~2.5 KB here, 100 KB on a real crawl) or
+        # embedding rows was a 165 MB-to-multi-GB input batch per task
+        # against the JVM's direct-memory pool (see BENCH/STRESS_3M.md).
+        # 8192 keeps narrow-row kernels fully vectorized (grouped-map
+        # kernels — WAND stripes, diversify — get their whole group
+        # regardless and are unaffected) while cutting wide-row transfer
+        # peaks 8x. A/B at sf0.1 showed no measurable build/serve cost.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_ROWS", "8192"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # local corpora are tens of MB; 128m (the right cluster value) would
         # coalesce whole stage outputs into 1-2 input partitions and
