@@ -75,6 +75,9 @@ PAGES_SCHEMA = T.StructType([
 
 _ZIPF_S = 1.1  # exponent; head term lands in most docs
 
+# output-batch row bound for generate_pages (~2.5 KB/page -> ~20 MB frames)
+_GEN_CHUNK_ROWS = 8192
+
 
 def _zipf_cdf() -> np.ndarray:
     ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
@@ -162,13 +165,15 @@ def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
 
     def gen(batches):
         # chunked emit: input rows are 8-byte ids but output rows are ~2.5 KB
-        # pages, so one 65536-row input batch would become a ~165 MB output
-        # Arrow batch (same direct-memory hazard as pages_to_tokenized)
+        # pages, so a large input batch would become a ~165 MB output Arrow
+        # batch (same direct-memory hazard as pages_to_tokenized). This is
+        # an OUTPUT-side bound, deliberately independent of the session's
+        # arrow.maxRecordsPerBatch (which governs INPUT slicing).
         for pdf in batches:
             ids = [int(i) for i in pdf["id"]]
-            for s in range(0, len(ids), 8192):
+            for s in range(0, len(ids), _GEN_CHUNK_ROWS):
                 rows = [make_page(i, seed, link_fanout, n_docs)
-                        for i in ids[s:s + 8192]]
+                        for i in ids[s:s + _GEN_CHUNK_ROWS]]
                 out = pd.DataFrame(
                     rows, columns=["url", "warc_us", "html", "text", "lang"])
                 out["warc_ts"] = pd.to_datetime(out.pop("warc_us"), unit="us")

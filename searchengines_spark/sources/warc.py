@@ -59,6 +59,23 @@ _HDR_END = b"\r\n\r\n"
 # direct-memory note): one whole CC shard must never become one Arrow batch
 _CHUNK_BYTES = 32 << 20
 
+
+def _chunked_frames(row_iter, cols: list[str], row_nbytes) -> "Iterator[pd.DataFrame]":
+    """Flush rows as DataFrames whenever the accumulated payload reaches
+    _CHUNK_BYTES. row_nbytes must count the bytes Arrow will SERIALIZE —
+    UTF-8 length for str columns, not len() code points (CJK text is up to
+    4 bytes/code point; counting code points would overshoot the bound 4x)."""
+    rows: list[tuple] = []
+    nbytes = 0
+    for row in row_iter:
+        rows.append(row)
+        nbytes += row_nbytes(row)
+        if nbytes >= _CHUNK_BYTES:
+            yield pd.DataFrame(rows, columns=cols)
+            rows, nbytes = [], 0
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
 # ISO-639-1 <-> the ISO-639-3 codes Common Crawl writes in
 # WARC-Identified-Content-Language. Only the languages the corpus model
 # emits; unknown codes round-trip verbatim.
@@ -173,11 +190,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_shard(data: bytes, is_gzip: bool) -> list[tuple]:
-    """Shard bytes -> [(url, warc_ts, html, text, lang)] for response
-    records (warcinfo/request/metadata records are skipped)."""
+def parse_warc_shard(data: bytes, is_gzip: bool) -> Iterator[tuple]:
+    """Shard bytes -> (url, warc_ts, html, text, lang) tuples for response
+    records (warcinfo/request/metadata records are skipped). A generator so
+    the Spark ingest never holds a second shard-sized copy of the rows on
+    the Python worker heap (the raw shard bytes are already materialized by
+    the binaryFile source contract)."""
     raw = _gunzip_members(data) if is_gzip else data
-    rows = []
     for headers, content in iter_warc_records(raw):
         if headers.get("warc-type") != "response":
             continue
@@ -187,8 +206,7 @@ def parse_warc_shard(data: bytes, is_gzip: bool) -> list[tuple]:
         html = content[sep + len(_HDR_END):] if sep >= 0 else content
         lang3 = headers.get("warc-identified-content-language", "")
         lang = _LANG_FROM_639_3.get(lang3, lang3 or "und")
-        rows.append((url, ts, html, extract_text(html), lang))
-    return rows
+        yield (url, ts, html, extract_text(html), lang)
 
 
 # --------------------------------------------------------------------------
@@ -213,20 +231,13 @@ def read_warc(spark: SparkSession, path: str,
         # a multi-GB Arrow batch on the writer side (the same direct-memory
         # hazard fixed in corpus.pages_to_tokenized, 40x worse). Chunk
         # boundaries only affect in-flight batch size, not output rows.
-        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            rows: list[tuple] = []
-            nbytes = 0
-            for p, data in zip(pdf["path"], pdf["content"]):
-                for row in parse_warc_shard(bytes(data),
-                                            str(p).endswith(".gz")):
-                    rows.append(row)
-                    nbytes += len(row[2]) + len(row[3])  # html + text
-                    if nbytes >= _CHUNK_BYTES:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows, nbytes = [], 0
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            yield from _chunked_frames(
+                (row for p, data in zip(pdf["path"], pdf["content"])
+                 for row in parse_warc_shard(bytes(data),
+                                             str(p).endswith(".gz"))),
+                ["url", "warc_ts", "html", "text", "lang"],
+                lambda r: len(r[2]) + len(r[3].encode()))  # html + utf8 text
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
@@ -322,10 +333,11 @@ def encode_conversion_record(url: str, ts: datetime, text: str,
     return _CRLF.join(headers) + _HDR_END + body + _CRLF + _CRLF
 
 
-def parse_wet_shard(data: bytes, is_gzip: bool) -> list[tuple]:
-    """Shard bytes -> [(url, warc_ts, text, lang)] for conversion records."""
+def parse_wet_shard(data: bytes, is_gzip: bool) -> Iterator[tuple]:
+    """Shard bytes -> (url, warc_ts, text, lang) tuples for conversion
+    records. Generator, for the same worker-heap reason as
+    parse_warc_shard."""
     raw = _gunzip_members(data) if is_gzip else data
-    rows = []
     for headers, content in iter_warc_records(raw):
         if headers.get("warc-type") != "conversion":
             continue
@@ -333,8 +345,7 @@ def parse_wet_shard(data: bytes, is_gzip: bool) -> list[tuple]:
         ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
         lang3 = headers.get("warc-identified-content-language", "")
         lang = _LANG_FROM_639_3.get(lang3, lang3 or "und")
-        rows.append((url, ts, content.decode("utf-8", errors="replace"), lang))
-    return rows
+        yield (url, ts, content.decode("utf-8", errors="replace"), lang)
 
 
 def read_wet(spark: SparkSession, path: str,
@@ -348,20 +359,13 @@ def read_wet(spark: SparkSession, path: str,
     files = reader.load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "text", "lang"]
         for pdf in batches:
-            rows: list[tuple] = []
-            nbytes = 0
-            for p, data in zip(pdf["path"], pdf["content"]):
-                for row in parse_wet_shard(bytes(data),
-                                           str(p).endswith(".gz")):
-                    rows.append(row)
-                    nbytes += len(row[2])
-                    if nbytes >= _CHUNK_BYTES:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows, nbytes = [], 0
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            yield from _chunked_frames(
+                (row for p, data in zip(pdf["path"], pdf["content"])
+                 for row in parse_wet_shard(bytes(data),
+                                            str(p).endswith(".gz"))),
+                ["url", "warc_ts", "text", "lang"],
+                lambda r: len(r[2].encode()))  # utf8 text bytes
 
     return files.mapInPandas(parse, WET_SCHEMA)
 

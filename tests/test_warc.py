@@ -31,7 +31,7 @@ def test_record_roundtrip_single():
     html = b"<html><head><title>t one</title></head><body><p>hi x</p></body></html>"
     ts = datetime(2020, 9, 13, 12, 26, 40, 123456)
     rec = encode_response_record("https://e.org/a", ts, html, "fr")
-    rows = parse_warc_shard(rec, is_gzip=False)
+    rows = list(parse_warc_shard(rec, is_gzip=False))
     assert rows == [("https://e.org/a", ts, html, extract_text(html), "fr")]
 
 
@@ -48,7 +48,7 @@ def test_non_response_records_skipped():
     ts = datetime(2021, 1, 1)
     shard = (encode_warcinfo("f.warc")
              + encode_response_record("https://e.org/a", ts, b"<p>q</p>", "en"))
-    rows = parse_warc_shard(shard, is_gzip=False)
+    rows = list(parse_warc_shard(shard, is_gzip=False))
     assert [r[0] for r in rows] == ["https://e.org/a"]
     # the warcinfo record IS visible to the raw record iterator
     kinds = [h["warc-type"] for h, _ in iter_warc_records(shard)]
@@ -62,14 +62,14 @@ def test_gzip_member_concatenation():
             for i in range(3)]
     gz = b"".join(gzip.compress(r, mtime=0) for r in recs)
     assert _gunzip_members(gz) == b"".join(recs)
-    rows = parse_warc_shard(gz, is_gzip=True)
+    rows = list(parse_warc_shard(gz, is_gzip=True))
     assert [r[0] for r in rows] == [f"https://e.org/{i}" for i in range(3)]
 
 
 def test_unknown_language_passthrough():
     ts = datetime(2021, 1, 1)
     rec = encode_response_record("https://e.org/a", ts, b"<p>x</p>", "zz")
-    assert parse_warc_shard(rec, is_gzip=False)[0][4] == "zz"
+    assert next(parse_warc_shard(rec, is_gzip=False))[4] == "zz"
 
 
 # --- Spark round-trip -------------------------------------------------------
@@ -159,13 +159,13 @@ def test_unicode_and_invalid_bytes_round_trip():
     html = "<html><body>héllo wörld 東京 &amp; ☃</body></html>".encode()
     url = "https://ex.com/ü?q=Ω"
     rec = warc.encode_response_record(url, ts, html, "en")
-    (got_url, _, got_html, got_text, _), = warc.parse_warc_shard(rec, is_gzip=False)
+    (got_url, _, got_html, got_text, _), = list(warc.parse_warc_shard(rec, is_gzip=False))
     assert (got_url, got_html) == (url, html)
     assert got_text == "héllo wörld 東京 & ☃"
 
     txt = "héllo wörld 東京 ☃"
     wet = warc.encode_conversion_record("https://ex.com/ü", ts, txt, "en")
-    assert warc.parse_wet_shard(wet, is_gzip=False)[0][2] == txt
+    assert next(warc.parse_wet_shard(wet, is_gzip=False))[2] == txt
 
     # invalid UTF-8: replacement char, same output on every call (the
     # byte-identical-text-per-url invariant still holds)

@@ -43,7 +43,9 @@ CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # mirror session.get_spark's byte-bounding default (see session.py)
+    "spark.sql.execution.arrow.maxRecordsPerBatch":
+        os.environ.get("SPARK_GRAFT_ARROW_ROWS", "8192"),
     "spark.driver.memory": "6g",
     "spark.sql.files.maxPartitionBytes": "8m",
     "spark.sql.files.openCostInBytes": "1m",
