@@ -359,6 +359,16 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py still hash-gates them locally every run.
     """
     return {
+        # --- round 5 rotation: demoted baselines re-earning a driver hash
+        # (VERDICT r4 #7). Policy: each round, 3-5 entries swap between
+        # here and _BASELINE_QUERIES so every entry gets a fresh driver
+        # row within a few rounds; the swapped-out entries stay hash-gated
+        # locally via queries_all().
+        "minhash64": A.q_minhash64,
+        "jaccard_topk": A.q_jaccard_topk,
+        "lang_id": A.q_lang_id,
+        "quality": A.q_quality,
+        "dedup_keep": A.q_dedup_keep,
         # --- round 4 ---
         "pii_scrub": A.q_pii_scrub,
         "pagerank_url": A.q_pagerank_url,
@@ -395,13 +405,9 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dup_pairs": A.q_embed_dup_pairs,
         "events_window": A.q_events_window,
         "events_sessions": A.q_events_sessions,
-        "events_props": A.q_events_props,
-        "repetition": A.q_repetition,
         "token_bpe": A.q_token_bpe,
-        "source_stats": A.q_source_stats,
         "lang_mix": A.q_lang_mix,
         "quality_filter": A.q_quality_filter,
-        "split_assign": A.q_split_assign,
         "lm_score": A.q_lm_score,
         "tfidf_topterms": A.q_tfidf_topterms,
         "contamination": A.q_contamination,
@@ -409,7 +415,6 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": A.q_ngram_topk,
         "length_quantiles": A.q_length_quantiles,
         "pack_blocks": A.q_pack_blocks,
-        "sample_weights": A.q_sample_weights,
         "vocab_oov": A.q_vocab_oov,
         "prefix_dup": A.q_prefix_dup,
     }
@@ -423,15 +428,18 @@ def _baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage; the registered twin that supersedes it is noted inline."""
     return {
         "minhash": A.q_minhash,                # superseded by minhash64
-        "minhash64": A.q_minhash64,            # input of lsh_dup_pairs_scaled
         "lsh_dup_pairs": A.q_lsh_dup_pairs,    # by lsh_dup_pairs_scaled
-        "jaccard_topk": A.q_jaccard_topk,      # by jaccard_topk_scaled
         "simhash": A.q_simhash,                # input of simhash_dup_pairs
-        "lang_id": A.q_lang_id,                # aggregated by lang_mix
-        "quality": A.q_quality,                # input of quality_filter
         "doc_lens": A.q_doc_lens,              # rolled up by corpus_stats
         "token_stats": A.q_token_stats,        # by token_bpe (BPE regex)
-        "dedup_keep": A.q_dedup_keep,          # derived from dup_clusters
+        # r5 rotation: long-stable entries (driver-green r1-r4) parked for
+        # a round so minhash64/jaccard_topk/lang_id/quality/dedup_keep
+        # re-earn driver hashes; rotate back next round
+        "events_props": A.q_events_props,
+        "repetition": A.q_repetition,
+        "source_stats": A.q_source_stats,
+        "split_assign": A.q_split_assign,
+        "sample_weights": A.q_sample_weights,
         # iterative argmax (tokenizer training): deliberately NOT in
         # oracle_sql — rows-only here; the value-level gate is the
         # sequential-replica identity in tests/test_bpe.py. bpe_pairs (the

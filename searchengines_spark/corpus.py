@@ -293,6 +293,12 @@ def pages_to_tokenized(pages_with_docid: DataFrame, stemmer: str = "s") -> DataF
     # in-flight batch size shrinks. Sized from the INPUT slice bytes; the
     # positions+terms output runs ~2-4x input on small pages, so 16 MB in
     # keeps every in-flight buffer well under 100 MB at any page size.
+    # The row floor is 8, not a bigger round number: the slice count only
+    # matters for giant pages (10 MB html x 64 rows would be a ~640 MB
+    # slice; x 8 keeps the worst case under ~100 MB). The JVM->Python
+    # INPUT batch is still row-bounded (spark.sql.execution.arrow
+    # .maxRecordsPerBatch, session default 8192) — for corpora of very
+    # large pages tune SPARK_GRAFT_ARROW_ROWS down as well (README).
     TOKENIZE_SLICE_BYTES = 16 << 20
 
     def explode(batches):
@@ -303,7 +309,7 @@ def pages_to_tokenized(pages_with_docid: DataFrame, stemmer: str = "s") -> DataF
             if rb_full.num_rows == 0:
                 continue
             avg_row = max(1, rb_full.nbytes // rb_full.num_rows)
-            slice_rows = max(64, TOKENIZE_SLICE_BYTES // avg_row)
+            slice_rows = max(8, TOKENIZE_SLICE_BYTES // avg_row)
             for rb in (rb_full.slice(s, slice_rows)
                        for s in range(0, rb_full.num_rows, slice_rows)):
                 ix = {n: i for i, n in enumerate(rb.schema.names)}

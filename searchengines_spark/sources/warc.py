@@ -236,8 +236,14 @@ def read_warc(spark: SparkSession, path: str,
                 (row for p, data in zip(pdf["path"], pdf["content"])
                  for row in parse_warc_shard(bytes(data),
                                              str(p).endswith(".gz"))),
+                # byte ESTIMATE, not a re-encode: text came out of the html
+                # (<= its bytes) and url/lang are noise next to it, so
+                # 2x html-bytes upper-bounds the serialized row without a
+                # second full UTF-8 pass over the corpus. The chunk bound
+                # only shapes in-flight batch size; over- or under-counting
+                # a few percent moves a flush boundary, nothing else.
                 ["url", "warc_ts", "html", "text", "lang"],
-                lambda r: len(r[2]) + len(r[3].encode()))  # html + utf8 text
+                lambda r: 2 * len(r[2]))
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
@@ -364,8 +370,12 @@ def read_wet(spark: SparkSession, path: str,
                 (row for p, data in zip(pdf["path"], pdf["content"])
                  for row in parse_wet_shard(bytes(data),
                                             str(p).endswith(".gz"))),
+                # estimate: len(str) counts code points, ~bytes for the
+                # ASCII-dominant web text this ingests; the 2x factor
+                # absorbs multi-byte scripts without re-encoding (see the
+                # WARC twin above).
                 ["url", "warc_ts", "text", "lang"],
-                lambda r: len(r[2].encode()))  # utf8 text bytes
+                lambda r: 2 * len(r[2]))
 
     return files.mapInPandas(parse, WET_SCHEMA)
 
