@@ -223,11 +223,26 @@ class Engine:
                     root, shared_postings=shared, shared_stats=stats))
                 frames.append(scores.select(F.lit(qid).alias("qid"), "docid", "score"))
         if wand_q:
-            frames.append(
-                wand_topk_batch_local(self.reader, wand_q, k=k, k1=m.k1, b=m.b,
-                                      recompute_bounds=self._wand_stale(m),
-                                      deleted=self.reader.deleted_set())
-                .select("qid", "docid", "score"))
+            # all-flat-BM25 batch (the TREC-run common case): urls resolve
+            # inside the stripe tasks (index/urlmap.py point probes), so
+            # the whole batch is the stripe job + one tiny per-qid window
+            # over <= k*n_stripes*n_queries rows — no url-table join, no
+            # segment-pool stage
+            fused = not frames
+            wframe = wand_topk_batch_local(
+                self.reader, wand_q, k=k, k1=m.k1, b=m.b,
+                recompute_bounds=self._wand_stale(m),
+                deleted=self.reader.deleted_set(), resolve_urls=fused)
+            if fused:
+                w = Window.partitionBy("qid").orderBy(
+                    F.desc("score"), F.asc("url"))
+                return (
+                    wframe.select("qid", "url", "score")
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("qid", "url", "score", "rank")
+                )
+            frames.append(wframe.select("qid", "docid", "score"))
         unioned = reduce(lambda a, b: a.unionByName(b), frames)
         # per-qid exact top-k pool BEFORE the url join (see
         # _topk_per_segment) — the url map then resolves <= k*n_seg rows

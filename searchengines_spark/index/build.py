@@ -815,6 +815,7 @@ class IndexReader:
         self._blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._docids = None
+        self._serve_blocks = None
         try:
             with open(os.path.join(index_dir, "MANIFEST.json")) as f:
                 self.manifest = json.load(f)
@@ -978,6 +979,76 @@ class IndexReader:
             & F.col("term").isin(sorted({t for _, t in terms}))
             & F.struct("field", "term").isin([F.struct(F.lit(f), F.lit(t)) for f, t in terms])
         )
+
+    @property
+    def n_stripes(self) -> int:
+        """Stripes must cover the docid SPACE, not the doc count: after a
+        physical purge surviving docids keep their values (holes), so the
+        max docid can exceed n_docs."""
+        return max(1, -(-self.docid_space // self.salt_range))
+
+    SERVE_COLS = ("field", "term", "salt", "min_docid", "max_docid",
+                  "max_score", "max_tf", "min_doclen", "docids_z", "tfs_z")
+
+    def serve_blocks(self) -> DataFrame:
+        """Serve-ready block layout, built once per reader and PERSISTED:
+        all striped blocks (serving columns only — position payloads stay
+        on disk) plus one empty skeleton row per stripe, hash-partitioned
+        by salt. A query then filters its terms out of the cached
+        partitions and groupBy(salt) reuses the partitioning — the warm
+        stripe job is ONE no-shuffle stage, no per-query block scan.
+
+        This is the Spark analog of an IR shard's in-memory posting cache
+        (Lucene's page-cache-resident segments): the cluster's executor
+        DRAM is the serving tier, MEMORY_AND_DISK so an index bigger than
+        memory degrades to local-disk reads instead of failing, and the
+        per-executor slice is index_bytes / n_executors — scale-out adds
+        serving DRAM. Readers are per-index-version (appends/compactions
+        build a new reader), so the cache can never serve stale blocks.
+        First touch pays the scan+shuffle the uncached path pays per
+        query; SPARK_GRAFT_SERVE_CACHE=0 disables materialization (the
+        frame still computes, uncached) for memory-constrained runs.
+
+        Partition count: one task per stripe is right when stripes carry
+        real decode work, but at small corpora the ~10 ms/task dispatch
+        floor dominates the ~tens-of-ms kernels, so stripes PACK — several
+        salt groups per task (groupBy still splits them per salt inside) —
+        sized so each task holds ~SPARK_GRAFT_SERVE_TASK_BYTES (default
+        2 MB) of on-disk block bytes, capped at n_stripes. Measured at
+        100k pages / 32 stripes on local[32]: 32 tasks 0.54 s warm query,
+        16 tasks 0.45 s, 8 tasks 0.51 s (packing too far serializes the
+        kernel) — the byte heuristic lands at ~18 there and at the full
+        n_stripes for 1M+ corpora, where per-stripe work pays for its
+        task."""
+        if self._serve_blocks is None:
+            from pyspark import StorageLevel
+
+            sel = list(self.SERVE_COLS)
+            skeleton = self.spark.range(self.n_stripes).select(
+                F.lit("").alias("field"), F.lit("").alias("term"),
+                F.col("id").cast("int").alias("salt"),
+                F.lit(0).cast("long").alias("min_docid"),
+                F.lit(-1).cast("long").alias("max_docid"),
+                F.lit(0.0).alias("max_score"),
+                F.lit(0).cast("int").alias("max_tf"),
+                F.lit(0).cast("int").alias("min_doclen"),
+                F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"),
+            )
+            task_bytes = int(os.environ.get(
+                "SPARK_GRAFT_SERVE_TASK_BYTES", str(2 << 20)))
+            blocks_bytes = sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(os.path.join(self.index_dir, "blocks"))
+                for fn in fns if fn.endswith(".parquet"))
+            n_part = max(1, min(self.n_stripes,
+                                -(-blocks_bytes // max(1, task_bytes))))
+            hot = (self._blocks.filter(F.col("striped")).select(*sel)
+                   .unionByName(skeleton)
+                   .repartition(n_part, "salt"))
+            if os.environ.get("SPARK_GRAFT_SERVE_CACHE", "1") != "0":
+                hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+            self._serve_blocks = hot
+        return self._serve_blocks
 
     def docid_url_map(self) -> DataFrame:
         if self._docids is None:

@@ -61,6 +61,24 @@ from ..index import codec
 from ..index.build import IndexReader
 
 
+class _Inline:
+    """Closure-shipped stand-in for a tiny Broadcast: sc.broadcast costs
+    ~5-15 ms per call on the driver, which is real money on a warm serve
+    path that would otherwise broadcast a handful of small dicts per
+    query. Large payloads (cold postings runs, big tombstone arrays) still
+    use real broadcasts — torrent distribution and one copy per executor
+    matter there; a closure rides inside every task binary."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _ship(sc, value, nbytes: int, threshold: int = 1 << 20):
+    return sc.broadcast(value) if nbytes > threshold else _Inline(value)
+
+
 def _decode_payload(payload, cache: dict | None):
     """Decode one block payload through the shared payload-identity cache.
     Returns (docids, tfs, was_miss). The single decode/cache dispatch point
@@ -393,6 +411,12 @@ WAND_BATCH_SCHEMA = T.StructType([
     T.StructField("decodes", T.LongType(), False),
 ])
 
+# resolve_urls=True variant: urls resolved inside the stripe task (see
+# index/urlmap.py), so the caller's global merge is a TakeOrderedAndProject
+# over <= k*n_stripes tiny rows — no join against the O(corpus) url table
+WAND_BATCH_URL_SCHEMA = T.StructType(
+    WAND_BATCH_SCHEMA.fields + [T.StructField("url", T.StringType(), False)])
+
 
 def wand_topk_batch_local(reader: IndexReader,
                           queries: dict[str, tuple[list[str], str]],
@@ -400,7 +424,8 @@ def wand_topk_batch_local(reader: IndexReader,
                           require_all: bool = False,
                           recompute_bounds: bool = False,
                           deleted: frozenset | None = None,
-                          strategy: str = "bulk") -> DataFrame:
+                          strategy: str = "bulk",
+                          resolve_urls: bool = False) -> DataFrame:
     """Multi-query block-max WAND in ONE stripe pass: every query's terms
     share a single pruned block scan and one groupBy(salt) shuffle; inside a
     stripe the per-(field, term) block lists are built once and a shared
@@ -411,7 +436,11 @@ def wand_topk_batch_local(reader: IndexReader,
     queries: qid -> (terms in query order, field).
     strategy: 'bulk' (vectorized exhaustive, default — see module
     docstring for the measured crossover) or 'wand' (block-max pruning
-    loop). Both are score-identical."""
+    loop). Both are score-identical.
+    resolve_urls: resolve each stripe's local top-k docids to urls INSIDE
+    the stripe task (k point probes against the docid-sorted url table,
+    row-group pruned — index/urlmap.py); output gains a ``url`` column and
+    the caller's merge needs no url-table join."""
     if strategy not in _STRATEGIES:
         raise ValueError(f"unknown stripe strategy {strategy!r}; "
                          f"expected one of {sorted(_STRATEGIES)}")
@@ -423,16 +452,13 @@ def wand_topk_batch_local(reader: IndexReader,
     avgs = {f: reader.avg_doclen(f) for f in {f for ts, f in queries.values()}}
     pcodec = reader.payload_codec
     norms_dir = os.path.join(reader.index_dir, "doc_lens_wide")
+    docids_dir = os.path.join(reader.index_dir, "docids")
     idf_of: dict[tuple[str, str], float] = {}
     for f, t in all_pairs:
         df_ = stats.get((f, t), (0, 0))[0]
         idf_of[(f, t)] = (max(0.0, math.log((n_docs - df_ + 0.5) / (df_ + 0.5)))
                           if df_ else 0.0)
     spark = reader.spark
-
-    sel = ["field", "term", "salt", "min_docid", "max_docid", "max_score",
-           "max_tf", "min_doclen", "docids_z", "tfs_z"]
-    blocks = reader.blocks_for(all_pairs).select("striped", *sel)
 
     def _ub(row_maxscore, row_maxtf, row_mindl, idf, avg):
         if recompute_bounds:
@@ -449,9 +475,10 @@ def wand_topk_batch_local(reader: IndexReader,
               for mn, mx, mtf, mdl, ms, dz, tz in rows]
         for key, rows in reader.cold_blocks(all_pairs).items()
     }
-    b_cold = spark.sparkContext.broadcast(cold)
-    b_queries = spark.sparkContext.broadcast(
-        {qid: (list(ts), f) for qid, (ts, f) in queries.items()})
+    cold_bytes = sum(len(dz) + len(tz)
+                     for rows in cold.values() for *_, dz, tz in rows)
+    b_cold = _ship(spark.sparkContext, cold, cold_bytes)
+    b_queries = _Inline({qid: (list(ts), f) for qid, (ts, f) in queries.items()})
     # tombstones: bounded by deletes since the last compaction (compaction
     # removes them physically). Broadcast ONE sorted array; each stripe
     # binary-searches its [lo, hi) slice so the per-probe membership set is
@@ -460,21 +487,20 @@ def wand_topk_batch_local(reader: IndexReader,
     # 2 searchsorted calls per stripe task).
     del_arr = (np.fromiter(sorted(deleted), dtype=np.int64, count=len(deleted))
                if deleted else None)
-    b_del = spark.sparkContext.broadcast(del_arr) if del_arr is not None else None
+    b_del = (_ship(spark.sparkContext, del_arr, del_arr.nbytes)
+             if del_arr is not None else None)
 
-    # stripes must cover the docid SPACE, not the doc count: after a
-    # physical purge the surviving docids keep their values (holes), so the
-    # max docid can exceed n_docs
-    n_stripes = max(1, -(-reader.docid_space // salt_range))
-    skeleton = spark.range(n_stripes).select(
-        F.lit("").alias("field"), F.lit("").alias("term"),
-        F.col("id").cast("int").alias("salt"),
-        F.lit(0).cast("long").alias("min_docid"), F.lit(-1).cast("long").alias("max_docid"),
-        F.lit(0.0).alias("max_score"), F.lit(0).cast("int").alias("max_tf"),
-        F.lit(0).cast("int").alias("min_doclen"),
-        F.lit(b"").alias("docids_z"), F.lit(b"").alias("tfs_z"),
-    )
-    hot = blocks.filter(F.col("striped")).select(*sel).unionByName(skeleton)
+    # serve-ready cached layout: striped blocks + per-stripe skeleton rows,
+    # already hash-partitioned by salt and persisted (IndexReader
+    # .serve_blocks). The per-query filter keeps this batch's terms plus
+    # the skeleton (term == "" — guarantees every stripe forms a group even
+    # when only broadcast cold blocks cover it); groupBy(salt) below then
+    # reuses the cached partitioning, so the warm stripe job is one
+    # no-shuffle stage with no block scan.
+    hot = reader.serve_blocks().filter(
+        (F.col("term") == "")
+        | F.struct("field", "term").isin(
+            [F.struct(F.lit(f), F.lit(t)) for f, t in all_pairs]))
 
     def run_stripe(key, pdf: pd.DataFrame) -> pd.DataFrame:
         salt = int(key[0])
@@ -550,17 +576,24 @@ def wand_topk_batch_local(reader: IndexReader,
             for j, (d, s) in enumerate(top):
                 out_q.append(qid); out_d.append(d); out_s.append(s)
                 out_dec.append(dec if j == 0 else 0)
-        return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s,
-                             "decodes": out_dec})
+        out = {"qid": out_q, "docid": out_d, "score": out_s,
+               "decodes": out_dec}
+        if resolve_urls:
+            from ..index import urlmap
 
-    # Explicit repartition on salt, NOT a bare groupBy: the stripe kernel is
-    # CPU-bound Python over a only-few-MB block shuffle, so AQE's size-based
-    # partition coalescing would fuse all stripes into one task and serialize
-    # the whole query (measured 4x slower at 32 stripes). A user-specified
-    # partition count is exempt from AQE coalescing, and the groupBy reuses
-    # the hash(salt) partitioning — still exactly one shuffle.
-    return (hot.repartition(n_stripes, "salt")
-            .groupBy("salt").applyInPandas(run_stripe, WAND_BATCH_SCHEMA))
+            by_docid = urlmap.urls_at(docids_dir, out_d)
+            out["url"] = [by_docid[d] for d in out_d]
+        return pd.DataFrame(out)
+
+    # groupBy over the cache's explicit repartition(n_stripes, salt), NOT a
+    # bare shuffle: the stripe kernel is CPU-bound Python over few-MB block
+    # partitions, so AQE's size-based coalescing would fuse all stripes
+    # into one task and serialize the query (measured 4x slower at 32
+    # stripes). A user-specified partition count is exempt from AQE
+    # coalescing, and since the cached layout already hashes by salt the
+    # groupBy introduces no exchange at all on a warm reader.
+    schema = WAND_BATCH_URL_SCHEMA if resolve_urls else WAND_BATCH_SCHEMA
+    return hot.groupBy("salt").applyInPandas(run_stripe, schema)
 
 
 def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
@@ -583,18 +616,19 @@ def wand_topk(reader: IndexReader, terms: list[str], field: str = "body",
     paired with min_doclen dominates any real posting) but always sound.
     recompute_bounds has no effect on the bulk path.
 
-    Delegates to the multi-query kernel with a batch of one."""
+    Delegates to the multi-query kernel with a batch of one. The global
+    merge over the <= k*n_stripes url-resolved local rows compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge, no shuffle),
+    so a warm single query is ONE Spark job end-to-end."""
     local = wand_topk_batch_local(
         reader, {"q": (list(terms), field)}, k=k, k1=k1, b=b,
         require_all=require_all, recompute_bounds=recompute_bounds,
         deleted=deleted if deleted is not None else reader.deleted_set(),
-        strategy=strategy)
+        strategy=strategy, resolve_urls=not debug)
     if debug:
         return local.select("docid", "score", "decodes")
-    urls = reader.docid_url_map()
     return (
-        local.join(urls, "docid")
-        .select("url", "score")
+        local.select("url", "score")
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(k)
     )
