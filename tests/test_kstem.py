@@ -288,3 +288,55 @@ def test_make_udfs_respects_stemmer(spark):
 
     with pytest.raises(ValueError, match="unknown stemmer"):
         make_udfs(stemmer="porter")
+
+
+def test_known_divergence_from_lexicon_guarded_kstem_is_pinned():
+    """The frozen kstem spec is lexicon-FREE by design (no dictionary in
+    the tokenize kernel; index and query sides can never disagree), which
+    makes it diverge from the reference's lexicon-guarded Lucene KStem
+    (QryParser.java:428-445) on a measured 5/217 (2.3%) of the reference
+    query vocabulary — 4.15% counting lexicon-dependent cases
+    (tools/stemmer_divergence.py; BENCH/STEMMER.md "Divergence" section).
+    These outputs are a CONTRACT: changing any of them silently re-buckets
+    postings between index versions, so a change here must be a deliberate
+    spec revision with a reindex, never a drive-by fix."""
+    from searchengines_spark.tokenizer import kstem
+
+    pinned = {
+        # confirmed divergences (lexicon-guarded KStem would differ)
+        "houses": "hous",       # KStem: house (headword restore)
+        "raised": "rais",       # KStem: raise (e-restoration)
+        "hooves": "hoove",      # KStem: hoof (irregular -ves plural)
+        "asbestos": "asbesto",  # KStem: asbestos (headword protection)
+        "diabetes": "diabete",  # KStem: diabetes (headword protection)
+        # lexicon-dependent divergences
+        "becoming": "becom",    # KStem: become, or unchanged if listed
+        "living": "live",       # KStem: unchanged if 'living' is listed
+        "united": "unit",       # KStem: unchanged if 'united' is listed
+        "texas": "texa",        # KStem: protected iff lexicon has it
+    }
+    for w, expect in pinned.items():
+        assert kstem(w) == expect, (w, kstem(w), expect)
+
+
+def test_divergence_tool_measures_current_spec():
+    """tools/stemmer_divergence.py's verdicts must track the live kstem
+    function (the vendored table describes the REFERENCE side; ours is
+    computed) and the reference vocabulary must still be reachable."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.isdir("/root/reference/TEST_DIR"):
+        pytest.skip("reference TEST_DIR not present")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "stemmer_divergence.py")],
+        capture_output=True, text=True, check=True)
+    res = json.loads(out.stdout)
+    assert res["vocab_terms"] >= 200
+    assert res["divergent_confirmed"] == 5
+    assert res["divergence_pct_lower"] < 3.0
+    assert all(c["diverges_now"] for c in res["cases"]
+               if c["class"] == "confirmed")
