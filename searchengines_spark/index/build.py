@@ -520,8 +520,26 @@ def build_index(
         # for small-memory cluster configs; above the cap, AQE still
         # broadcasts if runtime stats say it's genuinely small.
         bcast_cap = int(os.environ.get("SE_BROADCAST_CAP_BYTES", 256 << 20))
-        ids = F.broadcast(docids) if n_docs * 100 <= bcast_cap else docids
+        bcast_ids = n_docs * 100 <= bcast_cap
+        ids = F.broadcast(docids) if bcast_ids else docids
         with_ids = en_pages.join(ids, "url")
+        # Above the broadcast cap the join is a sort-merge shuffle of the
+        # FULL html corpus, and its output width = spark.sql.shuffle
+        # .partitions — a FIXED count. The first 10M-page build crossed the
+        # cap with the session's 32 partitions: ~350 MB of html per join
+        # task, and the pipelined join+tokenize+write stage OOM'd the 8 GB
+        # heap (32 concurrent tasks x SMJ sort buffers + 2 partitioned
+        # parquet writers x 32 MB row groups; BENCH/STRESS_10M.md). Width
+        # must scale with the DATA: provision one shuffle partition per
+        # byte-bounded input split (so each join task holds one split's
+        # worth of html) and let AQE coalesce small corpora back down.
+        # Restored after the tokenize write — only this stage moves html
+        # bytes through a shuffle.
+        _sp_key = "spark.sql.shuffle.partitions"
+        _old_sp = spark.conf.get(_sp_key)
+        if not bcast_ids:
+            spark.conf.set(_sp_key, str(max(
+                par, en_pages.rdd.getNumPartitions(), int(_old_sp))))
         if anchors is not None:
             # semi-join to the indexed urls FIRST: anchor targets include
             # off-corpus urls (external links), so the raw table can exceed
@@ -568,9 +586,12 @@ def build_index(
         # ONE write, partitioned by post (0 = doclen sentinel rows, 1 = real
         # postings). doc_terms IS the post=1 partition directory — the old
         # filter-and-rewrite of the biggest intermediate is gone.
-        pages_to_tokenized(with_ids, stemmer=stemmer).withColumn(
-            "post", (F.col("term") != "").cast("int")
-        ).write.mode("overwrite").partitionBy("post").parquet(tokenized_path)
+        try:
+            pages_to_tokenized(with_ids, stemmer=stemmer).withColumn(
+                "post", (F.col("term") != "").cast("int")
+            ).write.mode("overwrite").partitionBy("post").parquet(tokenized_path)
+        finally:
+            spark.conf.set(_sp_key, _old_sp)
         spark.read.parquet(os.path.join(tokenized_path, "post=0")).select(
             "docid", "field", F.col("doclen").cast("int").alias("len")
         ).write.mode("overwrite").parquet(doc_lens_path)

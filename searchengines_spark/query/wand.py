@@ -34,11 +34,18 @@ skipping decode AND evaluation can win.
 
 Distribution story (how this runs on 1000 executors): the index's ``salt``
 is a *docid-range stripe* (build.py), so all blocks of one salt cover a
-disjoint docid range. groupBy(salt) -> each task runs an independent
-stripe evaluation over its docid slice (with a local threshold under the
-WAND strategy) and emits its local top-k; a tiny global merge (k rows per
-stripe) finishes. Threshold sharing across stripes is impossible in one
-pass — pruning is per-stripe, still sound.
+disjoint docid range. Queries read the per-reader CACHED serve layout
+(IndexReader.serve_blocks: striped blocks + skeleton rows, pre-partitioned
+by salt, persisted — the shard-in-DRAM serving tier); the per-query term
+filter runs against the cached partitions and groupBy(salt) reuses their
+partitioning, so a warm query's stripe job has NO shuffle and NO block
+scan. Each task runs an independent stripe evaluation over its docid
+slice (with a local threshold under the WAND strategy), resolves its own
+top-k urls via point reads of the docid-sorted url table
+(index/urlmap.py), and emits its local top-k; a tiny global merge (<= k
+url-resolved rows per stripe, TakeOrderedAndProject) finishes. Threshold
+sharing across stripes is impossible in one pass — pruning is per-stripe,
+still sound.
 
 Tie-break: docid asc == url asc (docids are ranks of sorted urls), matching
 the reference sort rule (ScoreList.java:90-105).

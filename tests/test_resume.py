@@ -226,3 +226,27 @@ def test_resume_identical(spark, tmp_path):
     with open(os.path.join(d_part, "MANIFEST.json")) as f:
         m = json.load(f)
     assert m["postings"] > 0 and m["docs_per_sec"] > 0
+
+
+def test_smj_join_regime_identical_and_conf_restored(spark, tmp_path, monkeypatch):
+    """Above SE_BROADCAST_CAP_BYTES the docids join falls back from
+    broadcast to a sort-merge shuffle of the html corpus, and build_index
+    widens spark.sql.shuffle.partitions for that one stage so join-task
+    input stays bounded (the 10M-page heap-OOM fix — BENCH/STRESS_10M.md).
+    Gate both halves: the SMJ-regime index is content-identical to the
+    broadcast-regime one, and the session's shuffle setting is restored
+    afterward."""
+    from searchengines_spark.corpus import generate_pages
+    from searchengines_spark.index import build_index
+
+    pages = generate_pages(spark, 800, seed=42, partitions=4)
+    pages.write.parquet(str(tmp_path / "pages"))
+    p = spark.read.parquet(str(tmp_path / "pages"))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    build_index(spark, p, str(tmp_path / "bcast"), n_salts=4)
+    monkeypatch.setenv("SE_BROADCAST_CAP_BYTES", "1")
+    build_index(spark, p, str(tmp_path / "smj"), n_salts=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert (index_fingerprint(spark, str(tmp_path / "bcast"))
+            == index_fingerprint(spark, str(tmp_path / "smj")))

@@ -91,11 +91,17 @@ def main() -> None:
     wand = e.search("haceba4 badiba5", k=10)
     sections.append((
         "Stripe top-k serving path (default route for flat BM25)",
-        "What to look for: `FlatMapGroupsInPandas` over the salt stripes — "
-        "each docid-range stripe runs an independent top-k kernel "
-        "(vectorized bulk evaluation by default; block-max WAND via "
-        "strategy='wand' — BENCH/SERVE_ANATOMY.md kernel study) emitting a "
-        "local top-k; the global `TakeOrderedAndProject` merges k rows per "
+        "What to look for: `InMemoryTableScan` of the per-reader serve "
+        "cache (striped blocks + skeleton rows, pre-partitioned by salt — "
+        "IndexReader.serve_blocks) feeding `FlatMapGroupsInPandas` with NO "
+        "Exchange between them: the groupBy reuses the cached "
+        "partitioning, so a warm query is one no-shuffle stage. Each "
+        "docid-range stripe runs an independent top-k kernel (vectorized "
+        "bulk evaluation by default; block-max WAND via strategy='wand' — "
+        "BENCH/SERVE_ANATOMY.md kernel study) and resolves its own urls "
+        "via row-group-pruned point reads of the docid-sorted url table "
+        "(index/urlmap.py) — no corpus-sized join appears anywhere. The "
+        "global `TakeOrderedAndProject` merges <= k url-resolved rows per "
         "stripe. Compressed blocks reach the kernel undecoded; under the "
         "WAND strategy pruned blocks never decompress.",
         fmt(wand)))
