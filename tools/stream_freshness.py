@@ -90,7 +90,14 @@ def run_batch_size(spark, base_idx: str, all_pages, b: int,
             offset += b
             probe = _rarest_term(drop)
             urls = {r["url"] for r in drop}
-            pdf = spark.createDataFrame(drop)
+            # exact PAGES_SCHEMA, not inference: the stream reader declares
+            # that schema, and a drop file written with a close-but-not-
+            # equal inferred schema kills the FileStreamSource
+            from searchengines_spark.corpus import PAGES_SCHEMA
+
+            pdf = spark.createDataFrame(
+                [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+                 for r in drop], PAGES_SCHEMA)
             staging = os.path.join(work, f"stage{i}")
             pdf.coalesce(1).write.parquet(staging)
             t_drop = time.time()
@@ -101,7 +108,18 @@ def run_batch_size(spark, base_idx: str, all_pages, b: int,
                                 os.path.join(watch, f"drop{i}_{f}"))
             # poll the commit point (manifest n_docs) with a fresh reader
             expect = base_docs + (i + 1) * len(urls)
+            deadline = time.time() + 300
+            n_poll = 0
             while True:
+                if q.exception() is not None:
+                    raise RuntimeError(f"stream died: {q.exception()}")
+                n_poll += 1
+                if n_poll % 40 == 0:
+                    print(f"[poll] drop={i} status={q.status}", file=sys.stderr)
+                if time.time() > deadline:
+                    print(f"[poll] progress={q.recentProgress[-2:]}",
+                          file=sys.stderr)
+                    raise TimeoutError(f"drop {i} not committed in 300s")
                 try:
                     with open(os.path.join(idx, "MANIFEST.json")) as fh:
                         if json.load(fh).get("n_docs", 0) >= expect:
@@ -160,14 +178,23 @@ def main() -> None:
             build_index(spark, pages, base_idx, n_salts=32)
 
     # one big deterministic corpus; the tail past the base's page count
-    # supplies brand-new urls for every drop of every batch size
+    # supplies brand-new urls for every drop of every batch size.
+    # left_anti, NOT a `url NOT IN (subquery)` filter: null-aware NOT IN
+    # compiles to a nested-loop join (urls here are non-null, so anti-join
+    # semantics are identical and it hash-joins).
     from searchengines_spark.index import IndexReader
 
-    IndexReader(spark, base_idx).docid_url_map().select("url") \
-        .createOrReplaceTempView("__base__")
-    need = BASE_PAGES + sum(sizes) * N_DROPS
+    base_urls = IndexReader(spark, base_idx).docid_url_map().select("url")
+    # need extra headroom: ~5% of generated pages are non-en and the index
+    # only carries en docs, so (a) filter drops to lang='en' (append would
+    # skip the rest and the commit poll would wait forever on docs that
+    # can never arrive) and (b) over-generate so the en tail still covers
+    # every drop. Sorted for a deterministic drop->rows mapping.
+    need = int((BASE_PAGES + sum(sizes) * N_DROPS) * 1.2)
     tail = (generate_pages(spark, need, seed=42, partitions=64)
-            .filter("url NOT IN (SELECT url FROM __base__)"))
+            .filter("lang = 'en'")
+            .join(base_urls, "url", "left_anti")
+            .orderBy("url"))
     rows = tail.collect()
     ok0, mops0 = _host_healthy()
     res: dict = {"base_pages": BASE_PAGES, "n_drops": N_DROPS,
