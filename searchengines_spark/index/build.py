@@ -1063,11 +1063,26 @@ class IndexReader:
                 for fn in fns if fn.endswith(".parquet"))
             n_part = max(1, min(self.n_stripes,
                                 -(-blocks_bytes // max(1, task_bytes))))
-            hot = (self._blocks.filter(F.col("striped")).select(*sel)
-                   .unionByName(skeleton)
-                   .repartition(n_part, "salt"))
-            if os.environ.get("SPARK_GRAFT_SERVE_CACHE", "1") != "0":
-                hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+            # Plan + persist + materialize with AQE OFF: an AQE-wrapped
+            # cached plan reports UNKNOWN output partitioning, so every
+            # query's groupBy(salt) would re-Exchange the filtered rows (a
+            # small shuffle, but a whole extra stage of task dispatch per
+            # query). A non-adaptive cached plan exposes
+            # HashPartitioning(salt, n) and the per-query stripe job runs
+            # as ONE stage. AQE adds nothing here anyway — the layout is
+            # an explicit fixed-width repartition.
+            spark, aqe_key = self.spark, "spark.sql.adaptive.enabled"
+            old_aqe = spark.conf.get(aqe_key)
+            try:
+                spark.conf.set(aqe_key, "false")
+                hot = (self._blocks.filter(F.col("striped")).select(*sel)
+                       .unionByName(skeleton)
+                       .repartition(n_part, "salt"))
+                if os.environ.get("SPARK_GRAFT_SERVE_CACHE", "1") != "0":
+                    hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+                    hot.count()  # materialize under the non-adaptive plan
+            finally:
+                spark.conf.set(aqe_key, old_aqe)
             self._serve_blocks = hot
         return self._serve_blocks
 
