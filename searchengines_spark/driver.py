@@ -264,7 +264,9 @@ def run_batch(reader: IndexReader, params: dict, queries: dict[str, str],
         ranked = parse_ranking(params["prf:initialRankingFile"])
         init_urls = {qid: ranked.get(qid, [])[:num_docs] for qid in queries}
     else:
-        rows = eng.search_batch_df(wrapped, model, num_docs, **kw).collect()
+        init_df = eng.search_batch_df(wrapped, model, num_docs, **kw)
+        rows = init_df.collect()
+        eng.release_held_caches(init_df)
         init_urls = {qid: [] for qid in queries}
         for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
             init_urls[r["qid"]].append((r["url"], r["score"]))
@@ -342,10 +344,12 @@ def _run_diversity(eng: Engine, params, queries, run_id, k, model, kw) -> list[s
             batch[f"{qid}\x00{0}"] = q
             for i, text in intents.get(qid, []):
                 batch[f"{qid}\x00{i}"] = text
-        res = eng.search_batch_df(batch, model, max_in, **kw).join(url_ids, "url")
+        base_df = eng.search_batch_df(batch, model, max_in, **kw)
+        res = base_df.join(url_ids, "url")
         for r in res.collect():
             qid, _, i = r["qid"].partition("\x00")
             rows.append((qid, int(i), int(r["docid"]), float(r["score"])))
+        eng.release_held_caches(base_df)
     if rdf is None:
         rdf = spark.createDataFrame(rows, ["qid", "intent", "docid", "score"])
     out = diversify_df(rdf, algo, lam, max_in, max_out).join(url_ids, "docid")
@@ -430,10 +434,14 @@ def run_ltr(reader: IndexReader, params: dict,
 
     # initial BM25 top-100 for every test query in one batched action; the
     # candidate frame stays distributed — no driver round-trip
-    init = eng.search_batch_df(test_queries, "bm25", 100,
-                               k1=fkw["k1"], b=fkw["b"]).join(url_ids, "url")
+    init_base = eng.search_batch_df(test_queries, "bm25", 100,
+                                    k1=fkw["k1"], b=fkw["b"])
+    init = init_base.join(url_ids, "url")
     cand_test = init.select("qid", "docid", F.lit(0).alias("rel")).cache()
     cand_test.count()
+    # cand_test is materialized; the batch frame's shared decode cache is
+    # no longer needed by anything downstream
+    eng.release_held_caches(init_base)
     tfeats = minmax_normalize(apply_feature_disable(
         extract_features(reader, cand_test, test_queries, **fkw), disable))
     if "ltr:testingFeatureVectorsFile" in params:

@@ -187,6 +187,7 @@ class Engine:
                     del roots[qid]
 
         frames = []
+        held_caches = []
         if roots:
             all_terms = sorted({t for r in roots.values() for t in _collect_terms(r)})
             need_pos = any(Planner(self.reader, m)._needs_positions(r)
@@ -200,6 +201,7 @@ class Engine:
                 payload_codec=self.reader.payload_codec,
                 norms_dir=self.reader.norms_dir,
                 salt_range=self.reader.salt_range).cache()
+            held_caches.append(shared)
             # fill the cache before N query legs reference it — concurrent
             # legs of one lazy action would each recompute the decode
             # (Spark's cache has no cross-task compute lock)
@@ -251,19 +253,41 @@ class Engine:
         top = self._topk_per_segment(unioned, k, by=("qid",))
         base = top.hint("broadcast") if top is not None else unioned
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
-        return (
+        out = (
             base.join(urls, "docid")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "url", "score", "rank")
         )
+        # the shared decode cache must outlive the CALLER's action (the
+        # returned frame is lazy), so it can't unpersist here — hand it to
+        # the caller; search_batch releases it after collecting. A caller
+        # using the DataFrame directly releases via the same attribute or
+        # lets the LRU/storage eviction handle it.
+        out._se_held_caches = held_caches
+        return out
+
+    @staticmethod
+    def release_held_caches(df) -> None:
+        """Unpersist the shared decode cache(s) a search_batch_df frame
+        holds (attribute survives only on the RETURNED frame — capture it
+        before chaining further transformations). Call after the last
+        action that reads the frame's lineage."""
+        for c in getattr(df, "_se_held_caches", []):
+            c.unpersist()
 
     def search_batch(self, queries: dict[str, str], model: str = "bm25",
                      k: int = 100, **model_kw) -> dict[str, list[tuple[str, float]]]:
         """One action for the whole batch; empty/all-stopword queries map to
         empty rankings."""
         out: dict[str, list[tuple[str, float]]] = {qid: [] for qid in queries}
-        rows = self.search_batch_df(queries, model, k, **model_kw).collect()
+        df = self.search_batch_df(queries, model, k, **model_kw)
+        try:
+            rows = df.collect()
+        finally:
+            # release the structured-path shared decode cache (one per
+            # batch call; nothing references it after the collect)
+            self.release_held_caches(df)
         for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
             out[r["qid"]].append((r["url"], r["score"]))
         return out

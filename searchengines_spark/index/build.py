@@ -534,12 +534,16 @@ def build_index(
         # byte-bounded input split (so each join task holds one split's
         # worth of html) and let AQE coalesce small corpora back down.
         # Restored after the tokenize write — only this stage moves html
-        # bytes through a shuffle.
+        # bytes through a shuffle. The conf.set happens inside that write's
+        # try/finally (everything in between is lazy, so the join binds the
+        # shuffle width at ACTION time): an exception anywhere earlier —
+        # e.g. a bad anchors frame — must not leak a thousands-wide shuffle
+        # setting into the rest of the session.
         _sp_key = "spark.sql.shuffle.partitions"
         _old_sp = spark.conf.get(_sp_key)
-        if not bcast_ids:
-            spark.conf.set(_sp_key, str(max(
-                par, en_pages.rdd.getNumPartitions(), int(_old_sp))))
+        _widened_sp = (str(max(par, en_pages.rdd.getNumPartitions(),
+                               int(_old_sp)))
+                       if not bcast_ids else _old_sp)
         if anchors is not None:
             # semi-join to the indexed urls FIRST: anchor targets include
             # off-corpus urls (external links), so the raw table can exceed
@@ -587,6 +591,7 @@ def build_index(
         # postings). doc_terms IS the post=1 partition directory — the old
         # filter-and-rewrite of the biggest intermediate is gone.
         try:
+            spark.conf.set(_sp_key, _widened_sp)
             pages_to_tokenized(with_ids, stemmer=stemmer).withColumn(
                 "post", (F.col("term") != "").cast("int")
             ).write.mode("overwrite").partitionBy("post").parquet(tokenized_path)
@@ -1001,6 +1006,30 @@ class IndexReader:
             & F.struct("field", "term").isin([F.struct(F.lit(f), F.lit(t)) for f, t in terms])
         )
 
+    # serve-cache registry: one persisted layout per index dir per
+    # process. Readers are per-index-version, so when a NEW reader for
+    # the same dir builds its cache, the superseded reader's cache is dead
+    # weight — unpersist it instead of leaking executor storage for the
+    # session's lifetime (the stream-freshness shape: a fresh reader per
+    # append epoch). Bounded: oldest entries evict (and unpersist) past
+    # the cap, covering many-distinct-index test sessions too.
+    _SERVE_CACHE_REGISTRY: OrderedDict = OrderedDict()
+    _SERVE_CACHE_CAP = 8
+
+    def close(self) -> None:
+        """Release this reader's persisted serve layout (optional — a newer
+        reader over the same index dir, or registry eviction, also
+        releases it)."""
+        df = self._serve_blocks
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+            self._SERVE_CACHE_REGISTRY.pop(
+                os.path.realpath(self.index_dir), None)
+            self._serve_blocks = None
+
     @property
     def n_stripes(self) -> int:
         """Stripes must cover the docid SPACE, not the doc count: after a
@@ -1083,6 +1112,24 @@ class IndexReader:
                     hot.count()  # materialize under the non-adaptive plan
             finally:
                 spark.conf.set(aqe_key, old_aqe)
+            # registry upkeep: a prior reader's cache for the SAME dir is
+            # superseded (readers are per-version) — release it; evict the
+            # oldest entry past the cap
+            reg = self._SERVE_CACHE_REGISTRY
+            key = os.path.realpath(self.index_dir)
+            old = reg.pop(key, None)
+            if old is not None and old is not hot:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            reg[key] = hot
+            while len(reg) > self._SERVE_CACHE_CAP:
+                _k, stale = reg.popitem(last=False)
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
             self._serve_blocks = hot
         return self._serve_blocks
 

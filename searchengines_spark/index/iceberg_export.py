@@ -99,20 +99,28 @@ def _iceberg_type(t, ids: _Ids):
     raise ValueError(f"no Iceberg mapping for arrow type {name}")
 
 
-def _partition_cols(table_dir: str) -> list[str]:
+def _partition_levels(table_dir: str) -> list[tuple[str, str]]:
     """Hive-style partition directories (col=value) under the table root,
-    in nesting order — e.g. blocks/bucket=7/part-*.parquet -> [bucket]."""
-    cols = []
+    in nesting order with a sample value per level — e.g.
+    blocks/bucket=7/part-*.parquet -> [("bucket", "7")]. The sample value
+    is what the schema probe types from, so it must come from the SAME
+    level it names (a top-level-only probe would crash on 2-level
+    layouts)."""
+    levels = []
     d = table_dir
     while os.path.isdir(d):
         sub = [s for s in os.listdir(d) if "=" in s
                and os.path.isdir(os.path.join(d, s))]
         if not sub:
             break
-        col = sub[0].split("=", 1)[0]
-        cols.append(col)
+        col, val = sub[0].split("=", 1)
+        levels.append((col, val))
         d = os.path.join(d, sub[0])
-    return cols
+    return levels
+
+
+def _partition_cols(table_dir: str) -> list[str]:
+    return [c for c, _v in _partition_levels(table_dir)]
 
 
 def _first_parquet(table_dir: str) -> str | None:
@@ -140,15 +148,13 @@ def _schema_of(table_dir: str) -> tuple[dict, dict[str, int], int]:
         by_name[name] = fid
         fields.append({"id": fid, "name": name, "required": False,
                        "type": _iceberg_type(arrow.field(name).type, ids)})
-    for col in _partition_cols(table_dir):
+    for col, v in _partition_levels(table_dir):
         if col in by_name:
             continue
         fid = ids.next()
         by_name[col] = fid
         # hive partition values here are always int-like (bucket=N); a
         # non-numeric layout would export as string
-        sub = next(s for s in os.listdir(table_dir) if s.startswith(f"{col}="))
-        v = sub.split("=", 1)[1]
         fields.append({"id": fid, "name": col, "required": False,
                        "type": "int" if v.lstrip("-").isdigit() else "string"})
     schema = {"type": "struct", "schema-id": 0, "fields": fields}
@@ -208,18 +214,29 @@ def export_table(index_dir: str, table: str, out_dir: str) -> str:
                    for i, c in enumerate(part_cols)]
 
     snapshots_json, snap_log = [], []
-    prev_inodes: set[int] = set()
+    # sequence-number inheritance (spec: an EXISTING entry keeps the
+    # sequence number and snapshot id of the snapshot that ADDED the
+    # file): first-seen snapshot per inode, carried forward
+    added_in: dict[int, int] = {}
     for s in snaps:
         v = int(s["version"])
         sd = os.path.join(snapshot_dir(index_dir, v), table)
         files = _data_files(sd, part_cols)
-        entries = [{
-            "status": 1 if ino not in prev_inodes else 0,
-            "snapshot-id": v,
-            "sequence-number": v,
-            "data-file": rec,
-        } for ino, rec in files]
-        prev_inodes = {ino for ino, _rec in files}
+        entries = []
+        for ino, rec in files:
+            first = added_in.get(ino)
+            entries.append({
+                "status": 1 if first is None else 0,
+                "snapshot-id": v if first is None else first,
+                "sequence-number": v if first is None else first,
+                "data-file": rec,
+            })
+            if first is None:
+                added_in[ino] = v
+        # inodes absent from this snapshot were deleted/rewritten; drop
+        # them so a re-added file (compaction rewrite) counts as ADDED
+        cur = {ino for ino, _rec in files}
+        added_in = {ino: sv for ino, sv in added_in.items() if ino in cur}
         man_path = os.path.join(meta_dir, f"manifest-{v:06d}.json")
         with open(man_path, "w") as fh:
             json.dump({"schema": schema, "partition-spec": spec_fields,
@@ -234,7 +251,8 @@ def export_table(index_dir: str, table: str, out_dir: str) -> str:
                 "partition-spec-id": 0,
                 "content": 0,
                 "sequence-number": v,
-                "min-sequence-number": v,
+                "min-sequence-number": min(
+                    (e["sequence-number"] for e in entries), default=v),
                 "added-snapshot-id": v,
                 "added-files-count": len(added),
                 "existing-files-count": len(entries) - len(added),

@@ -236,12 +236,13 @@ def read_warc(spark: SparkSession, path: str,
                 (row for p, data in zip(pdf["path"], pdf["content"])
                  for row in parse_warc_shard(bytes(data),
                                              str(p).endswith(".gz"))),
-                # byte ESTIMATE, not a re-encode: text came out of the html
-                # (<= its bytes) and url/lang are noise next to it, so
-                # 2x html-bytes upper-bounds the serialized row without a
-                # second full UTF-8 pass over the corpus. The chunk bound
-                # only shapes in-flight batch size; over- or under-counting
-                # a few percent moves a flush boundary, nothing else.
+                # byte ESTIMATE, not a re-encode: html is bytes (len
+                # exact), and the extracted text's UTF-8 is bounded by the
+                # html bytes it came out of (extraction only removes
+                # markup; entity decoding shrinks), so html + text <=
+                # 2x html-bytes regardless of script. url/lang are noise
+                # next to it. The chunk bound only shapes in-flight batch
+                # size; an early flush costs nothing.
                 ["url", "warc_ts", "html", "text", "lang"],
                 lambda r: 2 * len(r[2]))
 
@@ -370,12 +371,15 @@ def read_wet(spark: SparkSession, path: str,
                 (row for p, data in zip(pdf["path"], pdf["content"])
                  for row in parse_wet_shard(bytes(data),
                                             str(p).endswith(".gz"))),
-                # estimate: len(str) counts code points, ~bytes for the
-                # ASCII-dominant web text this ingests; the 2x factor
-                # absorbs multi-byte scripts without re-encoding (see the
-                # WARC twin above).
+                # estimate without a re-encode pass: len(str) counts code
+                # points; UTF-8 is at most 4 bytes per code point, so 4x
+                # is a hard upper bound on serialized text bytes for ANY
+                # script (2x would under-bound CJK at ~3 bytes/cp). Chunks
+                # flush earlier than strictly needed on ASCII text — the
+                # bound exists to cap in-flight memory, so erring small is
+                # the safe direction.
                 ["url", "warc_ts", "text", "lang"],
-                lambda r: 2 * len(r[2]))
+                lambda r: 4 * len(r[2]))
 
     return files.mapInPandas(parse, WET_SCHEMA)
 

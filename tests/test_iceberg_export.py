@@ -95,6 +95,17 @@ def test_append_marks_added_vs_existing(exported):
         entries = json.load(f)["entries"]
     statuses = {e["status"] for e in entries}
     assert statuses == {0, 1}, statuses
+    # v2-spec sequence-number inheritance: EXISTING entries keep the
+    # sequence/snapshot of the snapshot that ADDED the file (v1 here);
+    # ADDED entries carry this snapshot's (v2)
+    for e in entries:
+        expect = 1 if e["status"] == 0 else 2
+        assert e["sequence-number"] == expect, e
+        assert e["snapshot-id"] == expect, e
+    mlist2 = os.path.join(out, "docids", "metadata",
+                          "snap-000002-manifest-list.json")
+    with open(mlist2) as f:
+        assert json.load(f)[0]["min-sequence-number"] == 1
 
 
 def test_blocks_identity_bucket_partition(exported):
